@@ -1,0 +1,41 @@
+"""exponentialutilities.jl_tpu — a TPU-native matrix-exponential / φ-function
+/ Krylov framework (JAX / XLA / Pallas / pjit).
+
+Brand-new implementation with the capabilities of SciML/ExponentialUtilities.jl
+(reference mounted read-only at /root/reference), redesigned TPU-first:
+functional jit-compiled kernels with static shapes, masked dynamic truncation,
+MXU-batched orthogonalization, Pallas sparse matvecs, and shard_map
+row-partitioned distribution over device meshes.
+
+Public API (reference analogue: src/ExponentialUtilities.jl:64-72 exports):
+
+Dense exponentials      expm (higham2005 | generic | diagonalization | native)
+Dense φ functions       phi, phi_scalar, phiv_dense
+Krylov subspaces        arnoldi, lanczos, KrylovBasis
+Krylov actions          expv, expv_from_basis, phiv, phiv_from_basis
+Taylor action           expv_taylor (Al-Mohy–Higham 2011 expmv)
+Time-stepping drivers   expv_timestep, phiv_timestep, kiops
+Operators               LinearOperator, DenseOperator, DiagonalOperator,
+                        MatrixFreeOperator, aslinearoperator
+"""
+
+from .ops.expm import (expm, expm_higham2005, expm_generic,
+                       expm_diagonalization, expm_native)
+from .ops.phi_dense import phi, phi_scalar, phi_with_info, phiv_dense
+from .ops.krylov import KrylovBasis, arnoldi, lanczos
+from .models.expv import expv, expv_from_basis, build_subspace
+from .models.phiv import phiv, phiv_from_basis
+from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
+                          MatrixFreeOperator, aslinearoperator)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
+    "expm_native",
+    "phi", "phi_scalar", "phi_with_info", "phiv_dense",
+    "KrylovBasis", "arnoldi", "lanczos", "build_subspace",
+    "expv", "expv_from_basis", "phiv", "phiv_from_basis",
+    "LinearOperator", "DenseOperator", "DiagonalOperator",
+    "MatrixFreeOperator", "aslinearoperator",
+]

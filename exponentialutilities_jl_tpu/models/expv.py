@@ -1,0 +1,185 @@
+"""Krylov matrix-exponential action: ``expv(t, A, b) ≈ exp(tA) b``.
+
+Capability parity with the reference's expv layer (reference:
+src/krylov_phiv.jl:72-322, src/krylov_phiv_error_estimate.jl):
+
+* ``mode="happy_breakdown"`` — build an Arnoldi/Lanczos basis (Lanczos
+  auto-selected for Hermitian operators, reference src/arnoldi.jl:342), then
+  exponentiate the reduced Hessenberg/tridiagonal on-device:
+  Hermitian → ``eigh`` of the (masked) tridiagonal (the reference's
+  ``eigen!(SymTridiagonal)``/STEGR path, src/krylov_phiv.jl:199-202);
+  general → degree-13 Padé ``expm_higham2005`` (src/krylov_phiv.jl:205).
+* ``mode="error_estimate"`` — Lanczos-only early termination on Saad's Er₂
+  estimate σ = β_j·β₀·|v_j| (reference: src/krylov_phiv_error_estimate.jl:94-152)
+  as a ``lax.while_loop`` so the iteration count stays on-device.
+
+Everything is masked, not truncated: a happy breakdown at step j zeroes the
+trailing basis rows and H entries, and the block-triangular structure of the
+masked reduced matrix makes ``exp(tH)e₁`` exact for the effective dimension
+(see ops/krylov.py docstring). Complex ``t`` on a real basis is supported
+(reference: src/krylov_phiv.jl:225-253).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.expm import expm_higham2005
+from ..ops.krylov import KrylovBasis, arnoldi, lanczos
+from ..utils.linop import LinearOperator, aslinearoperator
+
+__all__ = ["expv", "expv_from_basis", "build_subspace"]
+
+
+def build_subspace(op: LinearOperator, b, m: int, *, tol: float = 1e-7,
+                   iop: int = 0, reorth: bool = True,
+                   hermitian: bool | None = None) -> KrylovBasis:
+    """Arnoldi or (for Hermitian operators) Lanczos factorization.
+
+    Mirrors the reference's auto-switch ``arnoldi -> lanczos!`` on
+    ``ishermitian`` (src/arnoldi.jl:342-343).
+    """
+    herm = op.is_hermitian if hermitian is None else hermitian
+    if herm:
+        return lanczos(op, b, m, tol=tol)
+    return arnoldi(op, b, m, iop=iop, tol=tol, reorth=reorth)
+
+
+def _exp_reduced_e1(Ks: KrylovBasis, t):
+    """First column of exp(t·H_m) for the masked reduced matrix, (m,)."""
+    m = Ks.m
+    Hm = Ks.H[:m, :m]
+    t = jnp.asarray(t)
+    if Ks.hermitian and not jnp.issubdtype(Ks.H.dtype, jnp.complexfloating):
+        # Tridiagonal eigensolve (reference: eigen!(SymTridiagonal),
+        # src/krylov_phiv.jl:199-202). Masked trailing zero block is block-
+        # diagonal: its eigenvectors have zero first component, so e₁ only
+        # excites the effective leading block.
+        w, Q = jnp.linalg.eigh(Hm)
+        return Q @ (jnp.exp(t * w) * Q[0, :].conj())
+    Ht = t * Hm.astype(jnp.result_type(Ks.H.dtype, t.dtype))
+    return expm_higham2005(Ht)[:, 0]
+
+
+@jax.jit
+def expv_from_basis(t, Ks: KrylovBasis):
+    """``w = β · Vᵀ exp(tH) e₁`` from a prebuilt basis
+    (reference: ``expv!``, src/krylov_phiv.jl:173-220)."""
+    m = Ks.m
+    expHe = _exp_reduced_e1(Ks, t)
+    w = expHe @ Ks.V[:m]          # (m,) x (m, n) — MXU row combination
+    out = Ks.beta.astype(w.dtype) * w
+    # Zero starting vector → exact zero output (reference guard,
+    # src/krylov_phiv.jl:182-186).
+    return jnp.where(Ks.beta > 0, out, jnp.zeros_like(out))
+
+
+def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
+         mode: str = "happy_breakdown", reorth: bool = True,
+         hermitian: bool | None = None, atol: float = 1e-8,
+         rtol: float | None = None):
+    """Compute ``exp(tA) b`` with a Krylov approximation
+    (reference: ``expv``, src/krylov_phiv.jl:108-151).
+
+    Args:
+      t: scalar (real or complex) time/scale.
+      A: LinearOperator, dense matrix, or anything `aslinearoperator` accepts.
+      b: vector (n,).
+      m: Krylov dimension (static; reference default min(30, n)).
+      tol: happy-breakdown threshold.
+      iop: incomplete-orthogonalization window (0 = full).
+      mode: "happy_breakdown" | "error_estimate" (the latter is the Saad
+        early-termination Lanczos variant; Hermitian only, like the
+        reference src/krylov_phiv_error_estimate.jl:74-79).
+      atol / rtol: error-estimate mode tolerances (reference defaults
+        atol=tol, rtol=√tol, src/krylov_phiv.jl:129).
+    """
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    b = jnp.asarray(b)
+    m = min(m, op.shape[0])
+    if mode == "happy_breakdown":
+        Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
+                            hermitian=hermitian)
+        return expv_from_basis(t, Ks)
+    if mode == "error_estimate":
+        herm = op.is_hermitian if hermitian is None else hermitian
+        if not herm:
+            raise NotImplementedError(
+                "error_estimate mode requires a Hermitian operator "
+                "(reference: src/krylov_phiv_error_estimate.jl:74-79)")
+        if rtol is None:
+            rtol = float(jnp.sqrt(tol))
+        return _expv_error_estimate(op, b, t, m, atol, rtol)
+    raise ValueError(f"unknown expv mode {mode!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _expv_error_estimate(op, b, t, m: int, atol: float, rtol: float):
+    """Lanczos expv terminated by Saad's Er₂ posterior estimate
+    (reference: src/krylov_phiv_error_estimate.jl:94-152).
+
+    The Lanczos recurrence, the tridiagonal eigensolve of the leading block,
+    and the σ = β_j·β₀·|v_j| check run inside one ``lax.while_loop`` on
+    device — no host round-trips per iteration.
+    """
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    dt = b.dtype
+    rdt = jnp.finfo(dt).dtype
+    t = jnp.asarray(t)
+
+    beta0 = jnp.linalg.norm(b).astype(rdt)
+    eps = atol + rtol * beta0
+    v0 = jnp.where(beta0 > 0, 1.0 / jnp.where(beta0 > 0, beta0, 1), 0.0).astype(rdt) * b
+
+    V = jnp.zeros((m + 1, n), dtype=dt).at[0].set(v0)
+    alphas = jnp.zeros((m,), dtype=rdt)
+    betas = jnp.zeros((m,), dtype=rdt)
+    # propagated subspace vector exp(tT) e₁ (cache.v in the reference)
+    ev = jnp.zeros((m,), dtype=jnp.result_type(rdt, t.dtype))
+
+    def tridiag(alphas, betas):
+        T = jnp.diag(alphas)
+        T = T + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+        return T
+
+    def cond(carry):
+        V, alphas, betas, ev, j, done = carry
+        return (j < m) & jnp.logical_not(done)
+
+    def body(carry):
+        V, alphas, betas, ev, j, _ = carry
+        x = V[j]
+        y = op.matvec(x)
+        alpha = jnp.real(jnp.vdot(x, y)).astype(rdt)
+        y = y - alpha * x
+        jm1 = jnp.where(j >= 1, j - 1, m)
+        bprev = jnp.where(j >= 1, betas[jnp.maximum(j - 1, 0)], 0.0)
+        y = y - bprev * V[jm1]
+        nrm = jnp.linalg.norm(y).astype(rdt)
+        alphas = alphas.at[j].set(alpha)
+        betas = betas.at[j].set(nrm)
+        V = V.at[j + 1].set(jnp.where(nrm > 0, y / jnp.where(nrm > 0, nrm, 1), 0))
+
+        # exp(t T_j) e₁ of the leading (j+1)-block. Mask: zero trailing
+        # α/β → block-diagonal, e₁ only excites the leading block.
+        amask = jnp.arange(m) <= j
+        bmask = jnp.arange(m) < j
+        w, Q = jnp.linalg.eigh(tridiag(jnp.where(amask, alphas, 0),
+                                       jnp.where(bmask, betas, 0)))
+        ev = Q.astype(ev.dtype) @ (jnp.exp(t * w) * Q[0, :])
+
+        sigma = nrm * beta0 * jnp.abs(ev[j])
+        done = sigma < eps
+        return V, alphas, betas, ev, j + 1, done
+
+    V, alphas, betas, ev, j, done = lax.while_loop(
+        cond, body, (V, alphas, betas, ev, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(beta0 == 0)))
+    w = ev @ V[:m].astype(ev.dtype)
+    out = beta0.astype(w.dtype) * w
+    return jnp.where(beta0 > 0, out, jnp.zeros_like(out))

@@ -1,0 +1,78 @@
+"""Krylov φ-function actions: ``phiv(t, A, b, k) ≈ [φ_0(tA)b … φ_k(tA)b]``.
+
+Capability parity with the reference's phiv layer (reference:
+src/krylov_phiv.jl:471-599): reduce to ``phiv_dense`` on the masked t·H_m
+(the (m+k)² augmented-matrix exponential), combine with the basis on the MXU,
+optionally apply the Niesen–Wright last-Arnoldi-vector correction (formula
+(10) of arXiv:0907.4631) and return the a-posteriori error estimate
+``|β · h_{m+1,m} · t · C2[end, end]|`` used by the adaptive drivers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.krylov import KrylovBasis
+from ..ops.phi_dense import phiv_dense
+from ..utils.linop import LinearOperator, aslinearoperator
+from .expv import build_subspace
+
+__all__ = ["phiv", "phiv_from_basis"]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "correct"))
+def phiv_from_basis(t, Ks: KrylovBasis, k: int, *, correct: bool = False):
+    """``(w, err)`` from a prebuilt basis (reference: ``_phiv!``,
+    src/krylov_phiv.jl:566-599).
+
+    w: (n, k+1) matrix of φ_j(tA)b columns. err: scalar error estimate for
+    φ_{k-1} (the reference's adaptive-driver signal).
+    """
+    m = Ks.m
+    t = jnp.asarray(t)
+    dt = jnp.result_type(Ks.V.dtype, Ks.H.dtype, t.dtype)
+    Hm = (t.astype(dt) * Ks.H[:m, :m].astype(dt))
+    e1 = jnp.zeros((m,), dtype=dt).at[0].set(1)
+    C2 = phiv_dense(Hm, e1, k)                       # (m, k+1)
+    beta = Ks.beta.astype(dt)
+    w = jnp.einsum("mk,mn->nk", C2, Ks.V[:m].astype(dt)) * beta
+
+    # Indices of the "last" effective row: the reference's H[end, end] is the
+    # residual β_m = H[m_used, m_used-1]; C2[end, :] is row m_used-1.
+    last = jnp.maximum(Ks.m_used - 1, 0)
+    h_res = Ks.H[last + 1, last].astype(dt)
+    c_last = C2[last, :]                              # (k+1,)
+    betah = beta * h_res * t.astype(dt)
+
+    if correct and k >= 1:
+        # w[:, i] += βh·C2[end, i+1]·v_last for i = 0..k-1 (reference:
+        # src/krylov_phiv.jl:588-596, Niesen-Wright (10)).
+        vlast = Ks.V[Ks.m_used].astype(dt)            # (n,)
+        coeffs = jnp.concatenate([c_last[1:], jnp.zeros((1,), dt)]) * betah
+        w = w + vlast[:, None] * coeffs[None, :]
+
+    err = jnp.abs(betah * c_last[k])
+    zero = Ks.beta > 0
+    w = jnp.where(zero, w, jnp.zeros_like(w))
+    err = jnp.where(zero, err, jnp.zeros_like(err))
+    return w, err
+
+
+def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
+         correct: bool = False, errest: bool = False, reorth: bool = True,
+         hermitian: bool | None = None):
+    """Compute ``[φ_0(tA)b … φ_k(tA)b]`` with a Krylov approximation
+    (reference: ``phiv``, src/krylov_phiv.jl:519-531). ``k ≥ 1``.
+
+    Returns the (n, k+1) matrix, or ``(w, err)`` when ``errest=True``.
+    """
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    b = jnp.asarray(b)
+    m = min(m, op.shape[0])
+    Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
+                        hermitian=hermitian)
+    w, err = phiv_from_basis(t, Ks, k, correct=correct)
+    return (w, err) if errest else w

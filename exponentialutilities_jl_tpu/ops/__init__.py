@@ -1,0 +1,1 @@
+"""Subpackage of exponentialutilities.jl_tpu."""

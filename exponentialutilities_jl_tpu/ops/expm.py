@@ -1,0 +1,272 @@
+"""Dense matrix exponential — TPU-native scaling-and-squaring.
+
+Capability parity with the reference's dense-exp layer (reference:
+src/exp.jl:49-140, src/exp_baseexp.jl, src/exp_noalloc.jl, src/exp_generic.jl)
+redesigned for XLA:
+
+* ``method="higham2005"`` — Higham (2005/2008) degree-{3,5,7,9,13} Padé with
+  1-norm bucketed degree selection. The reference dispatches to 13 generated
+  straight-line kernels (src/exp_noalloc.jl:123-129); here the same bucketing
+  is a single jitted function with a ``lax.switch`` over five Padé branches and
+  a bounded masked squaring loop, so one compilation covers every norm bucket
+  (no shape-dependent recompiles, compiler-friendly control flow).
+* ``method="generic"`` — type-generic diagonal Padé of order chosen from the
+  dtype's precision (reference: src/exp_generic.jl:100-116), fully
+  differentiable (JAX AD replaces ForwardDiff support).
+* ``method="diagonalization"`` — eigendecomposition path (reference:
+  src/exp.jl:75-130).
+* ``method="native"`` — defer to ``jax.scipy.linalg.expm``
+  (reference: src/exp.jl:137-140 defers to ``Base.exp``).
+
+Balancing (LAPACK ``?gebal`` in the reference, src/exp_baseexp.jl:10-36) is
+intentionally omitted: the reference itself disables it on GPU arrays
+(src/exp.jl:56-58), and the Krylov paths only exponentiate small Hessenberg
+matrices where it is optional.
+
+All public functions are jittable, vmappable over leading batch dims (via
+``jax.vmap``) and preserve dtype (f32 in → f32 out, c128 in → c128 out).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
+           "expm_native", "pade_order_for_eps"]
+
+
+# Higham 2005 Padé coefficient tables (Table 2.3 of "The Scaling and Squaring
+# Method for the Matrix Exponential Revisited") and 1-norm thresholds θ_m.
+_B3 = (120.0, 60.0, 12.0, 1.0)
+_B5 = (30240.0, 15120.0, 3360.0, 420.0, 30.0, 1.0)
+_B7 = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0, 56.0, 1.0)
+_B9 = (17643225600.0, 8821612800.0, 2075673600.0, 302702400.0, 30270240.0,
+       2162160.0, 110880.0, 3960.0, 90.0, 1.0)
+_B13 = (64764752532480000.0, 32382376266240000.0, 7771770303897600.0,
+        1187353796428800.0, 129060195264000.0, 10559470521600.0,
+        670442572800.0, 33522128640.0, 1323241920.0, 40840800.0,
+        960960.0, 16380.0, 182.0, 1.0)
+
+_THETA3 = 1.495585217958292e-2
+_THETA5 = 2.539398330063230e-1
+_THETA7 = 9.504178996162932e-1
+_THETA9 = 2.097847961257068e0
+_THETA13 = 5.371920351148152e0
+
+# Single-precision thresholds (Higham & Al-Mohy); degree 7 is the f32 cap.
+_THETA3_F32 = 4.258730016922831e-1
+_THETA5_F32 = 1.880152677804762e0
+_THETA7_F32 = 3.925724783138660e0
+
+
+def _onenorm(A):
+    return jnp.max(jnp.sum(jnp.abs(A), axis=0))
+
+
+def _pade_uv_3(A, A2, A4, A6):
+    b = _B3
+    U = A @ (b[3] * A2 + b[1] * jnp.eye(A.shape[0], dtype=A.dtype))
+    V = b[2] * A2 + b[0] * jnp.eye(A.shape[0], dtype=A.dtype)
+    return U, V
+
+
+def _pade_uv_5(A, A2, A4, A6):
+    b = _B5
+    I = jnp.eye(A.shape[0], dtype=A.dtype)
+    U = A @ (b[5] * A4 + b[3] * A2 + b[1] * I)
+    V = b[4] * A4 + b[2] * A2 + b[0] * I
+    return U, V
+
+
+def _pade_uv_7(A, A2, A4, A6):
+    b = _B7
+    I = jnp.eye(A.shape[0], dtype=A.dtype)
+    U = A @ (b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * I)
+    V = b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * I
+    return U, V
+
+
+def _pade_uv_9(A, A2, A4, A6):
+    b = _B9
+    I = jnp.eye(A.shape[0], dtype=A.dtype)
+    A8 = A4 @ A4
+    U = A @ (b[9] * A8 + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * I)
+    V = b[8] * A8 + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * I
+    return U, V
+
+
+def _pade_uv_13(A, A2, A4, A6):
+    b = _B13
+    I = jnp.eye(A.shape[0], dtype=A.dtype)
+    # Higham's economical degree-13 evaluation: two nested polynomials sharing
+    # A2/A4/A6 so only 6 GEMMs total (MXU-dense, no small ops).
+    W1 = b[13] * A6 + b[11] * A4 + b[9] * A2
+    W2 = b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * I
+    Z1 = b[12] * A6 + b[10] * A4 + b[8] * A2
+    Z2 = b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * I
+    U = A @ (A6 @ W1 + W2)
+    V = A6 @ Z1 + Z2
+    return U, V
+
+
+def _pq_solve(U, V):
+    # exp(A) ≈ (V - U)^{-1} (V + U); one LU solve on-device.
+    return jnp.linalg.solve(V - U, V + U)
+
+
+def _masked_squaring(X, s, max_squarings):
+    """X^(2^s) with a bounded, reverse-differentiable masked loop."""
+    def body(i, X):
+        return jnp.where(i < s, X @ X, X)
+    return lax.fori_loop(0, max_squarings, body, X, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("max_squarings",))
+def expm_higham2005(A, *, max_squarings: int = 32):
+    """Higham-2005 scaling-and-squaring Padé ``exp(A)``.
+
+    Norm buckets → Padé degree (reference analogue: src/exp_noalloc.jl RHO_V
+    bucketing; same θ thresholds as src/exp_baseexp.jl:164-191). The degree
+    choice is a ``lax.switch`` so a single compiled program covers all inputs
+    of a given shape/dtype.
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    real_dt = jnp.finfo(A.dtype).dtype  # real counterpart for norms
+    nA = _onenorm(A).astype(real_dt)
+
+    if jnp.finfo(A.dtype).bits <= 32:
+        # f32/bf16/c64: degree-7 cap with single-precision thresholds.
+        thetas = (_THETA3_F32, _THETA5_F32, _THETA7_F32)
+        branches = (_pade_uv_3, _pade_uv_5, _pade_uv_7)
+        theta_top = _THETA7_F32
+    else:
+        thetas = (_THETA3, _THETA5, _THETA7, _THETA9, _THETA13)
+        branches = (_pade_uv_3, _pade_uv_5, _pade_uv_7, _pade_uv_9, _pade_uv_13)
+        theta_top = _THETA13
+
+    # Scaling: s = max(0, ceil(log2(nA/θ_top))) when nA exceeds the top bucket.
+    s = jnp.maximum(0, jnp.ceil(jnp.log2(
+        jnp.maximum(nA, jnp.finfo(real_dt).tiny) / theta_top))).astype(jnp.int32)
+    s = jnp.where(nA > theta_top, s, 0)
+    s = jnp.minimum(s, max_squarings)
+    As = A * (2.0 ** (-s)).astype(real_dt)
+
+    # Degree index: number of thresholds strictly below nA, capped at the top.
+    idx = jnp.sum(jnp.asarray([nA > t for t in thetas[:-1]]).astype(jnp.int32))
+    idx = jnp.where(nA > thetas[-1], len(thetas) - 1, idx)
+
+    A2 = As @ As
+    A4 = A2 @ A2
+    A6 = A2 @ A4
+
+    U, V = lax.switch(idx, branches, As, A2, A4, A6)
+    X = _pq_solve(U, V)
+    return _masked_squaring(X, s, max_squarings)
+
+
+def pade_order_for_eps(eps: float) -> int:
+    """Smallest diagonal Padé order k with backward error below ``eps`` at
+    scaled norm 1/2: (1/2)^(2k+1)/(2k+1)! < eps (reference analogue:
+    src/exp_generic.jl:100-116 ``pade_order_for_type``)."""
+    k = 1
+    while (0.5 ** (2 * k + 1)) / math.factorial(2 * k + 1) >= eps and k < 30:
+        k += 1
+    return k
+
+
+def _generic_pade_coeffs(k: int):
+    # Diagonal (k,k) Padé numerator coefficients for exp:
+    # c_j = (2k - j)! k! / ((2k)! j! (k - j)!)
+    return tuple(
+        math.factorial(2 * k - j) * math.factorial(k)
+        / (math.factorial(2 * k) * math.factorial(j) * math.factorial(k - j))
+        for j in range(k + 1)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("order", "max_squarings"))
+def expm_generic(A, *, order: int | None = None, max_squarings: int = 48):
+    """Type-generic scaling-and-squaring with arbitrary-order diagonal Padé.
+
+    The Padé order is chosen statically from the dtype's machine epsilon
+    (reference: src/exp_generic.jl:58-283). Differentiable in both modes;
+    Inf/NaN inputs propagate to the output rather than erroring
+    (reference's overflow guard, src/exp_generic.jl:151-157, is implicit:
+    IEEE arithmetic carries non-finite values through).
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    real_dt = jnp.finfo(A.dtype).dtype
+    if order is None:
+        order = pade_order_for_eps(float(jnp.finfo(A.dtype).eps) / 2)
+    coeffs = _generic_pade_coeffs(order)
+
+    nA = _onenorm(A).astype(real_dt)
+    # Scale so the scaled 1-norm is below 1/2.
+    s = jnp.maximum(0, jnp.ceil(jnp.log2(
+        jnp.maximum(nA, jnp.finfo(real_dt).tiny) / 0.5))).astype(jnp.int32)
+    s = jnp.where(nA > 0.5, s, 0)
+    s = jnp.minimum(s, max_squarings)
+    X = A * (2.0 ** (-s)).astype(real_dt)
+
+    I = jnp.eye(n, dtype=A.dtype)
+    # Horner evaluation of N(X) and N(-X) = D(X).
+    N = coeffs[order] * I
+    D = coeffs[order] * I
+    sign = -1.0 if order % 2 else 1.0
+    for j in range(order - 1, -1, -1):
+        N = N @ X + coeffs[j] * I
+        D = D @ (-X) + coeffs[j] * I
+    P = jnp.linalg.solve(D, N)
+    return _masked_squaring(P, s, max_squarings)
+
+
+def expm_diagonalization(A, *, is_hermitian: bool = False):
+    """exp(A) via eigendecomposition (reference: src/exp.jl:75-130).
+
+    Hermitian input uses ``eigh`` (TPU-supported); general input uses ``eig``
+    which XLA only provides on CPU — gate accordingly.
+    """
+    A = jnp.asarray(A)
+    if is_hermitian:
+        w, Q = jnp.linalg.eigh(A)
+        return (Q * jnp.exp(w)) @ Q.conj().T
+    w, R = jnp.linalg.eig(A)
+    X = (R * jnp.exp(w)) @ jnp.linalg.inv(R)
+    if not jnp.issubdtype(A.dtype, jnp.complexfloating):
+        X = X.real.astype(A.dtype)
+    return X
+
+
+def expm_native(A):
+    """Defer to ``jax.scipy.linalg.expm`` (reference: src/exp.jl:137-140)."""
+    return jax.scipy.linalg.expm(jnp.asarray(A))
+
+
+_METHODS = {
+    "higham2005": expm_higham2005,
+    "generic": expm_generic,
+    "diagonalization": expm_diagonalization,
+    "native": expm_native,
+}
+
+
+def expm(A, method: str = "higham2005", **kwargs):
+    """Front door for the dense matrix exponential.
+
+    ``method`` ∈ {"higham2005", "generic", "diagonalization", "native"}
+    (reference analogue: ``exponential!`` method structs,
+    src/ExponentialUtilities.jl:64-72). Functional: returns a new array.
+    """
+    try:
+        fn = _METHODS[method]
+    except KeyError:
+        raise ValueError(
+            f"unknown expm method {method!r}; expected one of {sorted(_METHODS)}")
+    return fn(A, **kwargs)

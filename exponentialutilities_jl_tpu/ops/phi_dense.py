@@ -1,0 +1,222 @@
+"""Dense φ-function evaluation — TPU-native scaling-and-recovering.
+
+The φ functions are φ_0(z) = e^z, φ_{k+1}(z) = (φ_k(z) − φ_k(0))/z.
+
+Capability parity with the reference's dense-φ layer:
+
+* ``phi_scalar(z, k)`` — scalar φ via the (k+1)² companion-like augmented
+  matrix (Sidje Thm 1; reference: src/phi.jl:20-36).
+* ``phiv_dense(A, v, k)`` — [φ_0(A)v … φ_k(A)v] via the (m+k)² augmented
+  matrix (reference: src/phi.jl:63-94). This is all the φ machinery the
+  Krylov path needs (reference: src/krylov_phiv.jl:583).
+* ``phi(A, k)`` — simultaneous φ_0..φ_k(A), the analogue of the reference's
+  Al-Mohy–Liu scaling-and-recovering path (src/phi_almohy.jl:456-507) but
+  redesigned for the MXU: instead of Padé + batched LU solves we scale
+  A → A/2ˢ, evaluate the highest-order φ_p by a Paterson–Stockmeyer truncated
+  Taylor series (provably below unit roundoff at the scaled norm), recover
+  φ_{p-1}..φ_0 by the downward recurrence φ_j(X) = X·φ_{j+1}(X) + I/j!, and
+  undo the scaling with the double-argument identity
+
+      φ_ℓ(2X) = 2^{-ℓ} ( φ_0(X)·φ_ℓ(X) + Σ_{k=1}^{ℓ} φ_k(X)/(ℓ−k)! )
+
+  evaluated for all ℓ at once as two batched einsums per squaring stage
+  (one (p+1)-batched GEMM + one small coefficient contraction) — no LU, no
+  scalar loops, one XLA program per (n, k, dtype).
+
+Failure protocol (reference: src/phi_almohy.jl:110-142): no exceptions inside
+jit — non-finite inputs propagate NaN through IEEE arithmetic, and
+``phi_with_info`` returns an ``info`` code (0 = success, 1 = non-finite
+output) so adaptive drivers can reject the step, mirroring the reference's
+``cache.info[]`` no-throw contract.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .expm import expm_higham2005
+
+__all__ = ["phi_scalar", "phiv_dense", "phi", "phi_with_info"]
+
+
+def _inv_factorial(n: int) -> float:
+    """1/n! in float64, exact to the last ulp for n ≤ 170 and 0.0 beyond
+    (where it underflows anyway). Guards the high-order coefficient stress
+    case (reference: test/basictests.jl p ≤ 500 coefficient-overflow test)."""
+    if n <= 170:
+        return 1.0 / float(math.factorial(n))
+    return 0.0
+
+
+def _taylor_order(dtype) -> tuple[float, int]:
+    """(θ, M): scaled-norm threshold and Taylor truncation order such that the
+    truncation error of φ_p's series at ‖X‖ ≤ θ is below the dtype's unit
+    roundoff (tail ≤ θ^{M+1} e^θ / (M+1)!)."""
+    bits = jnp.finfo(dtype).bits
+    if bits >= 64:
+        return 1.0, 20
+    if bits >= 32:
+        return 1.0, 12
+    return 1.0, 8
+
+
+def phi_scalar(z, k: int):
+    """φ_0..φ_k of a scalar (or array of scalars, applied elementwise).
+
+    Built on the (k+1)² augmented-matrix exponential (reference:
+    src/phi.jl:20-36); vmapped over array inputs, so a Diagonal operator's φ
+    is one batched small expm (reference: src/phi.jl:235-246).
+    """
+    z = jnp.asarray(z)
+
+    def one(zs):
+        dt = zs.dtype
+        M = jnp.zeros((k + 1, k + 1), dtype=dt)
+        M = M.at[0, 0].set(zs)
+        if k >= 1:
+            M = M.at[jnp.arange(k), jnp.arange(1, k + 1)].set(jnp.ones((k,), dt))
+        P = expm_higham2005(M)
+        return P[0, :]
+
+    if z.ndim == 0:
+        return one(z)
+    flat = jax.vmap(one)(z.reshape(-1))
+    return flat.reshape(z.shape + (k + 1,))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def phiv_dense(A, v, k: int):
+    """[φ_0(A)v φ_1(A)v … φ_k(A)v] for small dense A via the augmented matrix
+
+        Ã = [A  v  e₁ … e_{k-1}; 0  J]   (J the k×k nilpotent shift)
+
+    (Sidje Thm 1; reference: src/phi.jl:63-94). Returns an (m, k+1) matrix.
+    """
+    A = jnp.asarray(A)
+    v = jnp.asarray(v)
+    m = A.shape[0]
+    dt = jnp.result_type(A.dtype, v.dtype)
+    if k == 0:
+        return (expm_higham2005(A.astype(dt)) @ v.astype(dt))[:, None]
+    Aug = jnp.zeros((m + k, m + k), dtype=dt)
+    Aug = Aug.at[:m, :m].set(A.astype(dt))
+    Aug = Aug.at[:m, m].set(v.astype(dt))
+    if k >= 2:
+        idx = jnp.arange(m, m + k - 1)
+        Aug = Aug.at[idx, idx + 1].set(jnp.ones((k - 1,), dt))
+    P = expm_higham2005(Aug)
+    w0 = P[:m, :m] @ v.astype(dt)
+    return jnp.concatenate([w0[:, None], P[:m, m:m + k]], axis=1)
+
+
+def _ps_phi_taylor(X, p: int, order: int):
+    """φ_p(X) ≈ Σ_{i=0}^{order} X^i/(i+p)! by Paterson–Stockmeyer.
+
+    ~2√order GEMMs instead of `order` (reference analogue: the
+    Paterson–Stockmeyer Horner stage of src/phi_almohy.jl:392-425, applied
+    here to the Taylor rather than Padé polynomial)."""
+    n = X.shape[0]
+    I = jnp.eye(n, dtype=X.dtype)
+    coeffs = [_inv_factorial(i + p) for i in range(order + 1)]
+    tau = max(2, int(math.isqrt(order)) + 1)
+    nblocks = (order + 1 + tau - 1) // tau
+
+    # Powers X^0..X^tau (X^tau is the Horner step multiplier).
+    pows = [I, X]
+    for _ in range(2, tau + 1):
+        pows.append(pows[-1] @ X)
+
+    def block(b):
+        acc = None
+        for r in range(tau):
+            i = b * tau + r
+            if i > order:
+                break
+            term = coeffs[i] * pows[r]
+            acc = term if acc is None else acc + term
+        return acc if acc is not None else jnp.zeros_like(I)
+
+    Xt = pows[tau]
+    acc = block(nblocks - 1)
+    for b in range(nblocks - 2, -1, -1):
+        acc = acc @ Xt + block(b)
+    return acc
+
+
+def _phi_all_of_scaled(X, p: int, order: int):
+    """Stack [φ_0(X), …, φ_p(X)] via one Taylor evaluation of φ_p and the
+    downward recovery recurrence φ_j = X·φ_{j+1} + I/j!
+    (reference: src/phi_almohy.jl:483-491)."""
+    n = X.shape[0]
+    I = jnp.eye(n, dtype=X.dtype)
+    Fs = [None] * (p + 1)
+    Fs[p] = _ps_phi_taylor(X, p, order)
+    for j in range(p - 1, -1, -1):
+        Fs[j] = X @ Fs[j + 1] + _inv_factorial(j) * I
+    return jnp.stack(Fs, axis=0)  # (p+1, n, n)
+
+
+def _double_argument_stage(F, p: int):
+    """One squaring stage: all φ_ℓ(2X) from φ_ℓ(X) simultaneously.
+
+    φ_0(2X) = φ_0², φ_ℓ(2X) = 2^{-ℓ}(φ_0 φ_ℓ + Σ_{k=1}^{ℓ} φ_k/(ℓ−k)!)
+    (reference: src/phi_almohy.jl:493-505). One batched GEMM + one small
+    coefficient contraction."""
+    dt = F.dtype
+    rdt = jnp.finfo(dt).dtype
+    # G[ℓ] = φ_0 @ φ_ℓ for every ℓ — a single (p+1)-batched MXU matmul.
+    G = jnp.einsum("ij,ljk->lik", F[0], F)
+    # W[ℓ,k] = 1/(ℓ−k)! for 1 ≤ k ≤ ℓ, else 0 (ℓ = 0 row is zero).
+    W = [[0.0] * (p + 1) for _ in range(p + 1)]
+    for ell in range(1, p + 1):
+        for kk in range(1, ell + 1):
+            W[ell][kk] = _inv_factorial(ell - kk)
+    W = jnp.asarray(W, dtype=rdt)
+    C = jnp.einsum("lk,kij->lij", W.astype(dt), F)
+    scale = jnp.asarray([0.5 ** ell for ell in range(p + 1)], dtype=rdt)
+    return scale[:, None, None].astype(dt) * (G + C)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_squarings"))
+def phi(A, k: int, *, max_squarings: int = 48):
+    """Simultaneous [φ_0(A), …, φ_k(A)] for dense A, stacked as (k+1, n, n).
+
+    TPU-native scaling-and-recovering (see module docstring). The scaling
+    count s = max(0, ⌈log₂(‖A‖₁/θ)⌉) is data, not shape: a bounded masked
+    ``fori_loop`` performs the double-argument stages, so one compilation
+    serves every norm.
+    """
+    A = jnp.asarray(A)
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise ValueError(f"expected square matrix, got {A.shape}")
+    p = int(k)
+    theta, order = _taylor_order(A.dtype)
+    rdt = jnp.finfo(A.dtype).dtype
+
+    nA = jnp.max(jnp.sum(jnp.abs(A), axis=0)).astype(rdt)
+    s = jnp.maximum(0, jnp.ceil(jnp.log2(
+        jnp.maximum(nA, jnp.finfo(rdt).tiny) / theta))).astype(jnp.int32)
+    s = jnp.where(nA > theta, s, 0)
+    s = jnp.minimum(s, max_squarings)
+
+    X = A * (2.0 ** (-s)).astype(rdt)
+    F = _phi_all_of_scaled(X, p, order)
+
+    def body(i, F):
+        return jnp.where(i < s, _double_argument_stage(F, p), F)
+
+    return lax.fori_loop(0, max_squarings, body, F, unroll=False)
+
+
+def phi_with_info(A, k: int, **kwargs):
+    """``phi`` plus the no-throw info code: 0 = success, 1 = non-finite result
+    (reference protocol: src/phi_almohy.jl:110-142, tested at
+    test/basictests.jl:444-456)."""
+    out = phi(A, k, **kwargs)
+    info = jnp.where(jnp.all(jnp.isfinite(out)), 0, 1).astype(jnp.int32)
+    return out, info

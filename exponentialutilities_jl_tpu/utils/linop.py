@@ -1,0 +1,170 @@
+"""Matrix-free linear-operator protocol.
+
+TPU-native analogue of the reference's matrix-free operator interface
+(reference: docs/src/interfaces.md, test/basictests.jl:784-814): any object
+exposing ``shape``, ``dtype``, a traceable ``matvec`` and optional
+``is_hermitian`` / ``opnorm_hint`` participates in every Krylov-level API
+(arnoldi/lanczos, expv, phiv, timestepping, KIOPS).
+
+Unlike the reference's mutation-based ``mul!(y, A, x)`` contract, the matvec
+here is a *pure* jax-traceable callable ``x -> A @ x``; operators are pytrees
+so they can be closed over or passed through ``jax.jit`` boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "LinearOperator",
+    "DenseOperator",
+    "MatrixFreeOperator",
+    "DiagonalOperator",
+    "aslinearoperator",
+]
+
+
+class LinearOperator:
+    """Base class: a square linear operator with a traceable matvec.
+
+    Subclasses must provide:
+      - ``shape``: (n, n) tuple of Python ints (static)
+      - ``dtype``: jnp dtype
+      - ``matvec(x)``: jax-traceable product ``A @ x``
+      - ``is_hermitian``: bool (static)
+      - ``opnorm_hint()``: optional scalar norm estimate or ``None``
+    """
+
+    shape: tuple
+    dtype: Any
+    is_hermitian: bool = False
+
+    def matvec(self, x):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def opnorm_hint(self) -> Optional[jax.Array]:
+        return None
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DenseOperator(LinearOperator):
+    """Dense matrix wrapped as an operator. Matvec is one MXU GEMV."""
+
+    A: jax.Array
+    is_hermitian: bool = False
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+    def matvec(self, x):
+        return self.A @ x
+
+    def opnorm_hint(self):
+        # inf-norm: max row sum — cheap exact bound for dense storage.
+        return jnp.max(jnp.sum(jnp.abs(self.A), axis=1))
+
+    def tree_flatten(self):
+        return (self.A,), (self.is_hermitian,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], is_hermitian=aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DiagonalOperator(LinearOperator):
+    """Diagonal operator; phi/exp of it are applied entrywise upstream."""
+
+    d: jax.Array
+
+    is_hermitian: bool = True
+
+    @property
+    def shape(self):
+        return (self.d.shape[0], self.d.shape[0])
+
+    @property
+    def dtype(self):
+        return self.d.dtype
+
+    def matvec(self, x):
+        return self.d * x
+
+    def opnorm_hint(self):
+        return jnp.max(jnp.abs(self.d))
+
+    def tree_flatten(self):
+        return (self.d,), (self.is_hermitian,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class MatrixFreeOperator(LinearOperator):
+    """Wrap an arbitrary traceable callable as an operator.
+
+    Registered as a pytree with the callable in the static (aux) slot, so the
+    operator can be passed through ``jax.jit`` boundaries; reusing the same
+    operator object (or the same function object) across calls reuses the
+    compiled executable. Arrays the callable closes over become compile-time
+    constants.
+    """
+
+    def __init__(self, matvec: Callable, shape, dtype=jnp.float64,
+                 is_hermitian: bool = False, opnorm: Optional[float] = None):
+        self._matvec = matvec
+        self.shape = tuple(shape)
+        self.dtype = jnp.dtype(dtype)
+        self.is_hermitian = bool(is_hermitian)
+        self._opnorm = opnorm
+
+    def matvec(self, x):
+        return self._matvec(x)
+
+    def opnorm_hint(self):
+        if self._opnorm is None:
+            return None
+        return jnp.asarray(self._opnorm)
+
+    def tree_flatten(self):
+        return (), (self._matvec, self.shape, self.dtype, self.is_hermitian,
+                    self._opnorm)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        fn, shape, dtype, herm, opn = aux
+        return cls(fn, shape, dtype=dtype, is_hermitian=herm, opnorm=opn)
+
+
+def aslinearoperator(A, is_hermitian: Optional[bool] = None) -> LinearOperator:
+    """Coerce ``A`` (operator | dense array | callable-free) to LinearOperator."""
+    if isinstance(A, LinearOperator):
+        return A
+    A = jnp.asarray(A)
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise ValueError(f"expected a square matrix, got shape {A.shape}")
+    if is_hermitian is None:
+        # Static decision requires concrete values; fall back to False when traced.
+        try:
+            herm = bool(jnp.allclose(A, A.conj().T))
+        except jax.errors.TracerBoolConversionError:
+            herm = False
+    else:
+        herm = is_hermitian
+    return DenseOperator(A, is_hermitian=herm)

@@ -1,0 +1,152 @@
+"""Dense expm tests — method cross-validation against scipy, norm-bucket
+coverage, dtype/AD semantics (reference test model: test/basictests.jl:28-231)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import exponentialutilities_jl_tpu as eu
+
+
+def relerr(X, Y):
+    X, Y = np.asarray(X), np.asarray(Y)
+    return np.max(np.abs(X - Y)) / max(np.max(np.abs(Y)), 1e-300)
+
+
+METHODS = ["higham2005", "generic", "native"]
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_methods_vs_scipy_random(rng, method):
+    # reference: every ExpMethod* vs Base.exp on random 100x100
+    # (test/basictests.jl:28-56)
+    A = rng.standard_normal((100, 100)) / 10
+    assert relerr(eu.expm(A, method=method), sla.expm(A)) < 1e-12
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_methods_vs_scipy_small_norm(rng, method):
+    A = rng.standard_normal((50, 50)) * 1e-5
+    assert relerr(eu.expm(A, method=method), sla.expm(A)) < 1e-13
+
+
+@pytest.mark.parametrize("scale", [1e-3, 1e-2, 0.1, 0.5, 1.0, 2.0, 5.0, 20.0,
+                                   100.0, 1e3])
+def test_norm_buckets(rng, scale):
+    # Hit every Padé degree + squaring range (reference: each exp_gen! bucket,
+    # test/basictests.jl:58-79).
+    A = rng.standard_normal((40, 40))
+    A = A / np.max(np.sum(np.abs(A), axis=0)) * scale
+    assert relerr(eu.expm(A), sla.expm(A)) < 1e-11
+
+
+@pytest.mark.parametrize("scale", [1e4, 1e6])
+def test_huge_norm_skew(rng, scale):
+    # Extreme scaling counts without overflow: skew-symmetric ⇒ ‖exp‖₂ = 1.
+    A = rng.standard_normal((30, 30))
+    A = (A - A.T) / 2
+    A = A / np.max(np.sum(np.abs(A), axis=0)) * scale
+    assert relerr(eu.expm(A), sla.expm(A)) < 1e-9
+
+
+def test_complex(rng):
+    A = (rng.standard_normal((30, 30)) + 1j * rng.standard_normal((30, 30))) / 4
+    assert relerr(eu.expm(A), sla.expm(A)) < 1e-12
+    assert relerr(eu.expm(A, method="generic"), sla.expm(A)) < 1e-11
+
+
+def test_f32_preserves_dtype(rng):
+    # reference: eltype preservation (test/basictests.jl:136-174)
+    A = rng.standard_normal((20, 20)).astype(np.float32) / 4
+    X = eu.expm(A)
+    assert X.dtype == jnp.float32
+    assert relerr(X, sla.expm(A.astype(np.float64))) < 1e-5
+    Xg = eu.expm(A, method="generic")
+    assert Xg.dtype == jnp.float32
+
+
+def test_diagonalization_hermitian(rng):
+    A = rng.standard_normal((30, 30))
+    A = (A + A.T) / 2
+    assert relerr(eu.expm_diagonalization(A, is_hermitian=True), sla.expm(A)) < 1e-12
+
+
+def test_diagonalization_general(rng):
+    A = rng.standard_normal((20, 20)) / 4
+    assert relerr(eu.expm_diagonalization(A), sla.expm(A)) < 1e-10
+
+
+def test_zero_matrix():
+    assert relerr(eu.expm(np.zeros((8, 8))), np.eye(8)) == 0.0
+
+
+def test_nan_propagates():
+    # reference Inf/NaN semantics (test/basictests.jl:97-119): non-finite
+    # input yields non-finite output, no exception.
+    A = np.full((5, 5), np.nan)
+    X = np.asarray(eu.expm(A))
+    assert not np.all(np.isfinite(X))
+
+
+def test_forward_ad(rng):
+    # reference: ForwardDiff jacobian/derivative correctness
+    # (test/basictests.jl:121-134). JAX jvp replaces dual numbers.
+    A = rng.standard_normal((10, 10)) / 4
+    E = rng.standard_normal((10, 10)) / 4
+
+    def f(s):
+        return eu.expm_generic(jnp.asarray(A + s * E))
+
+    g = jax.jacfwd(f)(0.0)
+    # Fréchet derivative oracle via 2n block matrix: exp([[A,E],[0,A]]) UR block.
+    Big = np.block([[A, E], [np.zeros_like(A), A]])
+    L = sla.expm(Big)[:10, 10:]
+    assert relerr(g, L) < 1e-9
+
+
+def test_reverse_ad(rng):
+    A = rng.standard_normal((8, 8)) / 4
+
+    def f(M):
+        return jnp.sum(eu.expm_generic(M) ** 2)
+
+    g = jax.grad(f)(jnp.asarray(A))
+    # finite-difference check
+    eps = 1e-6
+    E = rng.standard_normal((8, 8))
+    fd = (f(jnp.asarray(A + eps * E)) - f(jnp.asarray(A - eps * E))) / (2 * eps)
+    assert abs(float(jnp.vdot(g, E)) - float(fd)) < 1e-4 * max(1.0, abs(float(fd)))
+
+
+def test_higham_reverse_ad(rng):
+    # the masked-squaring loop keeps higham2005 reverse-differentiable too
+    A = rng.standard_normal((8, 8)) / 2
+
+    def f(M):
+        return jnp.sum(eu.expm_higham2005(M))
+
+    g = jax.grad(f)(jnp.asarray(A))
+    eps = 1e-6
+    E = rng.standard_normal((8, 8))
+    fd = (f(jnp.asarray(A + eps * E)) - f(jnp.asarray(A - eps * E))) / (2 * eps)
+    assert abs(float(jnp.vdot(g, E)) - float(fd)) < 1e-4 * max(1.0, abs(float(fd)))
+
+
+def test_vmap_batching(rng):
+    As = rng.standard_normal((4, 16, 16)) / 4
+    Xs = jax.vmap(eu.expm_higham2005)(jnp.asarray(As))
+    for i in range(4):
+        assert relerr(Xs[i], sla.expm(As[i])) < 1e-12
+
+
+def test_jit_cache_stability(rng):
+    # One compilation serves all norms of a given shape/dtype.
+    A = jnp.asarray(rng.standard_normal((12, 12)))
+    f = jax.jit(eu.expm_higham2005)
+    f(A)
+    n0 = f._cache_size()
+    f(A * 100.0)
+    f(A * 1e-3)
+    assert f._cache_size() == n0

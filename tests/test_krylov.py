@@ -1,0 +1,191 @@
+"""Krylov construction + expv/phiv tests (reference: test/basictests.jl:513-814)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import exponentialutilities_jl_tpu as eu
+from exponentialutilities_jl_tpu.ops.krylov import arnoldi, lanczos
+
+
+def test_arnoldi_recurrence(rng):
+    # A V[j] == sum_i H[i,j] V[i] and orthonormality
+    n, m = 40, 12
+    A = rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    Ks = arnoldi(eu.DenseOperator(jnp.asarray(A)), jnp.asarray(b), m)
+    V, H = np.asarray(Ks.V), np.asarray(Ks.H)
+    assert np.allclose(V[:m + 1] @ V[:m + 1].T, np.eye(m + 1), atol=1e-12)
+    assert np.allclose(A @ V[:m].T, V.T @ H, atol=1e-12)
+    assert int(Ks.m_used) == m
+    assert not bool(Ks.breakdown)
+
+
+def test_arnoldi_lanczos_agree_on_hermitian(rng):
+    # reference: Arnoldi-vs-Lanczos Hessenberg agreement
+    # (test/basictests.jl:729-752)
+    n, m = 30, 10
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    b = rng.standard_normal(n)
+    op = eu.DenseOperator(jnp.asarray(A), is_hermitian=True)
+    Ka = arnoldi(op, jnp.asarray(b), m)
+    Kl = lanczos(op, jnp.asarray(b), m)
+    assert np.allclose(np.asarray(Ka.H)[:m, :m], np.asarray(Kl.H)[:m, :m],
+                       atol=1e-10)
+
+
+def test_lanczos_skew_vs_arnoldi(rng):
+    # skew-symmetric (not hermitian): arnoldi H should be ~tridiagonal with
+    # zero diagonal
+    n, m = 30, 8
+    A = rng.standard_normal((n, n))
+    A = (A - A.T) / 2
+    Ks = arnoldi(eu.DenseOperator(jnp.asarray(A)), jnp.asarray(rng.standard_normal(n)), m)
+    H = np.asarray(Ks.H)[:m, :m]
+    assert np.max(np.abs(np.diag(H))) < 1e-12
+    assert np.max(np.abs(np.triu(H, 2))) < 1e-12
+
+
+def test_happy_breakdown_truncation(rng):
+    # rank-1 idempotent: subspace dim 2 (reference: test/basictests.jl:542-546)
+    n = 25
+    u = rng.standard_normal(n)
+    u /= np.linalg.norm(u)
+    A = np.outer(u, u)
+    b = rng.standard_normal(n)
+    Ks = arnoldi(eu.DenseOperator(jnp.asarray(A)), jnp.asarray(b), 10)
+    assert bool(Ks.breakdown)
+    assert int(Ks.m_used) <= 2
+    # trailing basis rows must be exactly zero (mask contract)
+    assert np.all(np.asarray(Ks.V)[int(Ks.m_used) + 1:] == 0)
+
+
+def test_iop_window(rng):
+    # IOP with window 2 only fills two diagonals of H
+    n, m = 30, 10
+    A = rng.standard_normal((n, n))
+    Ks = arnoldi(eu.DenseOperator(jnp.asarray(A)), jnp.asarray(rng.standard_normal(n)),
+                 m, iop=2, reorth=False)
+    H = np.asarray(Ks.H)[:m, :m]
+    assert np.max(np.abs(np.triu(H, 2))) == 0.0
+
+
+class TestExpv:
+    def test_vs_dense(self, rng):
+        n = 100
+        A = rng.standard_normal((n, n)) / np.sqrt(n)
+        b = rng.standard_normal(n)
+        w = eu.expv(0.8, A, b, m=40)
+        exact = sla.expm(0.8 * A) @ b
+        assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-12
+
+    def test_hermitian_lanczos(self, rng):
+        n = 80
+        A = rng.standard_normal((n, n))
+        A = (A + A.T) / 2
+        b = rng.standard_normal(n)
+        w = eu.expv(0.5, A, b, m=40)
+        exact = sla.expm(0.5 * A) @ b
+        assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-11
+
+    def test_complex_t(self, rng):
+        # reference: complex t on real symmetric basis
+        # (test/basictests.jl:648-662)
+        n = 50
+        A = rng.standard_normal((n, n))
+        A = (A + A.T) / 2
+        b = rng.standard_normal(n)
+        t = 0.3 + 0.7j
+        w = eu.expv(t, A, b, m=40)
+        exact = sla.expm(t * A) @ b
+        assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-11
+
+    def test_complex_matrix(self, rng):
+        n = 40
+        A = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        w = eu.expv(1.0, A, b, m=40, hermitian=False)
+        exact = sla.expm(A) @ b
+        assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-11
+
+    def test_zero_vector(self, rng):
+        # reference: test/basictests.jl:548-551
+        n = 30
+        A = rng.standard_normal((n, n))
+        w = eu.expv(1.0, A, np.zeros(n), m=10)
+        assert np.all(np.asarray(w) == 0)
+
+    def test_error_estimate_mode(self, rng):
+        # reference: test/basictests.jl:754-782
+        n = 60
+        A = rng.standard_normal((n, n))
+        A = (A + A.T) / 2
+        b = rng.standard_normal(n)
+        w = eu.expv(0.5, A, b, m=60, mode="error_estimate", atol=1e-12, rtol=1e-12)
+        exact = sla.expm(0.5 * A) @ b
+        assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-9
+
+    def test_error_estimate_rejects_nonhermitian(self, rng):
+        with pytest.raises(NotImplementedError):
+            eu.expv(1.0, rng.standard_normal((10, 10)), rng.standard_normal(10),
+                    mode="error_estimate", hermitian=False)
+
+    def test_matrix_free_never_needs_opnorm(self, rng):
+        # reference: operator whose opnorm throws (test/basictests.jl:784-814)
+        n = 40
+        A = rng.standard_normal((n, n))
+        A = (A + A.T) / 2
+        Aj = jnp.asarray(A)
+
+        def raising_opnorm():
+            raise AssertionError("opnorm must not be called")
+
+        op = eu.MatrixFreeOperator(lambda x: Aj @ x, (n, n), dtype=np.float64,
+                                   is_hermitian=True)
+        op.opnorm_hint = raising_opnorm  # sabotage: must stay uncalled
+        b = rng.standard_normal(n)
+        w = eu.expv(0.25, op, b, m=30)
+        exact = sla.expm(0.25 * A) @ b
+        assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-12
+
+
+class TestPhiv:
+    def test_vs_block_oracle(self, rng):
+        n, k = 80, 3
+        A = rng.standard_normal((n, n)) / np.sqrt(n)
+        b = rng.standard_normal(n)
+        t = 0.9
+        W = np.asarray(eu.phiv(t, A, b, k, m=40))
+        E = np.zeros((n, k * n)); E[:, :n] = np.eye(n)
+        J = np.kron(np.diag(np.ones(k - 1), 1), np.eye(n))
+        P = sla.expm(np.block([[t * A, E], [np.zeros((k * n, n)), J]]))
+        for j in range(k + 1):
+            w = (P[:n, j * n:(j + 1) * n] @ b) if j > 0 else sla.expm(t * A) @ b
+            assert np.linalg.norm(W[:, j] - w) / np.linalg.norm(w) < 1e-11, j
+
+    def test_correction_improves_small_m(self, rng):
+        n, k = 60, 2
+        A = rng.standard_normal((n, n)) / np.sqrt(n)
+        b = rng.standard_normal(n)
+        t = 1.0
+        exact = sla.expm(t * A) @ b
+        w_plain = np.asarray(eu.phiv(t, A, b, k, m=6))[:, 0]
+        w_corr = np.asarray(eu.phiv(t, A, b, k, m=6, correct=True))[:, 0]
+        assert (np.linalg.norm(w_corr - exact) <= np.linalg.norm(w_plain - exact) * 1.5)
+
+    def test_errest_tracks_true_error(self, rng):
+        n, k = 60, 1
+        A = rng.standard_normal((n, n))
+        b = rng.standard_normal(n)
+        _, err_small = eu.phiv(0.01, A, b, k, m=10, errest=True)
+        _, err_big = eu.phiv(2.0, A, b, k, m=10, errest=True)
+        assert float(err_small) < float(err_big)
+
+    def test_zero_vector(self, rng):
+        n = 20
+        A = rng.standard_normal((n, n))
+        W, err = eu.phiv(1.0, A, np.zeros(n), 2, m=10, errest=True)
+        assert np.all(np.asarray(W) == 0) and float(err) == 0.0

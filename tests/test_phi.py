@@ -1,0 +1,143 @@
+"""Dense φ tests — recurrence oracle, block-matrix oracle, adversarial
+matrices, NaN no-throw protocol (reference: test/basictests.jl:305-466)."""
+
+import math
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import exponentialutilities_jl_tpu as eu
+
+
+def phi_recurrence_oracle(z, k):
+    # φ_0 = e^z, φ_{j+1} = (φ_j - φ_j(0))/z  (reference oracle,
+    # test/basictests.jl:305-333)
+    out = [np.exp(z)]
+    for j in range(k):
+        out.append((out[-1] - 1.0 / math.factorial(j)) / z)
+    return np.array(out)
+
+
+def phi_block_oracle(A, k):
+    # independent block-matrix oracle exp([A E; 0 J]) (Al-Mohy–Liu Thm 2.1;
+    # reference: test/basictests.jl:335-399)
+    n = A.shape[0]
+    E = np.zeros((n, k * n))
+    E[:, :n] = np.eye(n)
+    J = np.kron(np.diag(np.ones(k - 1), 1), np.eye(n)) if k > 1 else np.zeros((n, n))
+    Big = np.block([[A, E], [np.zeros((k * n, n)), J]])
+    P = sla.expm(Big)
+    return [sla.expm(A)] + [P[:n, j * n:(j + 1) * n] for j in range(1, k + 1)]
+
+
+def test_phi_scalar_vs_recurrence():
+    for z in [0.5, -1.2, 3.0 + 1.0j]:
+        got = np.asarray(eu.phi_scalar(z, 5))
+        want = phi_recurrence_oracle(z, 5)
+        assert np.max(np.abs(got - want)) < 1e-11 * max(1, abs(np.exp(z)))
+
+
+def test_phi_scalar_batched():
+    z = np.linspace(-2, 2, 7)   # includes z = 0
+    got = np.asarray(eu.phi_scalar(z, 3))
+    assert got.shape == (7, 4)
+    for i, zi in enumerate(z):
+        if zi == 0.0:
+            want = np.array([1.0 / math.factorial(j) for j in range(4)])
+        else:
+            want = phi_recurrence_oracle(zi, 3)
+        assert np.max(np.abs(got[i] - want)) < 1e-12
+
+
+ADVERSARIAL = {
+    "random": lambda rng, n: rng.standard_normal((n, n)),
+    "nonnormal": lambda rng, n: np.triu(rng.standard_normal((n, n))) * 3,
+    "large_norm": lambda rng, n: rng.standard_normal((n, n)) * 50,
+    "hessenberg": lambda rng, n: np.triu(rng.standard_normal((n, n)), -1),
+    "zero": lambda rng, n: np.zeros((n, n)),
+    "tiny": lambda rng, n: rng.standard_normal((n, n)) * 1e-8,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ADVERSARIAL))
+@pytest.mark.parametrize("k", [1, 3])
+def test_phi_matrix_adversarial(rng, name, k):
+    n = 12
+    A = ADVERSARIAL[name](rng, n)
+    got = np.asarray(eu.phi(A, k))
+    want = phi_block_oracle(A, k)
+    scale = max(np.max(np.abs(want[0])), 1.0)
+    for j in range(k + 1):
+        assert np.max(np.abs(got[j] - want[j])) / scale < 1e-8, (name, j)
+
+
+def test_phi_complex(rng):
+    n, k = 10, 2
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    got = np.asarray(eu.phi(A, k))
+    want = phi_block_oracle(A, k)
+    scale = max(np.max(np.abs(want[0])), 1.0)
+    for j in range(k + 1):
+        assert np.max(np.abs(got[j] - want[j])) / scale < 1e-9
+
+
+def test_phi_high_order(rng):
+    # reference: p up to 30 (test/basictests.jl:399)
+    n, k = 6, 30
+    A = rng.standard_normal((n, n))
+    got = np.asarray(eu.phi(A, k))
+    want = phi_block_oracle(A, k)
+    for j in [0, 1, 10, 30]:
+        denom = max(np.max(np.abs(want[j])), 1e-30)
+        assert np.max(np.abs(got[j] - want[j])) / denom < 1e-6, j
+
+
+def test_phi_coefficient_overflow_guard():
+    # reference: coefficient stress p<=500 (test/basictests.jl:440s) — must
+    # not raise, coefficients for giant orders underflow to zero gracefully.
+    A = np.diag([0.1, 0.2])
+    out = np.asarray(eu.phi(A, 200))
+    assert out.shape == (201, 2, 2)
+    assert np.all(np.isfinite(out[:50]))
+
+
+def test_phi_nan_no_throw_protocol():
+    # reference: NaN-input → NaN-output + info≠0, no exception
+    # (test/basictests.jl:444-456, src/phi_almohy.jl:110-142)
+    A = np.full((4, 4), np.nan)
+    out, info = eu.phi_with_info(A, 2)
+    assert int(info) != 0
+    assert not np.all(np.isfinite(np.asarray(out)))
+    ok, info_ok = eu.phi_with_info(np.eye(4) * 0.3, 2)
+    assert int(info_ok) == 0
+
+
+def test_phi_diagonal_entrywise(rng):
+    # reference: Diagonal specialization applies scalar phi per entry
+    # (src/phi.jl:235-246)
+    d = rng.standard_normal(8)
+    got = np.asarray(eu.phi_scalar(d, 3))          # (8, 4)
+    want = phi_block_oracle(np.diag(d), 3)
+    for j in range(4):
+        assert np.max(np.abs(np.diag(got[:, j]) - want[j])) < 1e-11
+
+
+def test_phiv_dense_vs_oracle(rng):
+    n, k = 15, 4
+    A = rng.standard_normal((n, n))
+    v = rng.standard_normal(n)
+    got = np.asarray(eu.phiv_dense(A, v, k))
+    want = phi_block_oracle(A, k)
+    for j in range(k + 1):
+        w = want[j] @ v
+        assert np.linalg.norm(got[:, j] - w) / np.linalg.norm(w) < 1e-10
+
+
+def test_phiv_dense_k0(rng):
+    n = 10
+    A = rng.standard_normal((n, n))
+    v = rng.standard_normal(n)
+    got = np.asarray(eu.phiv_dense(A, v, 0))
+    assert got.shape == (n, 1)
+    assert np.linalg.norm(got[:, 0] - sla.expm(A) @ v) < 1e-10
