@@ -25,6 +25,9 @@ from .ops.phi_dense import phi, phi_scalar, phi_with_info, phiv_dense
 from .ops.krylov import KrylovBasis, arnoldi, lanczos
 from .models.expv import expv, expv_from_basis, build_subspace
 from .models.phiv import phiv, phiv_from_basis
+from .models.timestepping import expv_timestep, phiv_timestep, TimestepStats
+from .models.kiops import kiops, KiopsStats, AugmentedOperator
+from .models.expv_taylor import expv_taylor
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
 
@@ -36,6 +39,8 @@ __all__ = [
     "phi", "phi_scalar", "phi_with_info", "phiv_dense",
     "KrylovBasis", "arnoldi", "lanczos", "build_subspace",
     "expv", "expv_from_basis", "phiv", "phiv_from_basis",
+    "expv_timestep", "phiv_timestep", "TimestepStats",
+    "kiops", "KiopsStats", "AugmentedOperator", "expv_taylor",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
 ]

@@ -1,0 +1,226 @@
+"""Truncated-Taylor ``exp(tA)b`` — Al-Mohy & Higham (2011) ``expmv``.
+
+Capability parity with the reference's StaticArrays extension
+(reference: ext/ExponentialUtilitiesStaticArraysExt.jl:1-165), generalized:
+the reference specializes this algorithm to tiny SMatrix inputs; here it is
+also the *large-scale matvec-only* expv path — on TPU a sparse/stencil
+operator runs s·m* bandwidth-bound matvecs with **no orthogonalization, no
+reduced problem and no basis storage**, which is the speed-of-light regime
+for well-conditioned exp(tA)b actions.
+
+Pieces:
+* θ-table: largest scaled norm per Taylor degree m with backward error below
+  the working tolerance, computed at first use by exact-rational evaluation
+  of h̃_{m+1} + bisection (reference computes the same table by Newton
+  root-finding at package load, ext lines 48-65).
+* (m*, s) selection: cost minimization over degrees, with the α_p 1-norm-of-
+  powers probes for nonnormal dense A (ext lines 87-122); matrix-free
+  operators use a caller-supplied norm bound.
+* Core loop: trace-shift μ = tr(A)/n, s stages of degree-m* Horner steps
+  with the two-term early-termination test (ext lines 133-163), run as
+  ``lax.while_loop`` over stages with a masked inner ``fori_loop``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..utils.linop import LinearOperator, aslinearoperator
+
+__all__ = ["expv_taylor", "taylor_theta"]
+
+_M_MAX = 55
+_P_MAX = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _theta_table(log2_tol: int) -> tuple:
+    """θ_m for m = 1.._M_MAX at tol = 2^log2_tol.
+
+    θ_m is the largest x with |h̃_{m+1}(x)|/x ≤ tol, where
+    h(M, y) = log(e^{-y} T_M(y)), h̃(M, x) = ±h(M, -x) and T_M is the
+    degree-M Taylor partial sum of exp. T_{m+1}(-x) is evaluated in exact
+    rational arithmetic (no cancellation), then bisected.
+    """
+    tol = 2.0 ** log2_tol
+
+    def backward_err(m: int, x: float) -> float:
+        xf = Fraction(x).limit_denominator(10 ** 12)
+        T = sum((-xf) ** k / math.factorial(k) for k in range(m + 2))
+        if T <= 0:
+            return float("inf")
+        return abs(math.log(float(T)) + x) / x
+
+    thetas = []
+    lo_prev = 1e-16
+    for m in range(1, _M_MAX + 1):
+        lo, hi = lo_prev, 60.0
+        if backward_err(m, hi) <= tol:
+            thetas.append(hi)
+            lo_prev = hi
+            continue
+        for _ in range(80):
+            mid = 0.5 * (lo + hi)
+            if backward_err(m, mid) <= tol:
+                lo = mid
+            else:
+                hi = mid
+        thetas.append(lo)
+        lo_prev = max(lo, 1e-16)
+    return tuple(thetas)
+
+
+def taylor_theta(dtype):
+    """θ table for the dtype's unit roundoff (f64 → 2⁻⁵³, f32 → 2⁻²⁴)."""
+    bits = jnp.finfo(dtype).bits
+    return _theta_table(-53 if bits >= 64 else -24)
+
+
+def _select_parameters_dense(A_np: np.ndarray, thetas) -> tuple[int, int]:
+    """(m*, s) via cost minimization with α_p norm-of-powers probes
+    (reference: ext ``parameters``, lines 87-122)."""
+    nA = float(np.max(np.sum(np.abs(A_np), axis=0)))
+    if nA == 0.0:
+        return 0, 1
+
+    def cost(alpha, m):
+        return m * int(math.ceil(alpha / thetas[m - 1]))
+
+    if nA <= 4 * thetas[_M_MAX - 1] * _P_MAX * (_P_MAX + 3) / _M_MAX:
+        mo = min(range(1, _M_MAX + 1), key=lambda m: cost(nA, m))
+        return mo, max(1, int(math.ceil(nA / thetas[mo - 1])))
+
+    Ap = A_np @ A_np
+    p_eta = math.sqrt(float(np.max(np.sum(np.abs(Ap), axis=0))))
+    best = (float("inf"), 1)
+    for pp in range(2, _P_MAX + 1):
+        Ap = Ap @ A_np
+        eta = float(np.max(np.sum(np.abs(Ap), axis=0))) ** (1.0 / (pp + 1))
+        alpha = max(p_eta, eta)
+        p_eta = eta
+        lo_m = max(1, pp * (pp - 1) - 1)
+        for m in range(lo_m, _M_MAX + 1):
+            best = min(best, (cost(alpha, m), m))
+    Cmo, mo = best
+    return mo, max(1, Cmo // mo)
+
+
+def _taylor_loop(matvec, b, scale, eta, m_star, s, eps):
+    """s stages of the degree-m* Taylor recurrence with early termination
+    (reference: ext lines 133-163). ``m_star``/``s`` are traced data; the
+    inner loop is a masked fori over the static _M_MAX bound."""
+    dt = b.dtype
+    rdt = jnp.finfo(dt).dtype
+
+    def stage(carry):
+        F, v, i = carry
+
+        def inner(j, inner_carry):
+            v, F, c1, done = inner_carry
+            active = (j <= m_star) & jnp.logical_not(done)
+            vn = matvec(v) * (scale / j.astype(rdt))
+            Fn = F + vn
+            c2 = jnp.max(jnp.abs(vn)).astype(rdt)
+            stop = (c1 + c2) <= eps * jnp.max(jnp.abs(Fn)).astype(rdt)
+            v = jnp.where(active, vn, v)
+            F = jnp.where(active, Fn, F)
+            c1 = jnp.where(active, c2, c1)
+            return v, F, c1, done | (active & stop)
+
+        c1 = jnp.max(jnp.abs(v)).astype(rdt)
+        v2, F2, _, _ = lax.fori_loop(
+            1, _M_MAX + 1, inner, (v, F, c1, jnp.asarray(False)))
+        F2 = F2 * eta
+        return F2, F2, i + 1
+
+    def cond(carry):
+        F, v, i = carry
+        return (i < s) & jnp.all(jnp.isfinite(F))
+
+    F, _, _ = lax.while_loop(cond, stage, (b, b, jnp.asarray(0, jnp.int32)))
+    return F
+
+
+def expv_taylor(t, A, b, *, tol: float | None = None, opnorm=None,
+                mu: float | complex | None = None):
+    """``exp(tA) b`` by scaled truncated Taylor series — no Krylov basis.
+
+    Args:
+      t: scalar time.
+      A: dense matrix (full Al-Mohy–Higham parameter search) or a
+        LinearOperator (requires ``opnorm`` — a bound on ‖t(A-μI)‖₁ / |t|).
+      b: vector.
+      tol: series tolerance (default: dtype unit roundoff / 2).
+      opnorm: norm bound for matrix-free operators.
+      mu: trace shift; default tr(A)/n for dense, 0 for operators.
+
+    Reference: ext/ExponentialUtilitiesStaticArraysExt.jl:133-163.
+    """
+    dense = not isinstance(A, LinearOperator)
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    dt = jnp.result_type(b.dtype, jnp.asarray(t).dtype,
+                         A.dtype if isinstance(A, LinearOperator) else jnp.asarray(A).dtype)
+    rdt = jnp.finfo(dt).dtype
+    thetas = taylor_theta(dt)
+    if tol is None:
+        tol = float(jnp.finfo(dt).eps) / 2
+
+    if dense:
+        A = jnp.asarray(A)
+        A_np = np.asarray(A)
+        if mu is None:
+            mu = complex(np.trace(A_np)) / n
+            if not np.iscomplexobj(A_np):
+                mu = mu.real
+        At_np = (A_np - mu * np.eye(n)) * complex(t) if np.iscomplexobj(A_np) or isinstance(t, complex) \
+            else (A_np - mu * np.eye(n)) * float(t)
+        m_star, s = _select_parameters_dense(At_np, thetas)
+        if m_star == 0:
+            return jnp.exp(jnp.asarray(mu * t, dt)) * b.astype(dt)
+        Ash = jnp.asarray(A, dt) - jnp.asarray(mu, dt) * jnp.eye(n, dtype=dt)
+        scale = jnp.asarray(t / s, dt)
+        eta = jnp.exp(jnp.asarray(mu, dt) * jnp.asarray(t, dt) / s).astype(dt)
+        return _taylor_dense(Ash, b.astype(dt), scale, eta,
+                             jnp.asarray(m_star, jnp.int32),
+                             jnp.asarray(s, jnp.int32),
+                             jnp.asarray(tol, rdt))
+    else:
+        op = A
+        if mu is None:
+            mu = 0.0
+        if opnorm is None:
+            hint = op.opnorm_hint()
+            if hint is None:
+                raise ValueError(
+                    "expv_taylor with a matrix-free operator requires an "
+                    "`opnorm` bound (or an operator opnorm_hint)")
+            opnorm = float(hint)
+        nrm = abs(t) * float(opnorm)
+        costs = [m * math.ceil(nrm / thetas[m - 1]) for m in range(1, _M_MAX + 1)]
+        m_star = int(np.argmin(costs)) + 1
+        s = max(1, int(math.ceil(nrm / thetas[m_star - 1])))
+        scale = jnp.asarray(t / s, dt)
+        eta = jnp.exp(jnp.asarray(mu, dt) * jnp.asarray(t, dt) / s).astype(dt)
+        return _taylor_op(op, jnp.asarray(mu, dt), b.astype(dt), scale, eta,
+                          jnp.asarray(m_star, jnp.int32),
+                          jnp.asarray(s, jnp.int32), jnp.asarray(tol, rdt))
+
+
+@jax.jit
+def _taylor_dense(Ash, b, scale, eta, m_star, s, eps):
+    return _taylor_loop(lambda x: Ash @ x, b, scale, eta, m_star, s, eps)
+
+
+@jax.jit
+def _taylor_op(op, mu_c, b, scale, eta, m_star, s, eps):
+    def mv(x):
+        return op.matvec(x) - mu_c * x
+    return _taylor_loop(mv, b, scale, eta, m_star, s, eps)

@@ -1,0 +1,321 @@
+"""KIOPS — Krylov with Incomplete Orthogonalization Procedure Solver.
+
+Gaudreault, Rainwater & Tokman (2018): evaluate the φ-combination
+
+    w(t_i) = φ_0(t_i A)u₀ + φ_1(t_i A)u₁ + … + φ_p(t_i A)u_p
+
+via ONE (n+p)-augmented Krylov subspace per substep instead of per-order φ
+evaluations, with joint (τ, m) adaptation between substeps
+(reference: src/kiops.jl:50-319).
+
+TPU mapping: the augmented operator
+
+    Ã = [[A, B̃], [0, K]]   (B̃ = ν·[u_p … u_1], K the p×p up-shift)
+
+is an ``AugmentedOperator`` pytree whose matvec is one user matvec + one
+skinny (n, p)·(p,) GEMV + a static roll — it feeds the same masked
+fixed-shape Arnoldi as everything else (IOP window 2 by default). The
+exponential of the (j+1)² augmented Hessenberg (with the φ₁ error-estimate
+coupling H[0, j] ← 1, reference src/kiops.jl:142-149) is evaluated on-device
+from the masked H with dynamic j as data. The substep/adaptation loop runs on
+the host (scalar control flow), re-using the basis on τ-only rejections —
+the basis depends on t_now but not on the trial τ.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.expm import expm_higham2005
+from ..ops.krylov import arnoldi
+from ..utils.linop import LinearOperator, aslinearoperator
+
+__all__ = ["kiops", "KiopsStats", "AugmentedOperator"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class AugmentedOperator(LinearOperator):
+    """KIOPS augmented operator on vectors [x; x_aug] of length n+p
+    (reference: the ``(A, B)`` tuple + ``applyA!``, src/arnoldi.jl:185-201)."""
+
+    op: LinearOperator
+    B: jax.Array            # (n, p) — ν-scaled flipped u columns
+
+    is_hermitian: bool = False
+
+    @property
+    def n_main(self):
+        return self.op.shape[0]
+
+    @property
+    def p_aug(self):
+        return self.B.shape[1]
+
+    @property
+    def shape(self):
+        n, p = self.n_main, self.p_aug
+        return (n + p, n + p)
+
+    @property
+    def dtype(self):
+        return self.B.dtype
+
+    def matvec(self, x):
+        n, p = self.n_main, self.p_aug
+        xm, xa = x[:n], x[n:]
+        ym = self.op.matvec(xm) + self.B @ xa
+        ya = jnp.concatenate([xa[1:], jnp.zeros((1,), xa.dtype)])
+        return jnp.concatenate([ym, ya])
+
+    def tree_flatten(self):
+        return (self.op, self.B), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1])
+
+
+@dataclasses.dataclass
+class KiopsStats:
+    """(steps, rejections, krylov steps, #exponentials, last m) — the
+    reference's stats tuple (src/kiops.jl:271-273)."""
+    steps: int = 0
+    rejections: int = 0
+    krylov_steps: int = 0
+    exps: int = 0
+    last_m: int = 0
+
+
+@functools.partial(jax.jit, static_argnames=("m", "iop", "p"))
+def _kiops_build(aug_op: AugmentedOperator, w_col, t_now, mu, m: int,
+                 iop: int, p: int, tol: float):
+    """Build the augmented Krylov basis for the current substep. The
+    augmented tail of the starting vector encodes the Taylor weights
+    t^i/i!·μ (reference: augmented ``firststep!``, src/arnoldi.jl:253-275)."""
+    dt = w_col.dtype
+    t_now = jnp.asarray(t_now, jnp.finfo(dt).dtype)
+    tail = [(t_now ** (p - 1 - i)) / math.factorial(p - 1 - i) * mu
+            for i in range(p - 1)] + [jnp.asarray(mu, jnp.finfo(dt).dtype)]
+    b_aug = jnp.stack([jnp.asarray(v, jnp.finfo(dt).dtype) for v in tail]).astype(dt)
+    x0 = jnp.concatenate([w_col, b_aug])
+    return arnoldi(aug_op, x0, m, iop=iop, tol=tol, reorth=False)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _kiops_trial(Ks, tau_sgn, n: int):
+    """Exponential of the (j+1)² augmented Hessenberg with φ₁ coupling, the
+    error estimate, and the accepted-solution update
+    (reference: src/kiops.jl:141-163, 309-311).
+
+    Returns (w_new (n,), err) where w_new = β·V_main^T F e₁.
+    """
+    m = Ks.m
+    j = Ks.m_used                                  # effective dimension (traced)
+    dt = Ks.H.dtype
+    rows = jnp.arange(m + 1)
+
+    Haug = jnp.zeros((m + 1, m + 1), dtype=dt).at[:, :m].set(Ks.H)
+    nrm = Haug[j, jnp.maximum(j - 1, 0)]           # h_{j+1,j} (residual)
+    # Zero h_{j+1,j}, add the φ₁ coupling H[0, j] = 1, mask beyond the block.
+    Haug = Haug.at[j, jnp.maximum(j - 1, 0)].set(0)
+    Haug = Haug.at[0, j].set(1)
+    block = (rows[:, None] <= j) & (rows[None, :] <= j)
+    Haug = jnp.where(block, Haug, 0)
+
+    F = expm_higham2005(tau_sgn.astype(dt) * Haug)
+    # err = |β · h_{j+1,j} · F[j-1, j]| (reference: src/kiops.jl:163).
+    err = jnp.abs(Ks.beta.astype(dt) * nrm * F[jnp.maximum(j - 1, 0), j])
+    # Solution update uses only the main (first n) components of the basis.
+    w_new = Ks.beta.astype(dt) * (F[:, 0] @ Ks.V[:, :n])
+    return w_new, err
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _kiops_phantom(Ks, tau_sgn, n: int):
+    """Intermediate-snapshot ("blown T") evaluation inside an accepted
+    substep: exp of the j² block WITHOUT the φ₁ coupling
+    (reference: src/kiops.jl:294-307)."""
+    m = Ks.m
+    j = Ks.m_used
+    dt = Ks.H.dtype
+    rows = jnp.arange(m + 1)
+    Hj = jnp.zeros((m + 1, m + 1), dtype=dt).at[:, :m].set(Ks.H)
+    block = (rows[:, None] < j) & (rows[None, :] < j)
+    Hj = jnp.where(block, Hj, 0)
+    F2 = expm_higham2005(tau_sgn.astype(dt) * Hj)
+    # identity rows outside the block would contribute F2[i,0]=δ_{i0} — but
+    # row 0 is inside the block for j ≥ 1, and trailing rows have V rows
+    # masked... mask F2's column explicitly to the block:
+    col = jnp.where(rows < j, F2[:, 0], 0)
+    return Ks.beta.astype(dt) * (col @ Ks.V[:, :n])
+
+
+def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
+          m: int | None = None, iop: int = 2, task1: bool = False,
+          return_stats: bool = True):
+    """KIOPS: linear combination of φ functions at times ``tstops``
+    (reference: ``kiops``, src/kiops.jl:50-274).
+
+    Args:
+      tstops: scalar or 1-D increasing array of output times.
+      A: operator (n, n).
+      u: (n, p+1) matrix; column j multiplies φ_j.
+      tol: requested tolerance. mmin/mmax: Krylov size bounds.
+      m: initial Krylov size estimate (default mmin).
+      iop: incomplete-orthogonalization window (default 2).
+      task1: divide w(t_i) by t_i^p.
+
+    Returns (W, stats) with W of shape (n, len(tstops)) (or (n,) for a
+    scalar tstop), stats a KiopsStats.
+    """
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    scalar_t = np.ndim(tstops) == 0
+    tau_out = np.atleast_1d(np.asarray(tstops, dtype=np.float64))
+    u = jnp.asarray(u)
+    if u.ndim == 1:
+        u = u[:, None]
+    n, ppo = u.shape
+    p = ppo - 1
+    if p == 0:
+        p = 1
+        u = jnp.concatenate([u, jnp.zeros_like(u)], axis=1)
+
+    m = mmin if m is None else max(mmin, min(m, mmax))
+    stats = KiopsStats()
+
+    sgn = float(np.sign(tau_out[-1])) or 1.0
+    tau_now = 0.0
+    tau_end = float(abs(tau_out[-1]))
+    num_steps = len(tau_out)
+
+    W = np.zeros((n, num_steps), dtype=np.asarray(u).dtype)
+    W[:, 0] = np.asarray(u[:, 0])
+    w_cur = u[:, 0]
+
+    # Normalization of the augmented columns (reference: src/kiops.jl:87-99).
+    norm_u = float(jnp.sum(jnp.abs(u[:, 1:])))
+    if ppo > 1 and norm_u > 0:
+        ex = math.ceil(math.log2(norm_u))
+        nu, mu = 2.0 ** (-ex), 2.0 ** ex
+    else:
+        nu, mu = 1.0, 1.0
+    u_flip = (u[:, 1:][:, ::-1] * nu).astype(u.dtype)
+    aug = AugmentedOperator(op, u_flip)
+
+    tau = tau_end
+    if tau_end > 1:
+        gamma, gamma_mmax = 0.2, 0.1
+    else:
+        gamma, gamma_mmax = 0.9, 0.6
+    delta = 1.4
+
+    oldm, oldtau, omega = -1, math.nan, math.nan
+    orderold, kestold = True, True
+    order, kest = 0.0, 2.0
+    ireject = 0
+    l = 0                     # current snapshot index
+    basis_valid = False
+    Ks = None
+
+    while tau_now < tau_end:
+        if not basis_valid:
+            # tau_now is unsigned here; the sign enters only through the
+            # exponentials (reference: src/kiops.jl:131-149).
+            Ks = _kiops_build(aug, w_cur, tau_now, mu, m, iop, p, tol)
+            stats.krylov_steps += int(Ks.m_used)
+            basis_valid = True
+        j = int(Ks.m_used)
+        happy = bool(Ks.breakdown)
+
+        w_trial, err = _kiops_trial(Ks, jnp.asarray(sgn * tau), n)
+        stats.exps += 1
+        err = float(err)
+
+        if happy:
+            # Happy breakdown wrap-up (reference: src/kiops.jl:155-160).
+            omega = 0.0
+            tau_new = min(tau_end - (tau_now + tau), tau)
+            m_new = m
+        else:
+            oldomega = omega
+            omega = tau_end * err / (tau * tol) if tau > 0 else math.inf
+
+            # Order / κ estimation (reference: src/kiops.jl:169-188).
+            if m == oldm and tau != oldtau and ireject >= 1:
+                order = max(1.0, math.log(omega / oldomega)
+                            / math.log(tau / oldtau))
+                orderold = False
+            elif orderold or ireject == 0:
+                orderold = True
+                order = j / 4
+            else:
+                orderold = True
+            if m != oldm and tau == oldtau and ireject >= 1:
+                kest = max(1.1, (omega / oldomega) ** (1 / (oldm - m)))
+                kestold = False
+            elif kestold or ireject == 0:
+                kestold = True
+                kest = 2.0
+            else:
+                kestold = True
+
+            remaining = tau_end - tau_now if omega > delta else tau_end - (tau_now + tau)
+            same_tau = min(remaining, tau)
+            order_eff = max(order, 1e-2)
+            tau_opt = tau * (gamma / omega) ** (1 / order_eff) if omega > 0 else remaining
+            tau_opt = min(remaining, max(tau / 5, min(5 * tau, tau_opt)))
+            m_opt = int(math.ceil(j + math.log(max(omega / gamma, 1e-16))
+                                  / math.log(kest)))
+            m_opt = max(mmin, min(mmax, max((3 * m) // 4, min(m_opt, int(math.ceil(4 * m / 3))))))
+
+            if j == mmax:
+                if omega > delta:
+                    m_new = j
+                    tau_new = tau * (gamma_mmax / omega) ** (1 / order_eff)
+                    tau_new = min(tau_end - tau_now, max(tau / 5, tau_new))
+                else:
+                    tau_new = tau_opt
+                    m_new = m
+            else:
+                m_new = m_opt
+                tau_new = same_tau
+
+        if omega <= delta:
+            # Accept (reference: kiops_update_solution!, src/kiops.jl:276-319).
+            stats.rejections += ireject
+            stats.steps += 1
+            next_t = tau_now + tau
+            # snapshots strictly inside (tau_now, next_t)
+            while l < num_steps - 1 and abs(tau_out[l]) < abs(next_t):
+                tau_phantom = abs(tau_out[l]) - tau_now
+                W[:, l] = np.asarray(_kiops_phantom(Ks, jnp.asarray(sgn * tau_phantom), n))
+                l += 1
+            W[:, l] = np.asarray(w_trial)
+            w_cur = jnp.asarray(W[:, l])
+            tau_now += tau
+            ireject = 0
+            basis_valid = False        # new starting vector next substep
+        else:
+            ireject += 1
+
+        oldtau, tau = tau, tau_new
+        oldm = m
+        m = m_new
+        if m != oldm:
+            basis_valid = False        # dimension change → rebuild
+
+    if task1:
+        for i in range(num_steps):
+            if tau_out[i] != 0:
+                W[:, i] = W[:, i] * (1.0 / tau_out[i]) ** p
+
+    stats.last_m = m
+    out = W[:, 0] if scalar_t else W
+    return (out, stats) if return_stats else out

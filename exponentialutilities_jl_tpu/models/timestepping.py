@@ -1,0 +1,277 @@
+"""Niesen–Wright internal time-stepping: ``expv_timestep`` / ``phiv_timestep``.
+
+Computes  u(t) = φ_0(tA)b₀ + t·φ_1(tA)b₁ + … + t^p·φ_p(tA)b_p  by internal
+substepping with joint (m, τ) adaptivity (Niesen & Wright, Algorithm 919 /
+arXiv:0907.4631; reference: src/krylov_phiv_adaptive.jl:220-471).
+
+Architecture split (SURVEY.md §7): the adaptation logic is scalar control
+flow and runs on the host; the heavy pieces are jitted device functions —
+the W-recurrence (p matvecs), the Krylov build (one compile per m bucket),
+and the reduced-φ evaluation ``phiv_from_basis`` (re-evaluated per τ trial
+for free, since the basis is τ-independent). Two deliberate improvements
+over the reference's structure, enabled by that τ-independence:
+
+* a τ-only rejection reuses the existing basis (the reference re-runs
+  ``arnoldi!``, src/krylov_phiv_adaptive.jl:377);
+* adapted m values are rounded up to a fixed bucket ladder so XLA compiles a
+  bounded set of kernels per problem size.
+
+Matrix-free operator-norm scale: like the reference
+(src/krylov_phiv_adaptive.jl:329-344), when no ``opnorm`` is supplied the
+absolute tolerance and initial τ are seeded from the 1-norm of the
+first-step Hessenberg — no ``opnorm(A)`` method is ever required.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.linop import LinearOperator, aslinearoperator
+from .expv import build_subspace
+from .phiv import phiv_from_basis
+
+__all__ = ["expv_timestep", "phiv_timestep", "TimestepStats"]
+
+# m bucket ladder (ratio ≈ 4/3, matching NW's m_new ∈ [3m/4, 4m/3] move cap):
+# bounds the number of distinct compiled kernel sizes per solve.
+_M_BUCKETS = (4, 6, 8, 10, 13, 17, 22, 29, 38, 49, 64, 83, 108, 128, 160, 192, 256)
+
+
+def _bucket_m(m: int, n: int, m_max: int) -> int:
+    m = max(1, min(m, m_max, n))
+    for b in _M_BUCKETS:
+        if b >= m:
+            return min(b, n, m_max)
+    return min(m_max, n)
+
+
+@dataclasses.dataclass
+class TimestepStats:
+    """Per-solve observability (reference analogue: kiops stats tuple +
+    the `verbose` prints, SURVEY.md §5)."""
+    steps: int = 0
+    rejections: int = 0
+    matvecs: int = 0
+    final_m: int = 0
+    final_tau: float = 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _compute_W(op, u, B, t, p: int):
+    """W-recurrence (16) of Niesen–Wright: w_0 = u,
+    w_j = A·w_{j-1} + Σ_{l=0}^{p-j} (t^l/l!)·b_{j+l}
+    (reference: src/krylov_phiv_adaptive.jl:313-322)."""
+    cols = [u]
+    t = jnp.asarray(t)
+    # c_l = t^l / l! computed in-trace
+    for j in range(1, p + 1):
+        w = op.matvec(cols[-1])
+        c = 1.0
+        for l in range(0, p - j + 1):
+            cl = (t ** l) / math.factorial(l)
+            w = w + cl * B[:, j + l]
+        cols.append(w)
+    return jnp.stack(cols, axis=1)  # (n, p+1)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _update_u(W, P, tau, p: int):
+    """u ← τ^p·φ_p(τA)w_p + Σ_{j=0}^{p-1} (τ^j/j!)·w_j  (NW formula (15);
+    reference: src/krylov_phiv_adaptive.jl:384-391)."""
+    tau = jnp.asarray(tau)
+    u = (tau ** p) * P[:, p]
+    for j in range(p):
+        u = u + ((tau ** j) / math.factorial(j)) * W[:, j]
+    return u
+
+
+def _estimate_flops(m, tau, n, p, nnz, iop, Hnorm, maxtau):
+    """Cost model (23) of Niesen–Wright for choosing between adapting m vs τ
+    (reference: _phiv_timestep_estimate_flops,
+    src/krylov_phiv_adaptive.jl:442-461)."""
+    flops_W = 2 * (p - 1) * (nnz + n)
+    flops_u = (2 * p + 1) * n
+    if iop == 0:
+        iop = m
+    flops_matvec = 2 * m * nnz
+    flops_vecvec = sum(3 * min(i, iop) for i in range(1, m + 1))
+    MH = 44 / 3 + 2 * math.ceil(max(0.0, math.log2(max(Hnorm, 1e-300) / 5.37)))
+    flops_phiv = round(MH * (m + p) ** 3)
+    one = flops_W + flops_u + flops_matvec + flops_vecvec + flops_phiv
+    return one * int(math.ceil(maxtau / max(tau, 1e-300)))
+
+
+def _adapt(m, tau, eps, m_old, tau_old, eps_old, q, kappa, gamma, omega,
+           maxtau, n, p, nnz, iop, Hnorm):
+    """Joint (m, τ) adaptation, Algorithm 4 of Niesen–Wright
+    (reference: _phiv_timestep_adapt, src/krylov_phiv_adaptive.jl:415-441)."""
+    if tau_old > tau and eps != eps_old and eps_old > 0 and eps > 0:
+        q = math.log(tau / tau_old) / math.log(eps / eps_old) - 1
+    tau_new = tau * (gamma / omega) ** (1 / (q + 1))
+    tau_new = min(max(tau_new, tau / 5), 2 * tau, maxtau)
+    if m_old < m and eps != eps_old and eps_old > 0 and eps > 0:
+        kappa = (eps / eps_old) ** (1 / (m_old - m))
+    kappa = max(kappa, 1.0 + 1e-9)
+    m_new = m + int(math.ceil(math.log(omega / gamma) / math.log(kappa)))
+    m_new = min(max(m_new, (3 * m) // 4, 1), int(math.ceil(4 * m / 3)))
+    cost_tau = _estimate_flops(m, tau_new, n, p, nnz, iop, Hnorm, maxtau)
+    cost_m = _estimate_flops(m_new, tau, n, p, nnz, iop, Hnorm, maxtau)
+    if cost_tau < cost_m:
+        m_new = m
+    else:
+        tau_new = tau
+    return m_new, tau_new, q, kappa
+
+
+def _initial_tau(abstol, opn, m, b0norm, tend):
+    """Niesen–Wright (17) initial substep
+    (reference: src/krylov_phiv_adaptive.jl:244-252)."""
+    if b0norm == 0 or opn == 0:
+        return tend
+    val = abstol * ((m + 1) / math.e) ** (m + 1) * math.sqrt(2 * math.pi * (m + 1)) \
+        / (4 * opn * b0norm)
+    return 10.0 / opn * val ** (1.0 / m)
+
+
+def phiv_timestep(ts, A, B, *, tau: float = 0.0, m: int = 10, tol: float = 1e-7,
+                  opnorm=None, iop: int = 0, correct: bool = False,
+                  adaptive: bool = False, delta: float = 1.2,
+                  gamma: float = 0.8, nnz: int = 0, m_max: int = 256,
+                  hermitian: bool | None = None, verbose: bool = False,
+                  return_stats: bool = False):
+    """Evaluate u = Σ_j t^j φ_j(tA) b_j at snapshot times ``ts`` by
+    Niesen–Wright internal substepping
+    (reference: ``phiv_timestep!``, src/krylov_phiv_adaptive.jl:220-413).
+
+    Args:
+      ts: scalar or 1-D array of requested output times (sorted ascending).
+      A: operator (n, n). B: (n, p+1) columns b_0..b_p.
+      tau: initial substep; 0 selects the NW (17) estimate.
+      m: (initial) Krylov dimension. tol: relative tolerance.
+      opnorm: scalar operator-norm bound; None → matrix-free Hessenberg
+        estimate (never calls an opnorm method).
+      adaptive: enable joint (m, τ) adaptation (NW Algorithms 3/4).
+      nnz: matvec cost in nonzeros for the flop model (0 → assume dense n²).
+
+    Returns ``U`` of shape (n, len(ts)) (or (n,) for scalar ts), plus
+    ``TimestepStats`` when ``return_stats=True``.
+    """
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    scalar_ts = np.ndim(ts) == 0
+    ts_arr = np.atleast_1d(np.asarray(ts, dtype=np.float64))
+    ts_sorted = np.sort(ts_arr)
+    tend = float(ts_sorted[-1])
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    n, ppo = B.shape
+    p = ppo - 1
+    m = _bucket_m(m, n, m_max)
+    stats = TimestepStats()
+
+    u = B[:, 0]
+    b0norm = float(jnp.max(jnp.abs(B[:, 0])))
+
+    abstol = None
+    if opnorm is not None:
+        opn = float(opnorm if np.isscalar(opnorm) else opnorm)
+        abstol = tol * opn
+        if tau == 0.0:
+            tau = _initial_tau(abstol, opn, m, b0norm, tend)
+            if verbose:
+                print(f"Initial time step unspecified, chosen to be {tau}")
+    seed_arnoldi_tau = abstol is None and tau == 0.0
+    if seed_arnoldi_tau:
+        tau = tend
+    nnz_eff = nnz if nnz > 0 else n * n
+    if hermitian is None:
+        hermitian = op.is_hermitian
+    if adaptive and hermitian:
+        iop_cost = 2  # reference: flops-model iop for Lanczos,
+        # src/krylov_phiv_adaptive.jl:292-294
+    else:
+        iop_cost = iop
+
+    U = np.zeros((n, len(ts_sorted)), dtype=np.asarray(B).dtype)
+    t = 0.0
+    snapshot = 0
+
+    while t < tend:
+        if t + tau > tend:
+            tau = tend - t
+        W = _compute_W(op, u, B, t, p)
+        stats.matvecs += p
+        Ks = build_subspace(op, W[:, p], m, tol=tol, iop=iop, hermitian=hermitian)
+        stats.matvecs += m
+        if abstol is None:
+            # Matrix-free scale from the first-step Hessenberg 1-norm
+            # (reference: src/krylov_phiv_adaptive.jl:329-344).
+            opn = float(jnp.max(jnp.sum(jnp.abs(Ks.H), axis=0)))
+            abstol = tol * max(opn, 1e-300)
+            if seed_arnoldi_tau:
+                tau = min(tend - t, gamma * _initial_tau(abstol, opn, m, b0norm, tend))
+            if verbose:
+                print(f"Absolute tolerance (Arnoldi estimate): {abstol}")
+        if bool(Ks.breakdown):
+            tau = tend - t
+        P, eps = phiv_from_basis(tau, Ks, p + 1, correct=correct)
+        eps = float(eps)
+        if verbose:
+            print(f"t = {t}, m = {m}, tau = {tau}, error estimate = {eps}")
+        if adaptive:
+            omega = (tend / tau) * (eps / abstol)
+            eps_old, m_old, tau_old = eps, m, tau
+            q, kappa = m / 4, 2.0
+            maxtau = tend - t
+            while omega > delta:
+                Hnorm = float(jnp.max(jnp.sum(jnp.abs(Ks.H), axis=0)))
+                m_new, tau_new, q, kappa = _adapt(
+                    m, tau, eps, m_old, tau_old, eps_old, q, kappa,
+                    gamma, omega, maxtau, n, p, nnz_eff, iop_cost, Hnorm)
+                m_new = _bucket_m(m_new, n, m_max)
+                m, m_old = m_new, m
+                tau, tau_old = tau_new, tau
+                stats.rejections += 1
+                if m != Ks.m:
+                    Ks = build_subspace(op, W[:, p], m, tol=tol, iop=iop,
+                                        hermitian=hermitian)
+                    stats.matvecs += m
+                # else: τ-only change — reuse the τ-independent basis.
+                P, eps_new = phiv_from_basis(tau, Ks, p + 1, correct=correct)
+                eps, eps_old = float(eps_new), eps
+                omega = (tend / tau) * (eps / abstol)
+                if verbose:
+                    print(f"  * m = {m}, tau = {tau}, error estimate = {eps}")
+        u = _update_u(W, P, tau, p)
+        # Fill snapshots inside (t, t+tau] (reference:
+        # src/krylov_phiv_adaptive.jl:393-405).
+        while snapshot < len(ts_sorted) and t + tau >= ts_sorted[snapshot] - 1e-14 * tend:
+            tau_s = float(ts_sorted[snapshot]) - t
+            Ps, _ = phiv_from_basis(tau_s, Ks, p + 1, correct=correct)
+            U[:, snapshot] = np.asarray(_update_u(W, Ps, tau_s, p))
+            snapshot += 1
+        t += tau
+        stats.steps += 1
+
+    stats.final_m, stats.final_tau = m, tau
+    if verbose:
+        print(f"Completed after {stats.steps} time step(s)")
+    # Undo the sort for the caller's order.
+    inv = np.empty(len(ts_arr), dtype=int)
+    inv[np.argsort(ts_arr, kind="stable")] = np.arange(len(ts_arr))
+    U = U[:, inv]
+    out = U[:, 0] if scalar_ts else U
+    return (out, stats) if return_stats else out
+
+
+def expv_timestep(ts, A, b, **kwargs):
+    """``exp(tA)b`` by NW time stepping — the p = 0 special case of
+    ``phiv_timestep`` (reference: src/krylov_phiv_adaptive.jl:49-91)."""
+    b = jnp.asarray(b)
+    return phiv_timestep(ts, A, b[:, None], **kwargs)

@@ -1,0 +1,192 @@
+"""Niesen–Wright adaptive time-stepping + KIOPS + Taylor expv tests
+(reference: test/basictests.jl:513-572, 664-689)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import exponentialutilities_jl_tpu as eu
+
+
+def laplacian_1d(n):
+    A = np.diag(-2.0 * np.ones(n)) + np.diag(np.ones(n - 1), 1) + np.diag(np.ones(n - 1), -1)
+    return A
+
+
+def phi_combination_oracle(ts, A, B):
+    # u(t) = sum_j t^j phi_j(tA) b_j via block-matrix phi oracle
+    n, ppo = B.shape
+    p = ppo - 1
+    out = np.zeros((n, len(ts)))
+    for i, t in enumerate(ts):
+        k = max(p, 1)
+        E = np.zeros((n, k * n)); E[:, :n] = np.eye(n)
+        J = np.kron(np.diag(np.ones(k - 1), 1), np.eye(n)) if k > 1 else np.zeros((n, n))
+        P = sla.expm(np.block([[t * A, E], [np.zeros((k * n, n)), J]]))
+        u = sla.expm(t * A) @ B[:, 0]
+        for j in range(1, p + 1):
+            u = u + (t ** j) * (P[:n, j * n:(j + 1) * n] @ B[:, j])
+        out[:, i] = u
+    return out
+
+
+class TestPhivTimestep:
+    def test_adaptive_hits_tolerance(self, rng):
+        # reference: test/basictests.jl:664-689 — n=100 tridiagonal
+        # Laplacian, t=5, two snapshots, tol 1e-7 vs dense phi oracle.
+        n = 100
+        A = laplacian_1d(n)
+        B = rng.standard_normal((n, 3))
+        ts = np.array([2.5, 5.0])
+        U = eu.phiv_timestep(ts, A, B, adaptive=True, tol=1e-7, m=10)
+        exact = phi_combination_oracle(ts, A, B)
+        for i in range(2):
+            rel = np.linalg.norm(np.asarray(U)[:, i] - exact[:, i]) / np.linalg.norm(exact[:, i])
+            assert rel < 1e-6, (i, rel)
+
+    def test_nonadaptive_small_steps(self, rng):
+        n = 60
+        A = laplacian_1d(n) * 0.5
+        B = rng.standard_normal((n, 2))
+        U = eu.phiv_timestep(1.0, A, B, tau=0.05, m=20)
+        exact = phi_combination_oracle([1.0], A, B)[:, 0]
+        assert np.linalg.norm(np.asarray(U) - exact) / np.linalg.norm(exact) < 1e-7
+
+    def test_scalar_ts_returns_vector(self, rng):
+        n = 30
+        A = laplacian_1d(n)
+        B = rng.standard_normal((n, 2))
+        u = eu.phiv_timestep(1.0, A, B, adaptive=True, tol=1e-6)
+        assert np.asarray(u).shape == (n,)
+
+    def test_stats(self, rng):
+        n = 40
+        A = laplacian_1d(n)
+        B = rng.standard_normal((n, 2))
+        u, stats = eu.phiv_timestep(3.0, A, B, adaptive=True, tol=1e-7,
+                                    return_stats=True)
+        assert stats.steps >= 1 and stats.matvecs > 0
+
+    def test_unsorted_ts_restored(self, rng):
+        n = 40
+        A = laplacian_1d(n)
+        B = rng.standard_normal((n, 2))
+        ts = np.array([3.0, 1.0, 2.0])
+        U = np.asarray(eu.phiv_timestep(ts, A, B, adaptive=True, tol=1e-6))
+        exact = phi_combination_oracle(ts, A, B)
+        for i in range(3):
+            assert np.linalg.norm(U[:, i] - exact[:, i]) / np.linalg.norm(exact[:, i]) < 1e-5
+
+
+class TestExpvTimestep:
+    def test_vs_expm(self, rng):
+        n = 80
+        A = laplacian_1d(n)
+        b = rng.standard_normal(n)
+        ts = np.array([1.0, 5.0])
+        U = eu.expv_timestep(ts, A, b, adaptive=True, tol=1e-8)
+        for i, t in enumerate(ts):
+            exact = sla.expm(t * A) @ b
+            assert np.linalg.norm(np.asarray(U)[:, i] - exact) / np.linalg.norm(exact) < 1e-6
+
+    def test_opnorm_seeding(self, rng):
+        n = 50
+        A = laplacian_1d(n)
+        b = rng.standard_normal(n)
+        u = eu.expv_timestep(2.0, A, b, adaptive=True, tol=1e-7, opnorm=4.0)
+        exact = sla.expm(2.0 * A) @ b
+        assert np.linalg.norm(np.asarray(u) - exact) / np.linalg.norm(exact) < 1e-6
+
+
+class TestKiops:
+    def test_phi_combination(self, rng):
+        # reference: test/basictests.jl kiops vs dense phi
+        n = 60
+        A = laplacian_1d(n)
+        u = rng.standard_normal((n, 4))
+        w, stats = eu.kiops([1.0], A, u, tol=1e-10)
+        # kiops computes sum_j t^j phi_j(tA) u_j (reference oracle:
+        # test/basictests.jl:533-534 divides u_j by t^j to recover plain phi)
+        exact = phi_combination_oracle([1.0], A, np.asarray(u))[:, 0]
+        assert np.linalg.norm(np.asarray(w)[:, 0] - exact) / np.linalg.norm(exact) < 1e-7
+        assert stats.steps >= 1
+
+    def test_multiple_tstops(self, rng):
+        n = 40
+        A = laplacian_1d(n) * 0.5
+        u = rng.standard_normal((n, 2))
+        W, _ = eu.kiops([0.5, 1.0], A, u, tol=1e-9)
+        W = np.asarray(W)
+        for i, t in enumerate([0.5, 1.0]):
+            # w(t) = exp(tA)u0 + t·phi_1(tA)u1 (t^j prefactors, like NW)
+            exact = phi_combination_oracle([t], A, np.asarray(u))[:, 0]
+            assert np.linalg.norm(W[:, i] - exact) / np.linalg.norm(exact) < 1e-6, i
+
+    def test_expv_special_case(self, rng):
+        # p=0: kiops pads a zero column and reduces to exp(tA)u0
+        n = 50
+        A = laplacian_1d(n)
+        b = rng.standard_normal(n)
+        w, _ = eu.kiops(2.0, A, b, tol=1e-10)   # scalar tstop -> vector out
+        exact = sla.expm(2.0 * A) @ b
+        assert np.asarray(w).shape == (n,)
+        assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-7
+
+    def test_stiff_operator_adapts(self, rng):
+        # advection-diffusion-ish stiff operator
+        n = 64
+        A = laplacian_1d(n) * (n / 10.0) ** 2 + np.diag(np.ones(n - 1), 1) * n / 20.0
+        b = rng.standard_normal(n)
+        w, stats = eu.kiops([0.1], A, b, tol=1e-8)
+        exact = sla.expm(0.1 * A) @ b
+        assert np.linalg.norm(np.asarray(w)[:, 0] - exact) / np.linalg.norm(exact) < 1e-5
+        assert stats.steps >= 1
+
+
+class TestExpvTaylor:
+    def test_dense_small(self, rng):
+        # reference ext: SMatrix expv path
+        for n in [4, 8, 20]:
+            A = rng.standard_normal((n, n))
+            b = rng.standard_normal(n)
+            w = eu.expv_taylor(0.9, A, b)
+            exact = sla.expm(0.9 * A) @ b
+            assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-12
+
+    def test_large_norm(self, rng):
+        n = 12
+        A = rng.standard_normal((n, n)) * 30
+        b = rng.standard_normal(n)
+        w = eu.expv_taylor(1.0, A, b)
+        exact = sla.expm(A) @ b
+        assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-9
+
+    def test_operator_path(self, rng):
+        n = 200
+        A = laplacian_1d(n)
+        op = eu.DenseOperator(jnp.asarray(A), is_hermitian=True)
+        b = rng.standard_normal(n)
+        w = eu.expv_taylor(1.0, op, b)   # uses opnorm_hint
+        exact = sla.expm(A) @ b
+        assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-10
+
+    def test_matrix_free_requires_norm(self, rng):
+        op = eu.MatrixFreeOperator(lambda x: x, (5, 5), dtype=np.float64)
+        with pytest.raises(ValueError):
+            eu.expv_taylor(1.0, op, np.ones(5))
+
+    def test_zero_matrix(self):
+        w = eu.expv_taylor(1.0, np.zeros((6, 6)), np.ones(6))
+        assert np.allclose(np.asarray(w), np.ones(6))
+
+    def test_f32(self, rng):
+        n = 16
+        A = rng.standard_normal((n, n)).astype(np.float32)
+        b = rng.standard_normal(n).astype(np.float32)
+        w = eu.expv_taylor(np.float32(0.5), A, b)
+        assert w.dtype == jnp.float32
+        exact = sla.expm(0.5 * A.astype(np.float64)) @ b
+        assert np.linalg.norm(np.asarray(w, np.float64) - exact) / np.linalg.norm(exact) < 1e-5
