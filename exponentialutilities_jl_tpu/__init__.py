@@ -30,6 +30,10 @@ from .models.kiops import kiops, KiopsStats, AugmentedOperator
 from .models.expv_taylor import expv_taylor
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
+from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
+                         ell_from_scipy, blockell_from_scipy)
+from .utils.testmatrices import (laplacian_1d, poisson_2d, laplacian_3d,
+                                 advection_diffusion_1d)
 
 __version__ = "0.1.0"
 
@@ -43,4 +47,7 @@ __all__ = [
     "kiops", "KiopsStats", "AugmentedOperator", "expv_taylor",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
+    "SparseELLOperator", "BlockELLOperator", "BandedOperator",
+    "ell_from_scipy", "blockell_from_scipy",
+    "laplacian_1d", "poisson_2d", "laplacian_3d", "advection_diffusion_1d",
 ]

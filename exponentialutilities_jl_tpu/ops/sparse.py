@@ -1,0 +1,335 @@
+"""TPU-native sparse operator containers: ELL, block-ELL (BSR), banded.
+
+The reference outsources sparse matvecs entirely to Julia's
+``SparseArrays.SparseMatrixCSC`` (used as an operator type in its tests,
+reference: test/basictests.jl:670, test/gpu/gputests.jl:41-58). A CSC/CSR
+scalar-indexed SpMV is the wrong shape for a TPU — variable-length rows
+defeat XLA tiling and the MXU entirely. This module provides three
+TPU-first containers, all of which satisfy the ``LinearOperator`` protocol
+and hence plug into every Krylov-level API:
+
+* ``SparseELLOperator`` — padded ELLPACK: every row holds exactly ``w``
+  (column, value) slots, padded with zeros. The matvec is one gather +
+  one multiply-reduce, fully vectorized by XLA. The right default for
+  unstructured sparsity with bounded row degree.
+* ``BlockELLOperator`` — blocked ELLPACK (the TPU analogue of BSR): dense
+  (br × bc) blocks, a fixed number per block-row. The matvec is a batch of
+  small dense GEMMs that land on the MXU; on TPU it runs as a Pallas
+  kernel with scalar-prefetched block-column indices
+  (ops/kernels/spmv.py), elsewhere as an einsum-of-gathered-blocks.
+* ``BandedOperator`` — diagonal storage for stencil matrices (Laplacians,
+  advection-diffusion): the matvec is shift-multiply-add on the VPU with
+  **zero gathers**, and the shifts become nearest-neighbor ``ppermute``
+  halo exchanges when row-partitioned over a mesh (parallel/ops.py).
+
+Constructors for the standard test/benchmark operators (1-D/2-D/3-D
+Laplacians, advection–diffusion) live in ``utils/testmatrices.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.linop import LinearOperator
+
+__all__ = [
+    "SparseELLOperator",
+    "BlockELLOperator",
+    "BandedOperator",
+    "ell_from_scipy",
+    "blockell_from_scipy",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SparseELLOperator(LinearOperator):
+    """Padded-ELLPACK sparse operator.
+
+    data: (n, w) values, zero in padded slots.
+    cols: (n, w) int32 column indices, 0 in padded slots (safe: value is 0).
+    """
+
+    data: jax.Array
+    cols: jax.Array
+    is_hermitian: bool = False
+
+    @property
+    def shape(self):
+        n = self.data.shape[0]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0] * self.data.shape[1])
+
+    def matvec(self, x):
+        # One gather + one fused multiply-reduce; XLA vectorizes both.
+        return jnp.sum(self.data * x[self.cols], axis=1)
+
+    def opnorm_hint(self):
+        return jnp.max(jnp.sum(jnp.abs(self.data), axis=1))
+
+    def to_dense(self):
+        n, w = self.data.shape
+        A = jnp.zeros((n, n), dtype=self.dtype)
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, w))
+        return A.at[rows, self.cols].add(self.data)
+
+    def tree_flatten(self):
+        return (self.data, self.cols), (self.is_hermitian,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, is_hermitian=aux[0])
+
+    @classmethod
+    def from_dense(cls, A, is_hermitian: bool = False) -> "SparseELLOperator":
+        A = np.asarray(A)
+        n = A.shape[0]
+        nz = [np.nonzero(A[i])[0] for i in range(n)]
+        w = max(1, max(len(z) for z in nz))
+        data = np.zeros((n, w), dtype=A.dtype)
+        cols = np.zeros((n, w), dtype=np.int32)
+        for i, z in enumerate(nz):
+            data[i, : len(z)] = A[i, z]
+            cols[i, : len(z)] = z
+        return cls(jnp.asarray(data), jnp.asarray(cols),
+                   is_hermitian=is_hermitian)
+
+
+def ell_from_scipy(A, is_hermitian: bool = False,
+                   dtype=None) -> SparseELLOperator:
+    """Convert a ``scipy.sparse`` matrix to padded ELL."""
+    A = A.tocsr()
+    n = A.shape[0]
+    indptr, indices, data = A.indptr, A.indices, A.data
+    counts = np.diff(indptr)
+    w = max(1, int(counts.max()))
+    dt = np.dtype(dtype) if dtype is not None else data.dtype
+    vals = np.zeros((n, w), dtype=dt)
+    cols = np.zeros((n, w), dtype=np.int32)
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        k = hi - lo
+        vals[i, :k] = data[lo:hi]
+        cols[i, :k] = indices[lo:hi]
+    return SparseELLOperator(jnp.asarray(vals), jnp.asarray(cols),
+                             is_hermitian=is_hermitian)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BlockELLOperator(LinearOperator):
+    """Blocked-ELLPACK (BSR-style) operator with dense (br × bc) blocks.
+
+    blocks: (nbr, w, br, bc) values; zero blocks in padded slots.
+    bcols:  (nbr, w) int32 block-column indices; 0 in padded slots.
+
+    The matvec gathers x as (nbc, bc) block slices and contracts each
+    (br × bc) block on the MXU. On TPU backends the contraction runs as a
+    Pallas kernel (ops/kernels/spmv.py) with the block-column indices
+    scalar-prefetched so x-block loads are dynamic VMEM slices.
+    """
+
+    blocks: jax.Array
+    bcols: jax.Array
+    is_hermitian: bool = False
+    use_pallas: bool = True
+
+    @property
+    def block_shape(self):
+        return (self.blocks.shape[2], self.blocks.shape[3])
+
+    @property
+    def shape(self):
+        n = self.blocks.shape[0] * self.blocks.shape[2]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    @property
+    def nnz(self) -> int:
+        nbr, w, br, bc = self.blocks.shape
+        return int(nbr * w * br * bc)
+
+    def matvec(self, x):
+        nbr, w, br, bc = self.blocks.shape
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from .kernels.spmv import blockell_spmv
+            return blockell_spmv(self.blocks, self.bcols, x)
+        xb = x.reshape(-1, bc)[self.bcols]              # (nbr, w, bc) gather
+        y = jnp.einsum("nwij,nwj->ni", self.blocks, xb)  # batched MXU GEMMs
+        return y.reshape(-1)
+
+    def opnorm_hint(self):
+        rowsums = jnp.sum(jnp.abs(self.blocks), axis=(1, 3))  # (nbr, br)
+        return jnp.max(rowsums)
+
+    def to_dense(self):
+        nbr, w, br, bc = self.blocks.shape
+        n = nbr * br
+        A = jnp.zeros((n, n), dtype=self.dtype)
+        for i in range(nbr):
+            for k in range(w):
+                c = int(self.bcols[i, k])
+                A = A.at[i * br:(i + 1) * br, c * bc:(c + 1) * bc].add(
+                    self.blocks[i, k])
+        return A
+
+    def tree_flatten(self):
+        return (self.blocks, self.bcols), (self.is_hermitian, self.use_pallas)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, is_hermitian=aux[0], use_pallas=aux[1])
+
+    @classmethod
+    def from_dense(cls, A, br: int, bc: Optional[int] = None,
+                   is_hermitian: bool = False) -> "BlockELLOperator":
+        A = np.asarray(A)
+        bc = bc if bc is not None else br
+        n = A.shape[0]
+        if n % br or n % bc:
+            raise ValueError(f"n={n} not divisible by block shape ({br},{bc})")
+        nbr, nbc = n // br, n // bc
+        blk = A.reshape(nbr, br, nbc, bc).transpose(0, 2, 1, 3)
+        nzmask = np.abs(blk).sum(axis=(2, 3)) != 0     # (nbr, nbc)
+        w = max(1, int(nzmask.sum(axis=1).max()))
+        blocks = np.zeros((nbr, w, br, bc), dtype=A.dtype)
+        bcols = np.zeros((nbr, w), dtype=np.int32)
+        for i in range(nbr):
+            z = np.nonzero(nzmask[i])[0]
+            blocks[i, : len(z)] = blk[i, z]
+            bcols[i, : len(z)] = z
+        return cls(jnp.asarray(blocks), jnp.asarray(bcols),
+                   is_hermitian=is_hermitian)
+
+
+def blockell_from_scipy(A, br: int, bc: Optional[int] = None,
+                        is_hermitian: bool = False,
+                        dtype=None) -> BlockELLOperator:
+    """Convert a ``scipy.sparse`` matrix to blocked ELL with (br × bc) blocks."""
+    import scipy.sparse as sp
+
+    bc = bc if bc is not None else br
+    B = sp.bsr_matrix(A.tocsr(), blocksize=(br, bc))
+    B.sort_indices()
+    nbr = B.shape[0] // br
+    counts = np.diff(B.indptr)
+    w = max(1, int(counts.max()))
+    dt = np.dtype(dtype) if dtype is not None else B.data.dtype
+    blocks = np.zeros((nbr, w, br, bc), dtype=dt)
+    bcols = np.zeros((nbr, w), dtype=np.int32)
+    for i in range(nbr):
+        lo, hi = B.indptr[i], B.indptr[i + 1]
+        k = hi - lo
+        blocks[i, :k] = B.data[lo:hi]
+        bcols[i, :k] = B.indices[lo:hi]
+    return BlockELLOperator(jnp.asarray(blocks), jnp.asarray(bcols),
+                            is_hermitian=is_hermitian)
+
+
+@jax.tree_util.register_pytree_node_class
+class BandedOperator(LinearOperator):
+    """Diagonal-storage (stencil) operator: A[i, i+o] = diags[k][i] for each
+    static offset o = offsets[k].
+
+    The matvec is a sum of shifted elementwise products — pure VPU work with
+    no gathers; the shifts become halo ``ppermute`` exchanges on a
+    row-partitioned mesh (parallel/ops.py). This is the speed-of-light
+    container for Laplacians and advection–diffusion stencils (the
+    reference's benchmark operators are all of this form).
+
+    diags: (len(offsets), n); diags[k, i] = A[i, i+offsets[k]], zero where
+    i+offsets[k] is out of range.
+    """
+
+    def __init__(self, diags, offsets, is_hermitian: bool = False):
+        self.diags = jnp.asarray(diags)
+        self.offsets = tuple(int(o) for o in offsets)
+        self.is_hermitian = bool(is_hermitian)
+        if self.diags.shape[0] != len(self.offsets):
+            raise ValueError("diags rows must match number of offsets")
+
+    @property
+    def shape(self):
+        n = self.diags.shape[1]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.diags.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.diags.size)
+
+    def matvec(self, x):
+        n = x.shape[0]
+        y = jnp.zeros_like(x, dtype=jnp.result_type(self.dtype, x.dtype))
+        for k, o in enumerate(self.offsets):
+            # y[i] += diags[k, i] * x[i+o]; roll + mask keeps shapes static.
+            xs = jnp.roll(x, -o)
+            idx = jnp.arange(n) + o
+            valid = (idx >= 0) & (idx < n)
+            y = y + jnp.where(valid, self.diags[k] * xs, 0)
+        return y
+
+    def opnorm_hint(self):
+        return jnp.max(jnp.sum(jnp.abs(self.diags), axis=0))
+
+    def to_dense(self):
+        n = self.shape[0]
+        A = jnp.zeros((n, n), dtype=self.dtype)
+        for k, o in enumerate(self.offsets):
+            i = jnp.arange(max(0, -o), min(n, n - o))
+            A = A.at[i, i + o].set(self.diags[k, i])
+        return A
+
+    def to_ell(self) -> SparseELLOperator:
+        n = self.shape[0]
+        w = len(self.offsets)
+        i = np.arange(n)
+        cols = np.zeros((n, w), dtype=np.int32)
+        data = np.zeros((n, w), dtype=self.diags.dtype)
+        dn = np.asarray(self.diags)
+        for k, o in enumerate(self.offsets):
+            idx = i + o
+            valid = (idx >= 0) & (idx < n)
+            cols[:, k] = np.where(valid, idx, 0)
+            data[:, k] = np.where(valid, dn[k], 0)
+        return SparseELLOperator(jnp.asarray(data), jnp.asarray(cols),
+                                 is_hermitian=self.is_hermitian)
+
+    def tree_flatten(self):
+        return (self.diags,), (self.offsets, self.is_hermitian)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], is_hermitian=aux[1])
+
+    @classmethod
+    def from_dense(cls, A, offsets=None, is_hermitian: bool = False):
+        A = np.asarray(A)
+        n = A.shape[0]
+        if offsets is None:
+            offsets = sorted({int(j - i) for i, j in zip(*np.nonzero(A))})
+            if not offsets:
+                offsets = [0]
+        diags = np.zeros((len(offsets), n), dtype=A.dtype)
+        for k, o in enumerate(offsets):
+            i = np.arange(max(0, -o), min(n, n - o))
+            diags[k, i] = A[i, i + o]
+        return cls(jnp.asarray(diags), offsets, is_hermitian=is_hermitian)

@@ -1,0 +1,147 @@
+"""Sparse containers (ELL / block-ELL / banded) + Pallas SpMV (interpret).
+
+Oracle pattern follows the reference's tests: sparse operators are validated
+against dense equivalents, then driven through the Krylov stack
+(reference: test/basictests.jl:670, test/gpu/gputests.jl:41-58).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from exponentialutilities_jl_tpu import (
+    BandedOperator, BlockELLOperator, SparseELLOperator,
+    blockell_from_scipy, ell_from_scipy, expv,
+    laplacian_1d, poisson_2d, laplacian_3d, advection_diffusion_1d,
+)
+from exponentialutilities_jl_tpu.ops.kernels.spmv import blockell_spmv
+
+
+def _random_sparse(rng, n, density=0.1):
+    A = sp.random(n, n, density=density, random_state=np.random.RandomState(7),
+                  format="csr")
+    A.setdiag(rng.standard_normal(n))
+    return A.tocsr()
+
+
+class TestELL:
+    def test_matvec_vs_dense(self, rng):
+        A = _random_sparse(rng, 50)
+        op = ell_from_scipy(A)
+        x = rng.standard_normal(50)
+        np.testing.assert_allclose(op.matvec(jnp.asarray(x)), A @ x,
+                                   rtol=1e-12)
+
+    def test_from_dense_roundtrip(self, rng):
+        Ad = np.zeros((12, 12))
+        Ad[2, 3] = 1.5
+        Ad[5, 5] = -2.0
+        Ad[11, 0] = 0.25
+        op = SparseELLOperator.from_dense(Ad)
+        np.testing.assert_allclose(op.to_dense(), Ad)
+
+    def test_opnorm_hint(self, rng):
+        A = _random_sparse(rng, 40)
+        op = ell_from_scipy(A)
+        dense = A.toarray()
+        inf_norm = np.abs(dense).sum(axis=1).max()
+        assert float(op.opnorm_hint()) == pytest.approx(inf_norm)
+
+
+class TestBlockELL:
+    def test_matvec_vs_dense(self, rng):
+        n, br = 32, 4
+        Ad = np.kron(np.asarray(sp.random(n // br, n // br, density=0.3,
+                                          random_state=np.random.RandomState(3)
+                                          ).toarray() != 0, float),
+                     np.ones((br, br))) * rng.standard_normal((n, n))
+        op = BlockELLOperator.from_dense(Ad, br)
+        x = rng.standard_normal(n)
+        np.testing.assert_allclose(op.matvec(jnp.asarray(x)), Ad @ x,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_from_scipy(self, rng):
+        A = _random_sparse(rng, 48)
+        op = blockell_from_scipy(A, br=4)
+        x = rng.standard_normal(48)
+        np.testing.assert_allclose(op.matvec(jnp.asarray(x)), A @ x,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_pallas_kernel_interpret(self, rng):
+        n, br = 64, 8
+        A = _random_sparse(rng, n).toarray()
+        op = BlockELLOperator.from_dense(A, br)
+        x = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+        y = blockell_spmv(op.blocks.astype(jnp.float32), op.bcols, x,
+                          interpret=True)
+        np.testing.assert_allclose(y, A.astype(np.float32) @ np.asarray(x),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestBanded:
+    def test_laplacian_1d(self, rng):
+        op = laplacian_1d(20)
+        dense = np.asarray(op.to_dense())
+        expected = (np.diag(-2 * np.ones(20)) + np.diag(np.ones(19), 1)
+                    + np.diag(np.ones(19), -1))
+        np.testing.assert_allclose(dense, expected)
+        x = rng.standard_normal(20)
+        np.testing.assert_allclose(op.matvec(jnp.asarray(x)), expected @ x,
+                                   rtol=1e-12)
+
+    def test_poisson_2d_symmetric(self, rng):
+        op = poisson_2d(5, 4)
+        dense = np.asarray(op.to_dense())
+        np.testing.assert_allclose(dense, dense.T)
+        assert dense.trace() == pytest.approx(-4.0 * 20)
+        x = rng.standard_normal(20)
+        np.testing.assert_allclose(op.matvec(jnp.asarray(x)), dense @ x,
+                                   rtol=1e-12)
+
+    def test_laplacian_3d(self, rng):
+        op = laplacian_3d(3, 4, 2)
+        dense = np.asarray(op.to_dense())
+        np.testing.assert_allclose(dense, dense.T)
+        x = rng.standard_normal(24)
+        np.testing.assert_allclose(op.matvec(jnp.asarray(x)), dense @ x,
+                                   rtol=1e-12)
+
+    def test_to_ell_matches(self, rng):
+        op = advection_diffusion_1d(30)
+        ell = op.to_ell()
+        x = jnp.asarray(rng.standard_normal(30))
+        np.testing.assert_allclose(ell.matvec(x), op.matvec(x), rtol=1e-12)
+
+    def test_from_dense_auto_offsets(self, rng):
+        A = np.diag(rng.standard_normal(10)) + np.diag(rng.standard_normal(7), 3)
+        op = BandedOperator.from_dense(A)
+        np.testing.assert_allclose(op.to_dense(), A, atol=1e-14)
+
+
+class TestSparseKrylov:
+    """Sparse operators through the Krylov stack vs dense oracles."""
+
+    def test_expv_laplacian_ell(self, rng):
+        import scipy.linalg as sla
+        op = laplacian_1d(64).to_ell()
+        b = rng.standard_normal(64)
+        w = expv(0.5, op, jnp.asarray(b), m=40, hermitian=True)
+        oracle = sla.expm(0.5 * np.asarray(laplacian_1d(64).to_dense())) @ b
+        np.testing.assert_allclose(w, oracle, rtol=1e-9, atol=1e-10)
+
+    def test_expv_banded_hermitian(self, rng):
+        import scipy.linalg as sla
+        op = poisson_2d(8, 8)
+        b = rng.standard_normal(64)
+        w = expv(0.1, op, jnp.asarray(b), m=40)
+        oracle = sla.expm(0.1 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(w, oracle, rtol=1e-9, atol=1e-10)
+
+    def test_expv_advection_diffusion(self, rng):
+        import scipy.linalg as sla
+        op = advection_diffusion_1d(50, peclet=5.0)
+        b = rng.standard_normal(50)
+        w = expv(1e-3, op, jnp.asarray(b), m=45)
+        oracle = sla.expm(1e-3 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(w, oracle, rtol=1e-8, atol=1e-9)
