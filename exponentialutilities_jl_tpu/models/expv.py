@@ -37,16 +37,19 @@ __all__ = ["expv", "expv_from_basis", "build_subspace"]
 
 def build_subspace(op: LinearOperator, b, m: int, *, tol: float = 1e-7,
                    iop: int = 0, reorth: bool = True,
-                   hermitian: bool | None = None) -> KrylovBasis:
+                   hermitian: bool | None = None,
+                   axis_name: str | None = None) -> KrylovBasis:
     """Arnoldi or (for Hermitian operators) Lanczos factorization.
 
     Mirrors the reference's auto-switch ``arnoldi -> lanczos!`` on
-    ``ishermitian`` (src/arnoldi.jl:342-343).
+    ``ishermitian`` (src/arnoldi.jl:342-343). ``axis_name`` enables the
+    row-sharded (shard_map-inner) path — see ops/krylov.py.
     """
     herm = op.is_hermitian if hermitian is None else hermitian
     if herm:
-        return lanczos(op, b, m, tol=tol)
-    return arnoldi(op, b, m, iop=iop, tol=tol, reorth=reorth)
+        return lanczos(op, b, m, tol=tol, axis_name=axis_name)
+    return arnoldi(op, b, m, iop=iop, tol=tol, reorth=reorth,
+                   axis_name=axis_name)
 
 
 def _exp_reduced_e1(Ks: KrylovBasis, t):

@@ -83,9 +83,21 @@ def _safe_normalize(y, nrm, dtype):
     return y / denom
 
 
-@functools.partial(jax.jit, static_argnames=("m", "iop", "reorth"))
+def _pnorm(x, axis_name):
+    """2-norm of a (possibly row-sharded) vector: local partial + psum."""
+    s = jnp.sum(jnp.real(x.conj() * x))
+    if axis_name is not None:
+        s = lax.psum(s, axis_name)
+    return jnp.sqrt(s)
+
+
+def _psum_maybe(v, axis_name):
+    return v if axis_name is None else lax.psum(v, axis_name)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "iop", "reorth", "axis_name"))
 def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
-            reorth: bool = True) -> KrylovBasis:
+            reorth: bool = True, axis_name: str | None = None) -> KrylovBasis:
     """Arnoldi factorization A·V[j] ≈ Σ_i H[i,j]·V[i] with (incomplete)
     classical Gram-Schmidt.
 
@@ -99,13 +111,17 @@ def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
       tol: happy-breakdown threshold on the residual norm.
       reorth: apply a second CGS pass (CGS2) — MGS-grade orthogonality with
         batched dots; disable for the cheapest (IOP-style) iteration.
+      axis_name: when called inside ``shard_map`` with the basis row-sharded
+        over a mesh axis, the name of that axis — all inner products and
+        norms become one ``psum`` per iteration (the batched-dot design is
+        exactly what keeps the sharded path at one collective per step).
     """
     b = jnp.asarray(b)
     n = b.shape[0]
     dt = b.dtype
     rdt = jnp.finfo(dt).dtype
 
-    beta = jnp.linalg.norm(b).astype(rdt)
+    beta = _pnorm(b, axis_name).astype(rdt)
     v0 = jnp.where(beta > 0, 1.0 / jnp.where(beta > 0, beta, 1), 0.0).astype(rdt) * b
 
     V = jnp.zeros((m + 1, n), dtype=dt).at[0].set(v0)
@@ -118,13 +134,13 @@ def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
         y = op.matvec(V[j])
         # Orthogonalization window: i ∈ (j-win, j] (reference: src/arnoldi.jl:297).
         mask = (rows <= j) & (rows > j - win)
-        h = jnp.where(mask, V.conj() @ y, 0)
+        h = jnp.where(mask, _psum_maybe(V.conj() @ y, axis_name), 0)
         y = y - h @ V
         if reorth:
-            h2 = jnp.where(mask, V.conj() @ y, 0)
+            h2 = jnp.where(mask, _psum_maybe(V.conj() @ y, axis_name), 0)
             y = y - h2 @ V
             h = h + h2
-        nrm = jnp.linalg.norm(y).astype(rdt)
+        nrm = _pnorm(y, axis_name).astype(rdt)
         now_broke = nrm < tol
         h = h.at[j + 1].set(nrm.astype(dt))
 
@@ -142,9 +158,10 @@ def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
                        breakdown=broke, hermitian=False)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "full_reorth"))
+@functools.partial(jax.jit, static_argnames=("m", "full_reorth", "axis_name"))
 def lanczos(op, b, m: int, *, tol: float = 1e-7,
-            full_reorth: bool = False) -> KrylovBasis:
+            full_reorth: bool = False,
+            axis_name: str | None = None) -> KrylovBasis:
     """Hermitian Lanczos three-term recurrence (reference:
     src/arnoldi.jl:375-466, ``lanczos!``/``lanczos_step!``).
 
@@ -158,7 +175,7 @@ def lanczos(op, b, m: int, *, tol: float = 1e-7,
     dt = b.dtype
     rdt = jnp.finfo(dt).dtype
 
-    beta0 = jnp.linalg.norm(b).astype(rdt)
+    beta0 = _pnorm(b, axis_name).astype(rdt)
     v0 = jnp.where(beta0 > 0, 1.0 / jnp.where(beta0 > 0, beta0, 1), 0.0).astype(rdt) * b
 
     V = jnp.zeros((m + 1, n), dtype=dt).at[0].set(v0)
@@ -170,7 +187,7 @@ def lanczos(op, b, m: int, *, tol: float = 1e-7,
         V, alphas, betas, broke, m_used = carry
         x = V[j]
         y = op.matvec(x)
-        alpha = jnp.real(jnp.vdot(x, y)).astype(rdt)  # real for Hermitian A
+        alpha = jnp.real(_psum_maybe(jnp.vdot(x, y), axis_name)).astype(rdt)
         y = y - alpha.astype(rdt) * x
         # Subtract β_{j-1} v_{j-1}; β_{-1} = 0 via the zero row V[m] trick:
         jm1 = jnp.where(j >= 1, j - 1, m)
@@ -178,9 +195,9 @@ def lanczos(op, b, m: int, *, tol: float = 1e-7,
         y = y - bprev.astype(rdt) * V[jm1]
         if full_reorth:
             mask = rows <= j
-            h2 = jnp.where(mask, V.conj() @ y, 0)
+            h2 = jnp.where(mask, _psum_maybe(V.conj() @ y, axis_name), 0)
             y = y - h2 @ V
-        nrm = jnp.linalg.norm(y).astype(rdt)
+        nrm = _pnorm(y, axis_name).astype(rdt)
         now_broke = nrm < tol
 
         active = jnp.logical_not(broke)

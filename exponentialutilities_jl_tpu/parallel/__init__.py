@@ -1,1 +1,11 @@
-"""Subpackage of exponentialutilities.jl_tpu."""
+"""Distributed (mesh / shard_map) layer — see parallel/ops.py and
+parallel/krylov.py."""
+
+from .ops import (make_mesh, shard_vector, shard_banded,
+                  LocalBandedOperator)
+from .krylov import expv_sharded, phiv_sharded, make_expv_step
+
+__all__ = [
+    "make_mesh", "shard_vector", "shard_banded", "LocalBandedOperator",
+    "expv_sharded", "phiv_sharded", "make_expv_step",
+]

@@ -1,0 +1,131 @@
+"""Distributed Krylov actions: row-partitioned ``expv`` / ``phiv`` over a mesh.
+
+The whole Krylov iteration runs inside ONE ``shard_map`` region per call:
+the basis V lives row-sharded ((m+1, n_local) per device), the stencil
+matvec exchanges halos over ICI (parallel/ops.py), every orthogonalization
+step costs exactly one ``psum`` (batched CGS dots, ops/krylov.py), and the
+m×m reduced problem (tridiagonal eigensolve / Padé exp) is computed
+redundantly-replicated on every device — the TPU mapping of the reference's
+device/host split (src/arnoldi.jl:293-296: large O(n) on device, small
+O(m²) on host).
+
+This is the layer the reference does not have (it is single-process;
+SURVEY.md §2 "Parallelism & distributed-communication inventory").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.expv import expv_from_basis
+from ..models.phiv import phiv_from_basis
+from ..ops.sparse import BandedOperator
+from .ops import shard_banded, shard_vector
+
+__all__ = ["expv_sharded", "phiv_sharded", "make_expv_step"]
+
+
+def _sharded_call(op: BandedOperator, mesh: Mesh, axis_name: str | None,
+                  body):
+    """Run ``body(local_op, b_local) -> row-sharded result`` under shard_map."""
+    axis = axis_name or mesh.axis_names[0]
+    diags_sharded, make_local = shard_banded(op, mesh, axis)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(axis))
+    def run(diags_local, b_local):
+        return body(make_local(diags_local), b_local)
+
+    return run, diags_sharded
+
+
+def expv_sharded(t, op: BandedOperator, b, mesh: Mesh, *, m: int = 30,
+                 tol: float = 1e-7, iop: int = 0, reorth: bool = True,
+                 hermitian: bool | None = None,
+                 axis_name: str | None = None):
+    """``exp(tA) b`` with A row-partitioned over ``mesh``.
+
+    ``b`` may be a global (replicated or host) array or already sharded;
+    the result is row-sharded the same way. One compiled program covers
+    any device count of the same mesh shape.
+    """
+    from ..models.expv import build_subspace
+
+    axis = axis_name or mesh.axis_names[0]
+    herm = op.is_hermitian if hermitian is None else hermitian
+    t = jnp.asarray(t)
+
+    def body(lop, b_local):
+        Ks = build_subspace(lop, b_local, m, tol=tol, iop=iop,
+                            reorth=reorth, hermitian=herm, axis_name=axis)
+        return expv_from_basis(t, Ks)
+
+    run, diags_sharded = _sharded_call(op, mesh, axis, body)
+    return run(diags_sharded, shard_vector(b, mesh, axis))
+
+
+def phiv_sharded(t, op: BandedOperator, b, k: int, mesh: Mesh, *,
+                 m: int = 30, tol: float = 1e-7, iop: int = 0,
+                 correct: bool = False, reorth: bool = True,
+                 hermitian: bool | None = None,
+                 axis_name: str | None = None):
+    """Row-partitioned ``[φ_0(tA)b … φ_k(tA)b]`` (n, k+1), sharded on rows."""
+    from ..models.expv import build_subspace
+
+    axis = axis_name or mesh.axis_names[0]
+    herm = op.is_hermitian if hermitian is None else hermitian
+    t = jnp.asarray(t)
+    diags_sharded, make_local = shard_banded(op, mesh, axis)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=(P(axis), P()))
+    def run(diags_local, b_local):
+        lop = make_local(diags_local)
+        Ks = build_subspace(lop, b_local, m, tol=tol, iop=iop,
+                            reorth=reorth, hermitian=herm, axis_name=axis)
+        w, err = phiv_from_basis(t, Ks, k, correct=correct)
+        return w, err
+
+    return run(diags_sharded, shard_vector(b, mesh, axis))
+
+
+def make_expv_step(op: BandedOperator, mesh: Mesh, *, m: int = 30,
+                   tol: float = 1e-7, hermitian: bool | None = None,
+                   axis_name: str | None = None):
+    """AOT-style factory: returns ``(step, diags_sharded)`` where
+    ``step(t, diags_sharded, b_sharded)`` is the fully jitted sharded expv.
+
+    This is the production-serving shape: one compile, then repeated calls
+    with donated/resident shards (the TPU analogue of the reference's
+    cache-reuse contract, test/basictests.jl:944-947).
+    """
+    from ..models.expv import build_subspace
+
+    axis = axis_name or mesh.axis_names[0]
+    herm = op.is_hermitian if hermitian is None else hermitian
+    diags_sharded, make_local = shard_banded(op, mesh, axis)
+
+    @jax.jit
+    def step(t, diags, b):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(None, axis), P(axis)),
+            out_specs=P(axis))
+        def run(diags_local, b_local):
+            lop = make_local(diags_local)
+            Ks = build_subspace(lop, b_local, m, tol=tol, hermitian=herm,
+                                axis_name=axis)
+            return expv_from_basis(t, Ks)
+        return run(diags, b)
+
+    return step, diags_sharded

@@ -1,0 +1,104 @@
+"""Distributed (shard_map) path on the 8-virtual-device CPU mesh.
+
+This is the test pattern SURVEY.md §4 prescribes: the same code that runs on
+a TPU pod slice runs here over ``xla_force_host_platform_device_count=8``,
+so the row-partitioned matvec (ppermute halo exchange), the psum-reduced
+Gram–Schmidt, and the replicated reduced problem are all exercised without
+hardware. Oracles are the single-device implementations and scipy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+from exponentialutilities_jl_tpu import (
+    advection_diffusion_1d, expv, laplacian_1d, phiv, poisson_2d,
+)
+from exponentialutilities_jl_tpu.parallel import (
+    expv_sharded, make_expv_step, make_mesh, phiv_sharded, shard_banded,
+    shard_vector,
+)
+from jax.sharding import PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+class TestHaloMatvec:
+    def test_banded_matvec_matches_global(self, mesh, rng):
+        op = poisson_2d(16, 8)  # n=128, offsets up to ±16 (= local size)
+        x = jnp.asarray(rng.standard_normal(128))
+        diags_sharded, make_local = shard_banded(op, mesh)
+
+        import functools
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(None, "shard"), P("shard")),
+                           out_specs=P("shard"))
+        def mv(diags_local, x_local):
+            return make_local(diags_local).matvec(x_local)
+
+        y = mv(diags_sharded, shard_vector(x, mesh))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(op.matvec(x)),
+                                   rtol=1e-13, atol=1e-13)
+
+    def test_wide_offsets_rejected(self, mesh, rng):
+        op = poisson_2d(32, 4)  # offset 32 > local size 16
+        x = jnp.asarray(rng.standard_normal(128))
+        with pytest.raises(ValueError, match="halo"):
+            expv_sharded(0.1, op, x, mesh, m=10)
+
+
+class TestShardedExpv:
+    def test_hermitian_vs_single_device(self, mesh, rng):
+        op = laplacian_1d(256)
+        b = jnp.asarray(rng.standard_normal(256))
+        w_sharded = expv_sharded(0.5, op, b, mesh, m=40)
+        w_single = expv(0.5, op, b, m=40)
+        np.testing.assert_allclose(np.asarray(w_sharded),
+                                   np.asarray(w_single), rtol=1e-10,
+                                   atol=1e-12)
+
+    def test_vs_scipy_oracle(self, mesh, rng):
+        op = laplacian_1d(128)
+        b = jnp.asarray(rng.standard_normal(128))
+        w = expv_sharded(0.3, op, b, mesh, m=50)
+        oracle = sla.expm(0.3 * np.asarray(op.to_dense())) @ np.asarray(b)
+        np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9,
+                                   atol=1e-10)
+
+    def test_nonhermitian_arnoldi(self, mesh, rng):
+        op = advection_diffusion_1d(128, peclet=3.0)
+        b = jnp.asarray(rng.standard_normal(128))
+        w = expv_sharded(5e-4, op, b, mesh, m=40)
+        oracle = sla.expm(5e-4 * np.asarray(op.to_dense())) @ np.asarray(b)
+        np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-8,
+                                   atol=1e-9)
+
+    def test_step_factory_reuse(self, mesh, rng):
+        op = laplacian_1d(128)
+        step, diags = make_expv_step(op, mesh, m=30)
+        b = shard_vector(jnp.asarray(rng.standard_normal(128)), mesh)
+        w1 = step(0.1, diags, b)
+        w2 = step(0.2, diags, b)
+        o1 = sla.expm(0.1 * np.asarray(op.to_dense())) @ np.asarray(b)
+        o2 = sla.expm(0.2 * np.asarray(op.to_dense())) @ np.asarray(b)
+        np.testing.assert_allclose(np.asarray(w1), o1, rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(w2), o2, rtol=1e-9, atol=1e-10)
+
+
+class TestShardedPhiv:
+    def test_vs_single_device(self, mesh, rng):
+        op = laplacian_1d(128)
+        b = jnp.asarray(rng.standard_normal(128))
+        w_sharded, err_s = phiv_sharded(0.2, op, b, 3, mesh, m=40)
+        w_single, err_d = phiv(0.2, op, b, 3, m=40, errest=True)
+        np.testing.assert_allclose(np.asarray(w_sharded),
+                                   np.asarray(w_single), rtol=1e-9,
+                                   atol=1e-11)
+        np.testing.assert_allclose(float(err_s), float(err_d), rtol=1e-8,
+                                   atol=1e-14)
