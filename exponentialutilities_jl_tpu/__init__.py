@@ -31,7 +31,8 @@ from .models.expv_taylor import expv_taylor
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
 from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
-                         ell_from_scipy, blockell_from_scipy)
+                         ell_from_scipy, blockell_from_scipy,
+                         banded_from_scipy)
 from .utils.testmatrices import (laplacian_1d, poisson_2d, laplacian_3d,
                                  advection_diffusion_1d)
 
@@ -48,6 +49,6 @@ __all__ = [
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
-    "ell_from_scipy", "blockell_from_scipy",
+    "ell_from_scipy", "blockell_from_scipy", "banded_from_scipy",
     "laplacian_1d", "poisson_2d", "laplacian_3d", "advection_diffusion_1d",
 ]

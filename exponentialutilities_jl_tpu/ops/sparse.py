@@ -43,6 +43,7 @@ __all__ = [
     "BandedOperator",
     "ell_from_scipy",
     "blockell_from_scipy",
+    "banded_from_scipy",
 ]
 
 
@@ -109,20 +110,11 @@ class SparseELLOperator(LinearOperator):
 
 def ell_from_scipy(A, is_hermitian: bool = False,
                    dtype=None) -> SparseELLOperator:
-    """Convert a ``scipy.sparse`` matrix to padded ELL."""
-    A = A.tocsr()
-    n = A.shape[0]
-    indptr, indices, data = A.indptr, A.indices, A.data
-    counts = np.diff(indptr)
-    w = max(1, int(counts.max()))
-    dt = np.dtype(dtype) if dtype is not None else data.dtype
-    vals = np.zeros((n, w), dtype=dt)
-    cols = np.zeros((n, w), dtype=np.int32)
-    for i in range(n):
-        lo, hi = indptr[i], indptr[i + 1]
-        k = hi - lo
-        vals[i, :k] = data[lo:hi]
-        cols[i, :k] = indices[lo:hi]
+    """Convert a ``scipy.sparse`` matrix to padded ELL (native C++ packer
+    when available — see native/)."""
+    from ..native import csr_to_ell_arrays
+
+    vals, cols = csr_to_ell_arrays(A, dtype=dtype)
     return SparseELLOperator(jnp.asarray(vals), jnp.asarray(cols),
                              is_hermitian=is_hermitian)
 
@@ -220,25 +212,35 @@ class BlockELLOperator(LinearOperator):
 def blockell_from_scipy(A, br: int, bc: Optional[int] = None,
                         is_hermitian: bool = False,
                         dtype=None) -> BlockELLOperator:
-    """Convert a ``scipy.sparse`` matrix to blocked ELL with (br × bc) blocks."""
-    import scipy.sparse as sp
+    """Convert a ``scipy.sparse`` matrix to blocked ELL with (br × bc)
+    blocks (native C++ packer when available — see native/)."""
+    from ..native import bsr_to_blockell_arrays
 
-    bc = bc if bc is not None else br
-    B = sp.bsr_matrix(A.tocsr(), blocksize=(br, bc))
-    B.sort_indices()
-    nbr = B.shape[0] // br
-    counts = np.diff(B.indptr)
-    w = max(1, int(counts.max()))
-    dt = np.dtype(dtype) if dtype is not None else B.data.dtype
-    blocks = np.zeros((nbr, w, br, bc), dtype=dt)
-    bcols = np.zeros((nbr, w), dtype=np.int32)
-    for i in range(nbr):
-        lo, hi = B.indptr[i], B.indptr[i + 1]
-        k = hi - lo
-        blocks[i, :k] = B.data[lo:hi]
-        bcols[i, :k] = B.indices[lo:hi]
+    blocks, bcols = bsr_to_blockell_arrays(A, br, bc, dtype=dtype)
     return BlockELLOperator(jnp.asarray(blocks), jnp.asarray(bcols),
                             is_hermitian=is_hermitian)
+
+
+def banded_from_scipy(A, offsets=None, is_hermitian: bool = False,
+                      dtype=None) -> "BandedOperator":
+    """Convert a ``scipy.sparse`` matrix with banded structure to diagonal
+    storage. Raises if the matrix has entries outside ``offsets`` (or more
+    than 64 distinct diagonals when offsets are auto-detected)."""
+    from ..native import csr_band_offsets, csr_to_banded_arrays
+
+    A = A.tocsr()
+    if offsets is None:
+        offsets = csr_band_offsets(A)
+        if offsets is None:
+            raise ValueError(
+                "matrix has >64 distinct diagonals; pass offsets explicitly "
+                "or use ell_from_scipy")
+    diags, dropped = csr_to_banded_arrays(A, offsets, dtype=dtype)
+    if dropped:
+        raise ValueError(
+            f"{dropped} entries fall outside the given offsets {offsets}")
+    return BandedOperator(jnp.asarray(diags), [int(o) for o in offsets],
+                          is_hermitian=is_hermitian)
 
 
 @jax.tree_util.register_pytree_node_class

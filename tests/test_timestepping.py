@@ -190,3 +190,19 @@ class TestExpvTaylor:
         assert w.dtype == jnp.float32
         exact = sla.expm(0.5 * A.astype(np.float64)) @ b
         assert np.linalg.norm(np.asarray(w, np.float64) - exact) / np.linalg.norm(exact) < 1e-5
+
+
+class TestWarmup:
+    def test_aot_warmup_compiles(self):
+        import jax.numpy as jnp
+        from exponentialutilities_jl_tpu.utils.aot import warmup
+        out = warmup(n=32, m=10, k=1, dtype=jnp.float64)
+        assert set(out) >= {"expm", "expv", "phiv"}
+
+    def test_aot_warmup_sharded(self):
+        import jax.numpy as jnp
+        from exponentialutilities_jl_tpu.parallel import make_mesh
+        from exponentialutilities_jl_tpu.utils.aot import warmup
+        out = warmup(n=64, m=8, dtype=jnp.float64, dense=False,
+                     mesh=make_mesh(8))
+        assert "expv_sharded" in out
