@@ -133,21 +133,40 @@ def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
         V, H, broke, m_used = carry
         y = op.matvec(V[j])
         # Orthogonalization window: i ∈ (j-win, j] (reference: src/arnoldi.jl:297).
-        mask = (rows <= j) & (rows > j - win)
-        h = jnp.where(mask, _psum_maybe(V.conj() @ y, axis_name), 0)
-        y = y - h @ V
-        if reorth:
-            h2 = jnp.where(mask, _psum_maybe(V.conj() @ y, axis_name), 0)
-            y = y - h2 @ V
-            h = h + h2
+        if win < m:
+            # True IOP: dot only the `win` windowed basis rows (a dynamic
+            # slice), so per-step cost is O(win·n) instead of O(m·n).
+            s = jnp.clip(j - win + 1, 0, m + 1 - win)
+            Vw = lax.dynamic_slice_in_dim(V, s, win, axis=0)
+            wmask = (s + jnp.arange(win)) <= j
+            hw = jnp.where(wmask, _psum_maybe(Vw.conj() @ y, axis_name), 0)
+            y = y - hw @ Vw
+            if reorth:
+                hw2 = jnp.where(wmask, _psum_maybe(Vw.conj() @ y, axis_name), 0)
+                y = y - hw2 @ Vw
+                hw = hw + hw2
+            h = lax.dynamic_update_slice(jnp.zeros((m + 1,), dtype=dt),
+                                         hw.astype(dt), (s,))
+        else:
+            mask = (rows <= j) & (rows > j - win)
+            h = jnp.where(mask, _psum_maybe(V.conj() @ y, axis_name), 0)
+            y = y - h @ V
+            if reorth:
+                h2 = jnp.where(mask, _psum_maybe(V.conj() @ y, axis_name), 0)
+                y = y - h2 @ V
+                h = h + h2
         nrm = _pnorm(y, axis_name).astype(rdt)
         now_broke = nrm < tol
         h = h.at[j + 1].set(nrm.astype(dt))
 
+        # Row/column-local predication (NOT a whole-buffer jnp.where): V and
+        # H stay loop carries that XLA updates in place — a full-V select
+        # here would copy the (m+1, n) basis every iteration.
         active = jnp.logical_not(broke)
-        H = jnp.where(active, H.at[:, j].set(h), H)
-        vnext = jnp.where(now_broke, 0, _safe_normalize(y, nrm, dt))
-        V = jnp.where(active, V.at[j + 1].set(vnext), V)
+        H = H.at[:, j].set(jnp.where(active, h, 0))
+        vnext = jnp.where(active & jnp.logical_not(now_broke),
+                          _safe_normalize(y, nrm, dt), 0)
+        V = V.at[j + 1].set(vnext)
         m_used = jnp.where(active, j + 1, m_used)
         return V, H, broke | now_broke, m_used
 
@@ -200,11 +219,14 @@ def lanczos(op, b, m: int, *, tol: float = 1e-7,
         nrm = _pnorm(y, axis_name).astype(rdt)
         now_broke = nrm < tol
 
+        # Row-local predication; see the arnoldi step comment — a full-V
+        # jnp.where would copy the whole basis per iteration.
         active = jnp.logical_not(broke)
-        alphas = jnp.where(active, alphas.at[j].set(alpha), alphas)
-        betas = jnp.where(active, betas.at[j].set(nrm), betas)
-        vnext = jnp.where(now_broke, 0, _safe_normalize(y, nrm, dt))
-        V = jnp.where(active, V.at[j + 1].set(vnext), V)
+        alphas = alphas.at[j].set(jnp.where(active, alpha, 0))
+        betas = betas.at[j].set(jnp.where(active, nrm, 0))
+        vnext = jnp.where(active & jnp.logical_not(now_broke),
+                          _safe_normalize(y, nrm, dt), 0)
+        V = V.at[j + 1].set(vnext)
         m_used = jnp.where(active, j + 1, m_used)
         return V, alphas, betas, broke | now_broke, m_used
 
