@@ -4,8 +4,9 @@ parallel/krylov.py."""
 from .ops import (make_mesh, shard_vector, shard_banded,
                   LocalBandedOperator)
 from .krylov import expv_sharded, phiv_sharded, make_expv_step
+from .gspmd import shard_operator
 
 __all__ = [
     "make_mesh", "shard_vector", "shard_banded", "LocalBandedOperator",
-    "expv_sharded", "phiv_sharded", "make_expv_step",
+    "expv_sharded", "phiv_sharded", "make_expv_step", "shard_operator",
 ]

@@ -102,3 +102,52 @@ class TestShardedPhiv:
                                    atol=1e-11)
         np.testing.assert_allclose(float(err_s), float(err_d), rtol=1e-8,
                                    atol=1e-14)
+
+
+class TestGspmdAutoSharding:
+    """The whole stack distributed by sharding annotations alone
+    (parallel/gspmd.py): expv, phiv_timestep, kiops on sharded inputs."""
+
+    def test_expv_sharded_output(self, mesh, rng):
+        from exponentialutilities_jl_tpu.parallel import shard_operator
+        op = laplacian_1d(256)
+        b = rng.standard_normal(256)
+        op_s = shard_operator(op, mesh)
+        b_s = shard_vector(jnp.asarray(b), mesh)
+        w = expv(0.5, op_s, b_s, m=40)
+        oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9,
+                                   atol=1e-11)
+        assert "shard" in str(w.sharding)
+
+    def test_ell_operator_sharded(self, mesh, rng):
+        from exponentialutilities_jl_tpu.parallel import shard_operator
+        op = laplacian_1d(256).to_ell()
+        b = rng.standard_normal(256)
+        w = expv(0.5, shard_operator(op, mesh),
+                 shard_vector(jnp.asarray(b), mesh), m=40, hermitian=True)
+        oracle = sla.expm(0.5 * np.asarray(laplacian_1d(256).to_dense())) @ b
+        np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9,
+                                   atol=1e-11)
+
+    def test_timestepping_inherits_distribution(self, mesh, rng):
+        from exponentialutilities_jl_tpu import expv_timestep
+        from exponentialutilities_jl_tpu.parallel import shard_operator
+        op = laplacian_1d(256)
+        b = rng.standard_normal(256)
+        U = expv_timestep([0.5], shard_operator(op, mesh),
+                          shard_vector(jnp.asarray(b), mesh), adaptive=True)
+        oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(np.asarray(U[:, 0]), oracle, rtol=1e-6,
+                                   atol=1e-8)
+
+    def test_kiops_inherits_distribution(self, mesh, rng):
+        from exponentialutilities_jl_tpu import kiops
+        from exponentialutilities_jl_tpu.parallel import shard_operator
+        op = laplacian_1d(256)
+        b = rng.standard_normal(256)
+        w, _ = kiops([0.5], shard_operator(op, mesh),
+                     shard_vector(jnp.asarray(b), mesh)[:, None])
+        oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(np.asarray(w).ravel(), oracle, rtol=1e-6,
+                                   atol=1e-8)
