@@ -19,9 +19,11 @@ redesigned for XLA:
   (reference: src/exp.jl:137-140 defers to ``Base.exp``).
 
 Balancing (LAPACK ``?gebal`` in the reference, src/exp_baseexp.jl:10-36) is
-intentionally omitted: the reference itself disables it on GPU arrays
-(src/exp.jl:56-58), and the Krylov paths only exponentiate small Hessenberg
-matrices where it is optional.
+available as a jit-able power-of-two Osborne iteration (``balance_matrix``,
+``expm(..., balance=True)``) but off by default — matching the reference's
+own GPU behavior (balancing disabled on device arrays, src/exp.jl:56-58);
+the Krylov paths only exponentiate small Hessenberg matrices where it is
+optional.
 
 All public functions are jittable, vmappable over leading batch dims (via
 ``jax.vmap``) and preserve dtype (f32 in → f32 out, c128 in → c128 out).
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
-           "expm_native", "pade_order_for_eps"]
+           "expm_native", "pade_order_for_eps", "balance_matrix"]
 
 
 # Higham 2005 Padé coefficient tables (Table 2.3 of "The Scaling and Squaring
@@ -119,6 +121,39 @@ def _pq_solve(U, V):
     return jnp.linalg.solve(V - U, V + U)
 
 
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def balance_matrix(A, *, sweeps: int = 5):
+    """Power-of-two Osborne balancing: returns ``(Ab, d)`` with
+    ``Ab = D⁻¹ A D``, ``D = diag(d)``, d exact powers of two (no rounding
+    error in the similarity). TPU-native replacement for the reference's
+    LAPACK ``?gebal`` ccall (src/exp_baseexp.jl:10-36): a fixed number of
+    vectorized Jacobi-style sweeps instead of the sequential per-column
+    LAPACK loop, so the whole balance is a handful of fused VPU ops.
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    real_dt = jnp.finfo(A.dtype).dtype
+    eye = jnp.eye(n, dtype=jnp.bool_)
+
+    def sweep(carry, _):
+        Ab, d = carry
+        absA = jnp.where(eye, 0, jnp.abs(Ab)).astype(real_dt)
+        c = jnp.sum(absA, axis=0)   # column norms (off-diagonal)
+        r = jnp.sum(absA, axis=1)   # row norms
+        ok = (c > 0) & (r > 0)
+        ratio = jnp.where(ok, r / jnp.where(ok, c, 1), 1.0)
+        # f = 2^round(log2 sqrt(r/c)); exact powers of two keep the
+        # similarity transform error-free (LAPACK's radix trick).
+        e = jnp.clip(jnp.round(0.5 * jnp.log2(ratio)), -48, 48)
+        f = jnp.exp2(e).astype(real_dt)
+        Ab = Ab * (f[None, :] / f[:, None]).astype(Ab.dtype)
+        return (Ab, d * f), None
+
+    (Ab, d), _ = lax.scan(sweep, (A, jnp.ones((n,), dtype=real_dt)),
+                          None, length=sweeps)
+    return Ab, d
+
+
 def _masked_squaring(X, s, max_squarings):
     """X^(2^s) with a bounded, reverse-differentiable masked loop."""
     def body(i, X):
@@ -126,16 +161,22 @@ def _masked_squaring(X, s, max_squarings):
     return lax.fori_loop(0, max_squarings, body, X, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("max_squarings",))
-def expm_higham2005(A, *, max_squarings: int = 32):
+@functools.partial(jax.jit, static_argnames=("max_squarings", "balance"))
+def expm_higham2005(A, *, max_squarings: int = 32, balance: bool = False):
     """Higham-2005 scaling-and-squaring Padé ``exp(A)``.
 
     Norm buckets → Padé degree (reference analogue: src/exp_noalloc.jl RHO_V
     bucketing; same θ thresholds as src/exp_baseexp.jl:164-191). The degree
     choice is a ``lax.switch`` so a single compiled program covers all inputs
-    of a given shape/dtype.
+    of a given shape/dtype. ``balance=True`` applies Osborne balancing
+    (reference: LAPACK gebal at src/exp_baseexp.jl:162) before the Padé and
+    undoes it exactly afterwards: exp(A) = D exp(D⁻¹AD) D⁻¹.
     """
     A = jnp.asarray(A)
+    if balance:
+        Ab, d = balance_matrix(A)
+        Eb = expm_higham2005(Ab, max_squarings=max_squarings, balance=False)
+        return (d[:, None] * Eb) * (1.0 / d)[None, :]
     n = A.shape[-1]
     real_dt = jnp.finfo(A.dtype).dtype  # real counterpart for norms
     nA = _onenorm(A).astype(real_dt)

@@ -150,3 +150,42 @@ def test_jit_cache_stability(rng):
     f(A * 100.0)
     f(A * 1e-3)
     assert f._cache_size() == n0
+
+
+class TestBalancing:
+    """Osborne balancing (reference: LAPACK gebal, src/exp_baseexp.jl:10-36)."""
+
+    def test_balance_similarity_exact(self, rng):
+        from exponentialutilities_jl_tpu.ops.expm import balance_matrix
+        A = jnp.asarray(rng.standard_normal((20, 20)))
+        Ab, d = balance_matrix(A)
+        # exact similarity: D^{-1} A D with power-of-two d
+        np.testing.assert_allclose(
+            np.asarray(Ab), np.asarray(A) * (np.asarray(d)[None, :]
+                                             / np.asarray(d)[:, None]),
+            rtol=0, atol=0)
+        assert np.all(np.log2(np.asarray(d)) == np.round(np.log2(np.asarray(d))))
+
+    def test_balance_reduces_norm(self, rng):
+        from exponentialutilities_jl_tpu.ops.expm import balance_matrix
+        n = 16
+        D = np.exp2(rng.integers(-20, 20, size=n)).astype(float)
+        M = rng.standard_normal((n, n))
+        A = (1 / D)[:, None] * M * D[None, :]   # badly scaled
+        Ab, d = balance_matrix(jnp.asarray(A))
+        assert (np.abs(np.asarray(Ab)).sum(axis=0).max()
+                < 0.01 * np.abs(A).sum(axis=0).max())
+
+    def test_expm_balanced_accuracy(self, rng):
+        import scipy.linalg as sla
+        from exponentialutilities_jl_tpu import expm
+        n = 12
+        D = np.exp2(rng.integers(-12, 12, size=n)).astype(float)
+        M = rng.standard_normal((n, n)) * 0.5
+        A = (1 / D)[:, None] * M * D[None, :]
+        # oracle via the exactly-known similarity
+        oracle = (1 / D)[:, None] * sla.expm(M) * D[None, :]
+        E = expm(jnp.asarray(A), balance=True)
+        rel = (np.abs(np.asarray(E) - oracle)
+               / np.maximum(np.abs(oracle), 1e-300)).max()
+        assert rel < 1e-8

@@ -189,3 +189,18 @@ class TestPhiv:
         A = rng.standard_normal((n, n))
         W, err = eu.phiv(1.0, A, np.zeros(n), 2, m=10, errest=True)
         assert np.all(np.asarray(W) == 0) and float(err) == 0.0
+
+
+def test_vmap_batched_expv(rng):
+    """Multiple right-hand sides batch through vmap — a capability the
+    reference lacks (its expv is one b at a time)."""
+    import jax
+    import scipy.linalg as sla
+    from exponentialutilities_jl_tpu import expv, laplacian_1d
+
+    op = laplacian_1d(64)
+    B = rng.standard_normal((5, 64))
+    W = jax.vmap(lambda b: expv(0.3, op, b, m=30))(jnp.asarray(B))
+    E = sla.expm(0.3 * np.asarray(op.to_dense()))
+    np.testing.assert_allclose(np.asarray(W), (E @ B.T).T, rtol=1e-10,
+                               atol=1e-12)
