@@ -69,22 +69,42 @@ def _exp_reduced_e1(Ks: KrylovBasis, t):
 
 
 @jax.jit
-def expv_from_basis(t, Ks: KrylovBasis):
-    """``w = β · Vᵀ exp(tH) e₁`` from a prebuilt basis
-    (reference: ``expv!``, src/krylov_phiv.jl:173-220)."""
+def _combine_expv(Ks: KrylovBasis, expHe):
+    """``w = β · Vᵀ expHe`` with the zero-start guard (reference:
+    src/krylov_phiv.jl:182-186)."""
     m = Ks.m
-    expHe = _exp_reduced_e1(Ks, t)
-    w = expHe @ Ks.V[:m]          # (m,) x (m, n) — MXU row combination
+    w = expHe @ Ks.V[:m].astype(expHe.dtype)
     out = Ks.beta.astype(w.dtype) * w
-    # Zero starting vector → exact zero output (reference guard,
-    # src/krylov_phiv.jl:182-186).
     return jnp.where(Ks.beta > 0, out, jnp.zeros_like(out))
+
+
+@jax.jit
+def _expv_from_basis_device(t, Ks: KrylovBasis):
+    return _combine_expv(Ks, _exp_reduced_e1(Ks, t))
+
+
+def expv_from_basis(t, Ks: KrylovBasis, *, reduced: str = "device"):
+    """``w = β · Vᵀ exp(tH) e₁`` from a prebuilt basis
+    (reference: ``expv!``, src/krylov_phiv.jl:173-220).
+
+    ``reduced="host"`` stages the small exponential on the host in full
+    f64 between the two jitted device programs (the reference's
+    device/host split, src/arnoldi.jl:293-296) — required for f64 on TPU
+    where the Padé LU does not compile and eigh is f32-limited
+    (ops/host_reduced.py).
+    """
+    if reduced == "host":
+        from ..ops.host_reduced import host_expm_e1
+        m = Ks.m
+        expHe = host_expm_e1(Ks.H[:m, :m], t)
+        return _combine_expv(Ks, expHe)
+    return _expv_from_basis_device(t, Ks)
 
 
 def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
          mode: str = "happy_breakdown", reorth: bool = True,
          hermitian: bool | None = None, atol: float = 1e-8,
-         rtol: float | None = None):
+         rtol: float | None = None, reduced: str | None = None):
     """Compute ``exp(tA) b`` with a Krylov approximation
     (reference: ``expv``, src/krylov_phiv.jl:108-151).
 
@@ -100,14 +120,20 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
         reference src/krylov_phiv_error_estimate.jl:74-79).
       atol / rtol: error-estimate mode tolerances (reference defaults
         atol=tol, rtol=√tol, src/krylov_phiv.jl:129).
+      reduced: where to evaluate the small reduced exponential —
+        "device" | "host" | None (auto: host on a TPU backend with x64,
+        matching the reference's host-LAPACK split; see ops/host_reduced.py).
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
     b = jnp.asarray(b)
     m = min(m, op.shape[0])
+    if reduced is None:
+        from ..ops.host_reduced import reduced_default
+        reduced = reduced_default()
     if mode == "happy_breakdown":
         Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
                             hermitian=hermitian)
-        return expv_from_basis(t, Ks)
+        return expv_from_basis(t, Ks, reduced=reduced)
     if mode == "error_estimate":
         herm = op.is_hermitian if hermitian is None else hermitian
         if not herm:

@@ -33,6 +33,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.expm import expm_higham2005
+
+
+def _combine_cols(beta, col, V, n: int):
+    """β · colᵀ V[:, :n] as one jitted MXU combination."""
+    @jax.jit
+    def run(beta, col, V):
+        return beta.astype(col.dtype) * (col @ V[:, :n].astype(col.dtype))
+    return run(beta, col, V)
 from ..ops.krylov import arnoldi
 from ..utils.linop import LinearOperator, aslinearoperator
 
@@ -108,8 +116,41 @@ def _kiops_build(aug_op: AugmentedOperator, w_col, t_now, mu, m: int,
     return arnoldi(aug_op, x0, m, iop=iop, tol=tol, reorth=False)
 
 
+def _kiops_trial_host(Ks, tau_sgn, n: int):
+    """Host-f64 variant of the augmented-exponential trial: fetch the tiny
+    Hessenberg, exponentiate with scipy, combine on device
+    (ops/host_reduced.py rationale)."""
+    import numpy as _np
+    from ..ops.host_reduced import host_expm
+
+    m = Ks.m
+    j = int(Ks.m_used)
+    H = _np.asarray(Ks.H)
+    dt = H.dtype
+    Haug = _np.zeros((m + 1, m + 1), dtype=dt)
+    Haug[:, :m] = H
+    jm = max(j - 1, 0)
+    nrm = Haug[j, jm]
+    Haug[j, jm] = 0
+    Haug[0, j] = 1
+    block = _np.zeros_like(Haug, dtype=bool)
+    block[:j + 1, :j + 1] = True
+    Haug = _np.where(block, Haug, 0)
+    F = host_expm(float(_np.asarray(tau_sgn)) * Haug, out_dtype=dt)
+    beta = float(Ks.beta)
+    err = jnp.asarray(abs(beta * nrm * F[jm, j]))
+    w_new = _combine_cols(Ks.beta, jnp.asarray(F[:, 0]), Ks.V, n)
+    return w_new, err
+
+
+def _kiops_trial(Ks, tau_sgn, n: int, reduced: str = "device"):
+    if reduced == "host":
+        return _kiops_trial_host(Ks, tau_sgn, n)
+    return _kiops_trial_device(Ks, tau_sgn, n)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
-def _kiops_trial(Ks, tau_sgn, n: int):
+def _kiops_trial_device(Ks, tau_sgn, n: int):
     """Exponential of the (j+1)² augmented Hessenberg with φ₁ coupling, the
     error estimate, and the accepted-solution update
     (reference: src/kiops.jl:141-163, 309-311).
@@ -137,8 +178,28 @@ def _kiops_trial(Ks, tau_sgn, n: int):
     return w_new, err
 
 
+def _kiops_phantom(Ks, tau_sgn, n: int, reduced: str = "device"):
+    if reduced == "host":
+        import numpy as _np
+        from ..ops.host_reduced import host_expm
+
+        m = Ks.m
+        j = int(Ks.m_used)
+        H = _np.asarray(Ks.H)
+        dt = H.dtype
+        Hj = _np.zeros((m + 1, m + 1), dtype=dt)
+        Hj[:, :m] = H
+        block = _np.zeros_like(Hj, dtype=bool)
+        block[:j, :j] = True
+        Hj = _np.where(block, Hj, 0)
+        F2 = host_expm(float(_np.asarray(tau_sgn)) * Hj, out_dtype=dt)
+        col = _np.where(_np.arange(m + 1) < j, F2[:, 0], 0)
+        return _combine_cols(Ks.beta, jnp.asarray(col), Ks.V, n)
+    return _kiops_phantom_device(Ks, tau_sgn, n)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
-def _kiops_phantom(Ks, tau_sgn, n: int):
+def _kiops_phantom_device(Ks, tau_sgn, n: int):
     """Intermediate-snapshot ("blown T") evaluation inside an accepted
     substep: exp of the j² block WITHOUT the φ₁ coupling
     (reference: src/kiops.jl:294-307)."""
@@ -159,7 +220,7 @@ def _kiops_phantom(Ks, tau_sgn, n: int):
 
 def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
           m: int | None = None, iop: int = 2, task1: bool = False,
-          return_stats: bool = True):
+          return_stats: bool = True, reduced: str | None = None):
     """KIOPS: linear combination of φ functions at times ``tstops``
     (reference: ``kiops``, src/kiops.jl:50-274).
 
@@ -176,6 +237,9 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
     scalar tstop), stats a KiopsStats.
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    if reduced is None:
+        from ..ops.host_reduced import reduced_default
+        reduced = reduced_default()
     scalar_t = np.ndim(tstops) == 0
     tau_out = np.atleast_1d(np.asarray(tstops, dtype=np.float64))
     u = jnp.asarray(u)
@@ -234,7 +298,8 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
         j = int(Ks.m_used)
         happy = bool(Ks.breakdown)
 
-        w_trial, err = _kiops_trial(Ks, jnp.asarray(sgn * tau), n)
+        w_trial, err = _kiops_trial(Ks, jnp.asarray(sgn * tau), n,
+                                    reduced=reduced)
         stats.exps += 1
         err = float(err)
 
@@ -295,7 +360,8 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
             # snapshots strictly inside (tau_now, next_t)
             while l < num_steps - 1 and abs(tau_out[l]) < abs(next_t):
                 tau_phantom = abs(tau_out[l]) - tau_now
-                W[:, l] = np.asarray(_kiops_phantom(Ks, jnp.asarray(sgn * tau_phantom), n))
+                W[:, l] = np.asarray(_kiops_phantom(
+                    Ks, jnp.asarray(sgn * tau_phantom), n, reduced=reduced))
                 l += 1
             W[:, l] = np.asarray(w_trial)
             w_cur = jnp.asarray(W[:, l])

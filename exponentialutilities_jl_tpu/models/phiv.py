@@ -24,19 +24,12 @@ __all__ = ["phiv", "phiv_from_basis"]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "correct"))
-def phiv_from_basis(t, Ks: KrylovBasis, k: int, *, correct: bool = False):
-    """``(w, err)`` from a prebuilt basis (reference: ``_phiv!``,
-    src/krylov_phiv.jl:566-599).
-
-    w: (n, k+1) matrix of φ_j(tA)b columns. err: scalar error estimate for
-    φ_{k-1} (the reference's adaptive-driver signal).
-    """
+def _phiv_combine(t, Ks: KrylovBasis, C2, k: int, correct: bool):
+    """Basis combination + correction + error estimate, given the (m, k+1)
+    reduced-φ columns C2."""
     m = Ks.m
     t = jnp.asarray(t)
-    dt = jnp.result_type(Ks.V.dtype, Ks.H.dtype, t.dtype)
-    Hm = (t.astype(dt) * Ks.H[:m, :m].astype(dt))
-    e1 = jnp.zeros((m,), dtype=dt).at[0].set(1)
-    C2 = phiv_dense(Hm, e1, k)                       # (m, k+1)
+    dt = C2.dtype
     beta = Ks.beta.astype(dt)
     w = jnp.einsum("mk,mn->nk", C2, Ks.V[:m].astype(dt)) * beta
 
@@ -61,9 +54,39 @@ def phiv_from_basis(t, Ks: KrylovBasis, k: int, *, correct: bool = False):
     return w, err
 
 
+@functools.partial(jax.jit, static_argnames=("k", "correct"))
+def _phiv_from_basis_device(t, Ks: KrylovBasis, k: int, correct: bool):
+    m = Ks.m
+    t = jnp.asarray(t)
+    dt = jnp.result_type(Ks.V.dtype, Ks.H.dtype, t.dtype)
+    Hm = (t.astype(dt) * Ks.H[:m, :m].astype(dt))
+    e1 = jnp.zeros((m,), dtype=dt).at[0].set(1)
+    C2 = phiv_dense(Hm, e1, k)                       # (m, k+1)
+    return _phiv_combine(t, Ks, C2, k, correct)
+
+
+def phiv_from_basis(t, Ks: KrylovBasis, k: int, *, correct: bool = False,
+                    reduced: str = "device"):
+    """``(w, err)`` from a prebuilt basis (reference: ``_phiv!``,
+    src/krylov_phiv.jl:566-599).
+
+    w: (n, k+1) matrix of φ_j(tA)b columns. err: scalar error estimate for
+    φ_{k-1} (the reference's adaptive-driver signal). ``reduced="host"``
+    stages the small augmented exponential on the host in full f64 between
+    the jitted device programs — required for f64 on TPU
+    (ops/host_reduced.py).
+    """
+    if reduced == "host":
+        from ..ops.host_reduced import host_phiv_e1
+        m = Ks.m
+        C2 = host_phiv_e1(Ks.H[:m, :m], t, k)
+        return _phiv_combine(t, Ks, C2, k, correct)
+    return _phiv_from_basis_device(t, Ks, k, correct)
+
+
 def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
          correct: bool = False, errest: bool = False, reorth: bool = True,
-         hermitian: bool | None = None):
+         hermitian: bool | None = None, reduced: str | None = None):
     """Compute ``[φ_0(tA)b … φ_k(tA)b]`` with a Krylov approximation
     (reference: ``phiv``, src/krylov_phiv.jl:519-531). ``k ≥ 1``.
 
@@ -72,7 +95,10 @@ def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
     b = jnp.asarray(b)
     m = min(m, op.shape[0])
+    if reduced is None:
+        from ..ops.host_reduced import reduced_default
+        reduced = reduced_default()
     Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
                         hermitian=hermitian)
-    w, err = phiv_from_basis(t, Ks, k, correct=correct)
+    w, err = phiv_from_basis(t, Ks, k, correct=correct, reduced=reduced)
     return (w, err) if errest else w

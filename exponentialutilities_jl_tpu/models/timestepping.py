@@ -144,7 +144,7 @@ def phiv_timestep(ts, A, B, *, tau: float = 0.0, m: int = 10, tol: float = 1e-7,
                   adaptive: bool = False, delta: float = 1.2,
                   gamma: float = 0.8, nnz: int = 0, m_max: int = 256,
                   hermitian: bool | None = None, verbose: bool = False,
-                  return_stats: bool = False):
+                  return_stats: bool = False, reduced: str | None = None):
     """Evaluate u = Σ_j t^j φ_j(tA) b_j at snapshot times ``ts`` by
     Niesen–Wright internal substepping
     (reference: ``phiv_timestep!``, src/krylov_phiv_adaptive.jl:220-413).
@@ -163,6 +163,9 @@ def phiv_timestep(ts, A, B, *, tau: float = 0.0, m: int = 10, tol: float = 1e-7,
     ``TimestepStats`` when ``return_stats=True``.
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    if reduced is None:
+        from ..ops.host_reduced import reduced_default
+        reduced = reduced_default()
     scalar_ts = np.ndim(ts) == 0
     ts_arr = np.atleast_1d(np.asarray(ts, dtype=np.float64))
     ts_sorted = np.sort(ts_arr)
@@ -220,7 +223,8 @@ def phiv_timestep(ts, A, B, *, tau: float = 0.0, m: int = 10, tol: float = 1e-7,
                 print(f"Absolute tolerance (Arnoldi estimate): {abstol}")
         if bool(Ks.breakdown):
             tau = tend - t
-        P, eps = phiv_from_basis(tau, Ks, p + 1, correct=correct)
+        P, eps = phiv_from_basis(tau, Ks, p + 1, correct=correct,
+                                 reduced=reduced)
         eps = float(eps)
         if verbose:
             print(f"t = {t}, m = {m}, tau = {tau}, error estimate = {eps}")
@@ -243,7 +247,8 @@ def phiv_timestep(ts, A, B, *, tau: float = 0.0, m: int = 10, tol: float = 1e-7,
                                         hermitian=hermitian)
                     stats.matvecs += m
                 # else: τ-only change — reuse the τ-independent basis.
-                P, eps_new = phiv_from_basis(tau, Ks, p + 1, correct=correct)
+                P, eps_new = phiv_from_basis(tau, Ks, p + 1, correct=correct,
+                                             reduced=reduced)
                 eps, eps_old = float(eps_new), eps
                 omega = (tend / tau) * (eps / abstol)
                 if verbose:
@@ -253,7 +258,8 @@ def phiv_timestep(ts, A, B, *, tau: float = 0.0, m: int = 10, tol: float = 1e-7,
         # src/krylov_phiv_adaptive.jl:393-405).
         while snapshot < len(ts_sorted) and t + tau >= ts_sorted[snapshot] - 1e-14 * tend:
             tau_s = float(ts_sorted[snapshot]) - t
-            Ps, _ = phiv_from_basis(tau_s, Ks, p + 1, correct=correct)
+            Ps, _ = phiv_from_basis(tau_s, Ks, p + 1, correct=correct,
+                                    reduced=reduced)
             U[:, snapshot] = np.asarray(_update_u(W, Ps, tau_s, p))
             snapshot += 1
         t += tau

@@ -204,3 +204,57 @@ def test_vmap_batched_expv(rng):
     E = sla.expm(0.3 * np.asarray(op.to_dense()))
     np.testing.assert_allclose(np.asarray(W), (E @ B.T).T, rtol=1e-10,
                                atol=1e-12)
+
+
+class TestHostReduced:
+    """Host-f64 reduced problems (ops/host_reduced.py) — the device/host
+    split required for full f64 on TPU."""
+
+    def test_expv_host_matches_device(self, rng):
+        op = eu.laplacian_1d(64)
+        b = jnp.asarray(rng.standard_normal(64))
+        w_d = eu.expv(0.5, op, b, m=30, reduced="device")
+        w_h = eu.expv(0.5, op, b, m=30, reduced="host")
+        np.testing.assert_allclose(np.asarray(w_h), np.asarray(w_d),
+                                   rtol=1e-12, atol=1e-13)
+
+    def test_expv_host_nonhermitian(self, rng):
+        A = rng.standard_normal((50, 50)) / 8
+        b = rng.standard_normal(50)
+        w_h = eu.expv(1.0, jnp.asarray(A), jnp.asarray(b), m=40,
+                      reduced="host")
+        np.testing.assert_allclose(np.asarray(w_h), sla.expm(A) @ b,
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_phiv_host(self, rng):
+        op = eu.laplacian_1d(64)
+        b = jnp.asarray(rng.standard_normal(64))
+        w_d, e_d = eu.phiv(0.2, op, b, 3, m=30, errest=True,
+                           reduced="device")
+        w_h, e_h = eu.phiv(0.2, op, b, 3, m=30, errest=True, reduced="host")
+        np.testing.assert_allclose(np.asarray(w_h), np.asarray(w_d),
+                                   rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(float(e_h), float(e_d), rtol=1e-8,
+                                   atol=1e-15)
+
+    def test_timestep_host(self, rng):
+        A = rng.standard_normal((40, 40)) / 10
+        b = rng.standard_normal(40)
+        U = eu.expv_timestep(1.0, jnp.asarray(A), jnp.asarray(b),
+                             adaptive=True, reduced="host")
+        np.testing.assert_allclose(np.asarray(U), sla.expm(A) @ b,
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_kiops_host(self, rng):
+        A = rng.standard_normal((40, 40)) / 10
+        b = rng.standard_normal(40)
+        w, _ = eu.kiops([1.0], jnp.asarray(A), jnp.asarray(b)[:, None],
+                        reduced="host")
+        np.testing.assert_allclose(np.asarray(w).ravel(), sla.expm(A) @ b,
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_expm_host(self, rng):
+        from exponentialutilities_jl_tpu.ops.host_reduced import host_expm
+        A = rng.standard_normal((20, 20)) / 4
+        np.testing.assert_allclose(np.asarray(host_expm(jnp.asarray(A))),
+                                   sla.expm(A), rtol=1e-12, atol=1e-13)
