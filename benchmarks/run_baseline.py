@@ -1,0 +1,188 @@
+"""Run the five BASELINE.json benchmark configs and print one JSON line per
+config. Usage: python benchmarks/run_baseline.py [--configs 1,2,3,4,5]
+
+On a TPU backend, compute runs in f32 (speed headline) with f64 host
+reduced problems where relevant; accuracy is reported against host f64
+oracles (scipy / expm_multiply) where the problem is small enough to
+afford one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, iters=10):
+    import jax
+    out = fn()
+    jax.block_until_ready(out)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def config1():
+    """Dense 100×100 exponential + expv (reference's core workload)."""
+    import jax, jax.numpy as jnp
+    import scipy.linalg as sla
+    from exponentialutilities_jl_tpu import expm, expv
+
+    from exponentialutilities_jl_tpu import DenseOperator
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((100, 100)) / 10
+    b = rng.standard_normal(100)
+    dt = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    Aj = jnp.asarray(A, dtype=dt)
+    bj = jnp.asarray(b, dtype=dt)
+    op = DenseOperator(Aj)   # wrap once — production reuses the operator
+
+    t_expm, E = _timeit(lambda: expm(Aj), 50)
+    t_expv, w = _timeit(lambda: expv(1.0, op, bj, m=40, reduced="device"), 50)
+    err_expm = float(np.linalg.norm(np.asarray(E, np.float64) - sla.expm(A))
+                     / np.linalg.norm(sla.expm(A)))
+    oracle = sla.expm(A) @ b
+    err_expv = float(np.linalg.norm(np.asarray(w, np.float64) - oracle)
+                     / np.linalg.norm(oracle))
+    return {"config": 1, "name": "dense100_expm_expv",
+            "expm_ms": round(t_expm * 1e3, 3),
+            "expv_ms": round(t_expv * 1e3, 3),
+            "expm_rel_err": err_expm, "expv_rel_err": err_expv}
+
+
+def config2():
+    """1-D Laplacian N=1e5 Lanczos expv (the bench.py headline)."""
+    import jax, jax.numpy as jnp
+    from scipy.sparse import diags
+    from scipy.sparse.linalg import expm_multiply
+    from exponentialutilities_jl_tpu import expv, laplacian_1d
+
+    n = 100_000
+    dt = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    op = laplacian_1d(n, dtype=dt)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+    bj = jnp.asarray(b, dtype=dt)
+    t_expv, w = _timeit(lambda: expv(0.5, op, bj, m=30, reduced="device"), 20)
+    A = diags([np.ones(n - 1), -2 * np.ones(n), np.ones(n - 1)], [-1, 0, 1],
+              format="csr")
+    ref = expm_multiply(0.5 * A, b)
+    err = float(np.linalg.norm(np.asarray(w, np.float64) - ref)
+                / np.linalg.norm(ref))
+    return {"config": 2, "name": "laplacian1d_1e5_expv",
+            "expv_ms": round(t_expv * 1e3, 3), "rel_err": err}
+
+
+def config3():
+    """φ p=0..3 on 2-D Poisson N=1e6, CGS2 orthogonalization."""
+    import jax, jax.numpy as jnp
+    from exponentialutilities_jl_tpu import phiv, poisson_2d
+
+    dt = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    op = poisson_2d(1000, 1000, dtype=dt)
+    n = 1_000_000
+    rng = np.random.default_rng(0)
+    bj = jnp.asarray(rng.standard_normal(n), dtype=dt)
+    t_phiv, W = _timeit(
+        lambda: phiv(1e-4, op, bj, 3, m=30, reduced="device"), 10)
+    # oracle: φ columns satisfy the recurrence φ_{k}(0)=1/k!; sanity: the
+    # φ_k(tA)b columns must reproduce expv when recombined — check column 0
+    # against a second independent run at doubled m.
+    W2 = phiv(1e-4, op, bj, 3, m=45, reduced="device")
+    err = float(np.linalg.norm(np.asarray(W, np.float64)
+                               - np.asarray(W2, np.float64))
+                / np.linalg.norm(np.asarray(W2, np.float64)))
+    return {"config": 3, "name": "poisson2d_1e6_phiv_p3",
+            "phiv_ms": round(t_phiv * 1e3, 3), "self_consistency_err": err}
+
+
+def config4():
+    """KIOPS + Niesen–Wright adaptive on stiff 1-D advection–diffusion."""
+    import jax, jax.numpy as jnp
+    import scipy.linalg as sla
+    from exponentialutilities_jl_tpu import (advection_diffusion_1d, kiops,
+                                             phiv_timestep)
+
+    n = 2000
+    dt = jnp.float64
+    op = advection_diffusion_1d(n, peclet=10.0, dtype=dt)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+    B = jnp.asarray(np.stack([b, 0.1 * b], axis=1), dtype=dt)
+
+    t0 = time.perf_counter()
+    U = phiv_timestep([1e-4], op, B, adaptive=True, tol=1e-7, m=20)
+    t_nw = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Wk, stats = kiops([1e-4], op, B, tol=1e-7)
+    t_kiops = time.perf_counter() - t0
+
+    Ad = np.asarray(op.to_dense(), np.float64)
+    tt = 1e-4
+    E = np.zeros((n, 1)); E[:, 0] = 0.1 * b
+    F = sla.expm(np.block([[tt * Ad, E], [np.zeros((1, n + 1))]]))
+    oracle = sla.expm(tt * Ad) @ b + tt * 0 + F[:n, n]  # φ0 b0 + t φ1 b1·t…
+    # NW convention: u = φ0(tA)b0 + t φ1(tA) b1 → second term t*φ1(tA)b1:
+    E2 = np.zeros((n, 1)); E2[:, 0] = b * 0.1
+    F2 = sla.expm(np.block([[tt * Ad, tt * E2], [np.zeros((1, n + 1))]]))
+    oracle = sla.expm(tt * Ad) @ b + F2[:n, n]
+    err_nw = float(np.linalg.norm(np.asarray(U[:, 0], np.float64) - oracle)
+                   / np.linalg.norm(oracle))
+    err_kiops = float(np.linalg.norm(np.asarray(Wk).ravel() - oracle)
+                      / np.linalg.norm(oracle))
+    return {"config": 4, "name": "advdiff_stiff_adaptive",
+            "nw_ms": round(t_nw * 1e3, 1),
+            "kiops_ms": round(t_kiops * 1e3, 1),
+            "nw_rel_err": err_nw, "kiops_rel_err": err_kiops,
+            "kiops_steps": stats.steps}
+
+
+def config5():
+    """10M-row 3-D Laplacian expv — BASELINE's scale config (single chip
+    here; the multi-host variant shards the same operator over a mesh)."""
+    import jax, jax.numpy as jnp
+    from exponentialutilities_jl_tpu import expv, laplacian_3d
+
+    nx = ny = nz = 216   # 216³ ≈ 10.08M
+    n = nx * ny * nz
+    dt = jnp.float32
+    op = laplacian_3d(nx, ny, nz, dtype=dt)
+    rng = np.random.default_rng(0)
+    bj = jnp.asarray(rng.standard_normal(n), dtype=dt)
+    t_expv, w = _timeit(lambda: expv(0.05, op, bj, m=20, reduced="device"), 5)
+    # self-consistency vs doubled m (a 10M dense oracle is not computable)
+    w2 = expv(0.05, op, bj, m=40, reduced="device")
+    err = float(np.linalg.norm(np.asarray(w, np.float64)
+                               - np.asarray(w2, np.float64))
+                / np.linalg.norm(np.asarray(w2, np.float64)))
+    nnz = 7 * n
+    bytes_per_mv = (7 * n + 2 * n) * 4
+    return {"config": 5, "name": "laplacian3d_10M_expv",
+            "n": n, "expv_ms": round(t_expv * 1e3, 2),
+            "self_consistency_err": err,
+            "effective_spmv_gbs": round(21 * bytes_per_mv / t_expv / 1e9, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    import jax
+    print(json.dumps({"backend": jax.default_backend(),
+                      "n_devices": len(jax.devices())}))
+    for c in [int(x) for x in args.configs.split(",")]:
+        try:
+            print(json.dumps(fns[c]()))
+        except Exception as e:  # keep going; record the failure
+            print(json.dumps({"config": c, "error": f"{type(e).__name__}: {e}"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,8 +23,8 @@ from .ops.expm import (expm, expm_higham2005, expm_generic,
                        expm_diagonalization, expm_native, balance_matrix)
 from .ops.phi_dense import phi, phi_scalar, phi_with_info, phiv_dense
 from .ops.krylov import KrylovBasis, arnoldi, lanczos
-from .models.expv import expv, expv_from_basis, build_subspace
-from .models.phiv import phiv, phiv_from_basis
+from .models.expv import expv, expv_from_basis, build_subspace, make_expv
+from .models.phiv import phiv, phiv_from_basis, make_phiv
 from .models.timestepping import expv_timestep, phiv_timestep, TimestepStats
 from .models.kiops import kiops, KiopsStats, AugmentedOperator
 from .models.expv_taylor import expv_taylor
@@ -44,6 +44,7 @@ __all__ = [
     "phi", "phi_scalar", "phi_with_info", "phiv_dense",
     "KrylovBasis", "arnoldi", "lanczos", "build_subspace",
     "expv", "expv_from_basis", "phiv", "phiv_from_basis",
+    "make_expv", "make_phiv",
     "expv_timestep", "phiv_timestep", "TimestepStats",
     "kiops", "KiopsStats", "AugmentedOperator", "expv_taylor",
     "LinearOperator", "DenseOperator", "DiagonalOperator",

@@ -28,11 +28,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.precision import mxu_full_precision
+
 from ..ops.expm import expm_higham2005
 from ..ops.krylov import KrylovBasis, arnoldi, lanczos
 from ..utils.linop import LinearOperator, aslinearoperator
 
-__all__ = ["expv", "expv_from_basis", "build_subspace"]
+__all__ = ["expv", "expv_from_basis", "build_subspace", "make_expv"]
 
 
 def build_subspace(op: LinearOperator, b, m: int, *, tol: float = 1e-7,
@@ -69,6 +71,7 @@ def _exp_reduced_e1(Ks: KrylovBasis, t):
 
 
 @jax.jit
+@mxu_full_precision
 def _combine_expv(Ks: KrylovBasis, expHe):
     """``w = β · Vᵀ expHe`` with the zero-start guard (reference:
     src/krylov_phiv.jl:182-186)."""
@@ -79,6 +82,7 @@ def _combine_expv(Ks: KrylovBasis, expHe):
 
 
 @jax.jit
+@mxu_full_precision
 def _expv_from_basis_device(t, Ks: KrylovBasis):
     return _combine_expv(Ks, _exp_reduced_e1(Ks, t))
 
@@ -146,7 +150,37 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
     raise ValueError(f"unknown expv mode {mode!r}")
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("m", "tol", "iop", "reorth", "hermitian"))
+@mxu_full_precision
+def _expv_fused(op, t, b, m: int, tol: float, iop: int, reorth: bool,
+                hermitian: bool):
+    Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
+                        hermitian=hermitian)
+    return _combine_expv(Ks, _exp_reduced_e1(Ks, t))
+
+
+def make_expv(op, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
+              reorth: bool = True, hermitian: bool | None = None):
+    """Production-serving factory: ``fn(t, b)`` with subspace build and
+    combination fused into ONE compiled program — one dispatch per call, no
+    intermediate host sync. The TPU analogue of the reference's
+    cache-reuse contract (alloc once, call many;
+    test/basictests.jl:944-947). The operator is passed as a pytree, so
+    operators with the same structure share the compiled executable.
+    """
+    op = aslinearoperator(op) if not isinstance(op, LinearOperator) else op
+    m_ = min(m, op.shape[0])
+    herm = op.is_hermitian if hermitian is None else hermitian
+
+    def fn(t, b):
+        return _expv_fused(op, t, jnp.asarray(b), m_, tol, iop, reorth, herm)
+
+    return fn
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
+@mxu_full_precision
 def _expv_error_estimate(op, b, t, m: int, atol: float, rtol: float):
     """Lanczos expv terminated by Saad's Er₂ posterior estimate
     (reference: src/krylov_phiv_error_estimate.jl:94-152).

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..utils.precision import mxu_full_precision
+
 from ..utils.linop import LinearOperator, aslinearoperator
 
 __all__ = ["expv_taylor", "taylor_theta"]
@@ -215,11 +217,13 @@ def expv_taylor(t, A, b, *, tol: float | None = None, opnorm=None,
 
 
 @jax.jit
+@mxu_full_precision
 def _taylor_dense(Ash, b, scale, eta, m_star, s, eps):
     return _taylor_loop(lambda x: Ash @ x, b, scale, eta, m_star, s, eps)
 
 
 @jax.jit
+@mxu_full_precision
 def _taylor_op(op, mu_c, b, scale, eta, m_star, s, eps):
     def mv(x):
         return op.matvec(x) - mu_c * x

@@ -30,19 +30,22 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.precision import mxu_full_precision
 import numpy as np
 
 from ..ops.expm import expm_higham2005
 
 
-def _combine_cols(beta, col, V, n: int):
-    """β · colᵀ V[:, :n] as one jitted MXU combination."""
-    @jax.jit
-    def run(beta, col, V):
-        return beta.astype(col.dtype) * (col @ V[:, :n].astype(col.dtype))
-    return run(beta, col, V)
 from ..ops.krylov import arnoldi
 from ..utils.linop import LinearOperator, aslinearoperator
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+@mxu_full_precision
+def _combine_cols(beta, col, V, n: int):
+    """β · colᵀ V[:, :n] as one jitted MXU combination."""
+    return beta.astype(col.dtype) * (col @ V[:, :n].astype(col.dtype))
 
 __all__ = ["kiops", "KiopsStats", "AugmentedOperator"]
 
@@ -102,6 +105,7 @@ class KiopsStats:
 
 
 @functools.partial(jax.jit, static_argnames=("m", "iop", "p"))
+@mxu_full_precision
 def _kiops_build(aug_op: AugmentedOperator, w_col, t_now, mu, m: int,
                  iop: int, p: int, tol: float):
     """Build the augmented Krylov basis for the current substep. The
@@ -139,7 +143,7 @@ def _kiops_trial_host(Ks, tau_sgn, n: int):
     F = host_expm(float(_np.asarray(tau_sgn)) * Haug, out_dtype=dt)
     beta = float(Ks.beta)
     err = jnp.asarray(abs(beta * nrm * F[jm, j]))
-    w_new = _combine_cols(Ks.beta, jnp.asarray(F[:, 0]), Ks.V, n)
+    w_new = _combine_cols(Ks.beta, jnp.asarray(F[:, 0]), Ks.V, n=n)
     return w_new, err
 
 
@@ -150,6 +154,7 @@ def _kiops_trial(Ks, tau_sgn, n: int, reduced: str = "device"):
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
+@mxu_full_precision
 def _kiops_trial_device(Ks, tau_sgn, n: int):
     """Exponential of the (j+1)² augmented Hessenberg with φ₁ coupling, the
     error estimate, and the accepted-solution update
@@ -194,11 +199,12 @@ def _kiops_phantom(Ks, tau_sgn, n: int, reduced: str = "device"):
         Hj = _np.where(block, Hj, 0)
         F2 = host_expm(float(_np.asarray(tau_sgn)) * Hj, out_dtype=dt)
         col = _np.where(_np.arange(m + 1) < j, F2[:, 0], 0)
-        return _combine_cols(Ks.beta, jnp.asarray(col), Ks.V, n)
+        return _combine_cols(Ks.beta, jnp.asarray(col), Ks.V, n=n)
     return _kiops_phantom_device(Ks, tau_sgn, n)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
+@mxu_full_precision
 def _kiops_phantom_device(Ks, tau_sgn, n: int):
     """Intermediate-snapshot ("blown T") evaluation inside an accepted
     substep: exp of the j² block WITHOUT the φ₁ coupling

@@ -15,15 +15,18 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import mxu_full_precision
+
 from ..ops.krylov import KrylovBasis
 from ..ops.phi_dense import phiv_dense
 from ..utils.linop import LinearOperator, aslinearoperator
 from .expv import build_subspace
 
-__all__ = ["phiv", "phiv_from_basis"]
+__all__ = ["phiv", "phiv_from_basis", "make_phiv"]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "correct"))
+@mxu_full_precision
 def _phiv_combine(t, Ks: KrylovBasis, C2, k: int, correct: bool):
     """Basis combination + correction + error estimate, given the (m, k+1)
     reduced-φ columns C2."""
@@ -55,6 +58,7 @@ def _phiv_combine(t, Ks: KrylovBasis, C2, k: int, correct: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "correct"))
+@mxu_full_precision
 def _phiv_from_basis_device(t, Ks: KrylovBasis, k: int, correct: bool):
     m = Ks.m
     t = jnp.asarray(t)
@@ -82,6 +86,32 @@ def phiv_from_basis(t, Ks: KrylovBasis, k: int, *, correct: bool = False,
         C2 = host_phiv_e1(Ks.H[:m, :m], t, k)
         return _phiv_combine(t, Ks, C2, k, correct)
     return _phiv_from_basis_device(t, Ks, k, correct)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m", "tol", "iop",
+                                             "reorth", "hermitian", "correct"))
+def _phiv_fused(op, t, b, k: int, m: int, tol: float, iop: int,
+                reorth: bool, hermitian: bool, correct: bool):
+    Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
+                        hermitian=hermitian)
+    return _phiv_from_basis_device(t, Ks, k, correct)
+
+
+def make_phiv(op, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
+              reorth: bool = True, hermitian: bool | None = None,
+              correct: bool = False):
+    """Production-serving factory: ``fn(t, b) -> (w, err)`` fused into ONE
+    compiled program (see ``make_expv``)."""
+    from ..utils.linop import aslinearoperator as _aslo
+    op = _aslo(op) if not isinstance(op, LinearOperator) else op
+    m_ = min(m, op.shape[0])
+    herm = op.is_hermitian if hermitian is None else hermitian
+
+    def fn(t, b):
+        return _phiv_fused(op, t, jnp.asarray(b), k, m_, tol, iop, reorth,
+                           herm, correct)
+
+    return fn
 
 
 def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.precision import mxu_full_precision
+
 __all__ = ["expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
            "expm_native", "pade_order_for_eps", "balance_matrix"]
 
@@ -162,6 +164,7 @@ def _masked_squaring(X, s, max_squarings):
 
 
 @functools.partial(jax.jit, static_argnames=("max_squarings", "balance"))
+@mxu_full_precision
 def expm_higham2005(A, *, max_squarings: int = 32, balance: bool = False):
     """Higham-2005 scaling-and-squaring Padé ``exp(A)``.
 
@@ -232,6 +235,7 @@ def _generic_pade_coeffs(k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("order", "max_squarings"))
+@mxu_full_precision
 def expm_generic(A, *, order: int | None = None, max_squarings: int = 48):
     """Type-generic scaling-and-squaring with arbitrary-order diagonal Padé.
 
@@ -268,6 +272,7 @@ def expm_generic(A, *, order: int | None = None, max_squarings: int = 48):
     return _masked_squaring(P, s, max_squarings)
 
 
+@mxu_full_precision
 def expm_diagonalization(A, *, is_hermitian: bool = False):
     """exp(A) via eigendecomposition (reference: src/exp.jl:75-130).
 
@@ -285,6 +290,7 @@ def expm_diagonalization(A, *, is_hermitian: bool = False):
     return X
 
 
+@mxu_full_precision
 def expm_native(A):
     """Defer to ``jax.scipy.linalg.expm`` (reference: src/exp.jl:137-140)."""
     return jax.scipy.linalg.expm(jnp.asarray(A))

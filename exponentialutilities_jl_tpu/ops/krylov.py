@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.precision import mxu_full_precision
+
 __all__ = ["KrylovBasis", "arnoldi", "lanczos"]
 
 
@@ -96,6 +98,7 @@ def _psum_maybe(v, axis_name):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "iop", "reorth", "axis_name"))
+@mxu_full_precision
 def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
             reorth: bool = True, axis_name: str | None = None) -> KrylovBasis:
     """Arnoldi factorization A·V[j] ≈ Σ_i H[i,j]·V[i] with (incomplete)
@@ -178,6 +181,7 @@ def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
 
 
 @functools.partial(jax.jit, static_argnames=("m", "full_reorth", "axis_name"))
+@mxu_full_precision
 def lanczos(op, b, m: int, *, tol: float = 1e-7,
             full_reorth: bool = False,
             axis_name: str | None = None) -> KrylovBasis:

@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.precision import mxu_full_precision
+
 from .expm import expm_higham2005
 
 __all__ = ["phi_scalar", "phiv_dense", "phi", "phi_with_info"]
@@ -65,6 +67,7 @@ def _taylor_order(dtype) -> tuple[float, int]:
     return 1.0, 8
 
 
+@mxu_full_precision
 def phi_scalar(z, k: int):
     """φ_0..φ_k of a scalar (or array of scalars, applied elementwise).
 
@@ -90,6 +93,7 @@ def phi_scalar(z, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+@mxu_full_precision
 def phiv_dense(A, v, k: int):
     """[φ_0(A)v φ_1(A)v … φ_k(A)v] for small dense A via the augmented matrix
 
@@ -183,6 +187,7 @@ def _double_argument_stage(F, p: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_squarings"))
+@mxu_full_precision
 def phi(A, k: int, *, max_squarings: int = 48):
     """Simultaneous [φ_0(A), …, φ_k(A)] for dense A, stacked as (k+1, n, n).
 

@@ -162,7 +162,8 @@ class BlockELLOperator(LinearOperator):
             from .kernels.spmv import blockell_spmv
             return blockell_spmv(self.blocks, self.bcols, x)
         xb = x.reshape(-1, bc)[self.bcols]              # (nbr, w, bc) gather
-        y = jnp.einsum("nwij,nwj->ni", self.blocks, xb)  # batched MXU GEMMs
+        y = jnp.einsum("nwij,nwj->ni", self.blocks, xb,
+                       precision=jax.lax.Precision.HIGHEST)  # batched MXU GEMMs
         return y.reshape(-1)
 
     def opnorm_hint(self):

@@ -258,3 +258,26 @@ class TestHostReduced:
         A = rng.standard_normal((20, 20)) / 4
         np.testing.assert_allclose(np.asarray(host_expm(jnp.asarray(A))),
                                    sla.expm(A), rtol=1e-12, atol=1e-13)
+
+
+class TestFusedFactories:
+    def test_make_expv(self, rng):
+        op = eu.laplacian_1d(64)
+        fn = eu.make_expv(op, m=30)
+        b = jnp.asarray(rng.standard_normal(64))
+        w1 = fn(0.3, b)
+        w2 = fn(0.6, b)
+        E3 = sla.expm(0.3 * np.asarray(op.to_dense()))
+        np.testing.assert_allclose(np.asarray(w1), E3 @ np.asarray(b),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(w2), E3 @ E3 @ np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_make_phiv(self, rng):
+        op = eu.laplacian_1d(64)
+        fn = eu.make_phiv(op, 2, m=30)
+        b = jnp.asarray(rng.standard_normal(64))
+        w, err = fn(0.2, b)
+        w_ref = eu.phiv(0.2, op, b, 2, m=30, reduced="device")
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                   rtol=1e-12, atol=1e-14)
