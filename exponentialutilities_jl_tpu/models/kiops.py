@@ -37,7 +37,7 @@ import numpy as np
 from ..ops.expm import expm_higham2005
 
 
-from ..ops.krylov import arnoldi
+from ..ops.krylov import arnoldi, arnoldi_extend
 from ..utils.linop import LinearOperator, aslinearoperator
 
 
@@ -381,7 +381,15 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
         oldm = m
         m = m_new
         if m != oldm:
-            basis_valid = False        # dimension change → rebuild
+            if (basis_valid and m > oldm and not bool(Ks.breakdown)):
+                # Resume: keep the built columns and extend to the larger m
+                # (reference: arnoldi!(..., init=j) restart after a rejected
+                # substep, src/kiops.jl:131-134, src/arnoldi.jl:332-353).
+                Ks = arnoldi_extend(aug, Ks, m, iop=iop, tol=tol,
+                                    reorth=False)
+                stats.krylov_steps += m - oldm
+            else:
+                basis_valid = False    # shrink or breakdown → rebuild
 
     if task1:
         for i in range(num_steps):

@@ -37,7 +37,7 @@ from jax import lax
 
 from ..utils.precision import mxu_full_precision
 
-__all__ = ["KrylovBasis", "arnoldi", "lanczos"]
+__all__ = ["KrylovBasis", "arnoldi", "arnoldi_extend", "lanczos"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -97,43 +97,16 @@ def _psum_maybe(v, axis_name):
     return v if axis_name is None else lax.psum(v, axis_name)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "iop", "reorth", "axis_name"))
-@mxu_full_precision
-def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
-            reorth: bool = True, axis_name: str | None = None) -> KrylovBasis:
-    """Arnoldi factorization A·V[j] ≈ Σ_i H[i,j]·V[i] with (incomplete)
-    classical Gram-Schmidt.
-
-    Args:
-      op: a ``LinearOperator`` pytree (the matrix-free contract,
-        reference docs/src/interfaces.md); its ``matvec`` is traced.
-      b: starting vector (n,).
-      m: requested Krylov dimension (static).
-      iop: incomplete-orthogonalization window; 0 = full (reference:
-        src/arnoldi.jl:354, Koskela 2015).
-      tol: happy-breakdown threshold on the residual norm.
-      reorth: apply a second CGS pass (CGS2) — MGS-grade orthogonality with
-        batched dots; disable for the cheapest (IOP-style) iteration.
-      axis_name: when called inside ``shard_map`` with the basis row-sharded
-        over a mesh axis, the name of that axis — all inner products and
-        norms become one ``psum`` per iteration (the batched-dot design is
-        exactly what keeps the sharded path at one collective per step).
-    """
-    b = jnp.asarray(b)
-    n = b.shape[0]
-    dt = b.dtype
-    rdt = jnp.finfo(dt).dtype
-
-    beta = _pnorm(b, axis_name).astype(rdt)
-    v0 = jnp.where(beta > 0, 1.0 / jnp.where(beta > 0, beta, 1), 0.0).astype(rdt) * b
-
-    V = jnp.zeros((m + 1, n), dtype=dt).at[0].set(v0)
-    H = jnp.zeros((m + 1, m), dtype=dt)
-    win = m if iop == 0 else iop
+def _arnoldi_step_fn(op, m: int, win: int, tol: float, reorth: bool,
+                     axis_name: str | None):
+    """The (jit-traceable) Arnoldi step body, shared by ``arnoldi`` and
+    ``arnoldi_extend``. Carry: (V, H, broke, m_used)."""
     rows = jnp.arange(m + 1)
 
     def step(j, carry):
         V, H, broke, m_used = carry
+        dt = V.dtype
+        rdt = jnp.finfo(dt).dtype
         y = op.matvec(V[j])
         # Orthogonalization window: i ∈ (j-win, j] (reference: src/arnoldi.jl:297).
         if win < m:
@@ -173,10 +146,80 @@ def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
         m_used = jnp.where(active, j + 1, m_used)
         return V, H, broke | now_broke, m_used
 
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("m", "iop", "reorth", "axis_name"))
+@mxu_full_precision
+def arnoldi(op, b, m: int, *, iop: int = 0, tol: float = 1e-7,
+            reorth: bool = True, axis_name: str | None = None) -> KrylovBasis:
+    """Arnoldi factorization A·V[j] ≈ Σ_i H[i,j]·V[i] with (incomplete)
+    classical Gram-Schmidt.
+
+    Args:
+      op: a ``LinearOperator`` pytree (the matrix-free contract,
+        reference docs/src/interfaces.md); its ``matvec`` is traced.
+      b: starting vector (n,).
+      m: requested Krylov dimension (static).
+      iop: incomplete-orthogonalization window; 0 = full (reference:
+        src/arnoldi.jl:354, Koskela 2015).
+      tol: happy-breakdown threshold on the residual norm.
+      reorth: apply a second CGS pass (CGS2) — MGS-grade orthogonality with
+        batched dots; disable for the cheapest (IOP-style) iteration.
+      axis_name: when called inside ``shard_map`` with the basis row-sharded
+        over a mesh axis, the name of that axis — all inner products and
+        norms become one ``psum`` per iteration (the batched-dot design is
+        exactly what keeps the sharded path at one collective per step).
+    """
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    dt = b.dtype
+    rdt = jnp.finfo(dt).dtype
+
+    beta = _pnorm(b, axis_name).astype(rdt)
+    v0 = jnp.where(beta > 0, 1.0 / jnp.where(beta > 0, beta, 1), 0.0).astype(rdt) * b
+
+    V = jnp.zeros((m + 1, n), dtype=dt).at[0].set(v0)
+    H = jnp.zeros((m + 1, m), dtype=dt)
+    win = m if iop == 0 else iop
+
+    step = _arnoldi_step_fn(op, m, win, tol, reorth, axis_name)
     V, H, broke, m_used = lax.fori_loop(
         0, m, step, (V, H, jnp.asarray(beta == 0), jnp.asarray(0, jnp.int32)))
     m_used = jnp.where(beta == 0, 0, m_used).astype(jnp.int32)
     return KrylovBasis(V=V, H=H, beta=beta, m_used=m_used,
+                       breakdown=broke, hermitian=False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m_new", "iop", "reorth", "axis_name"))
+@mxu_full_precision
+def arnoldi_extend(op, Ks: KrylovBasis, m_new: int, *, iop: int = 0,
+                   tol: float = 1e-7, reorth: bool = True,
+                   axis_name: str | None = None) -> KrylovBasis:
+    """Extend an existing Arnoldi factorization from m to ``m_new`` without
+    repeating the first m matvecs (the reference's ``arnoldi!(..., init=j)``
+    resume used by KIOPS after a rejected substep, src/arnoldi.jl:332-353,
+    src/kiops.jl:131-134).
+
+    The kept basis columns and Hessenberg entries are copied into the larger
+    static-shape buffers and the iteration continues from step m.
+    """
+    m_old = Ks.m
+    if m_new <= m_old:
+        raise ValueError(f"m_new={m_new} must exceed current m={m_old}")
+    if Ks.hermitian:
+        raise ValueError("arnoldi_extend requires an Arnoldi (non-Lanczos) basis")
+    n = Ks.n
+    dt = Ks.V.dtype
+    V = jnp.zeros((m_new + 1, n), dtype=dt).at[:m_old + 1].set(Ks.V)
+    H = jnp.zeros((m_new + 1, m_new), dtype=dt).at[:m_old + 1, :m_old].set(Ks.H)
+    win = m_new if iop == 0 else iop
+
+    step = _arnoldi_step_fn(op, m_new, win, tol, reorth, axis_name)
+    V, H, broke, m_used = lax.fori_loop(
+        m_old, m_new, step, (V, H, Ks.breakdown, Ks.m_used))
+    return KrylovBasis(V=V, H=H, beta=Ks.beta, m_used=m_used.astype(jnp.int32),
                        breakdown=broke, hermitian=False)
 
 

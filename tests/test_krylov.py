@@ -281,3 +281,40 @@ class TestFusedFactories:
         w_ref = eu.phiv(0.2, op, b, 2, m=30, reduced="device")
         np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
                                    rtol=1e-12, atol=1e-14)
+
+
+class TestArnoldiExtend:
+    """Subspace resume (reference: arnoldi! init=j, src/arnoldi.jl:332-353)."""
+
+    def test_extend_matches_fresh(self, rng):
+        from exponentialutilities_jl_tpu.ops.krylov import arnoldi_extend
+        n = 50
+        A = rng.standard_normal((n, n))
+        b = rng.standard_normal(n)
+        op = eu.DenseOperator(jnp.asarray(A))
+        Ks10 = arnoldi(op, jnp.asarray(b), 10)
+        Ks20e = arnoldi_extend(op, Ks10, 20)
+        Ks20 = arnoldi(op, jnp.asarray(b), 20)
+        np.testing.assert_allclose(np.asarray(Ks20e.V), np.asarray(Ks20.V),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Ks20e.H), np.asarray(Ks20.H),
+                                   rtol=1e-10, atol=1e-12)
+        assert int(Ks20e.m_used) == 20
+
+    def test_extend_after_breakdown_stays_broken(self, rng):
+        from exponentialutilities_jl_tpu.ops.krylov import arnoldi_extend
+        n = 25
+        u = rng.standard_normal(n); u /= np.linalg.norm(u)
+        op = eu.DenseOperator(jnp.asarray(np.outer(u, u)))
+        Ks = arnoldi(op, jnp.asarray(rng.standard_normal(n)), 6)
+        assert bool(Ks.breakdown)
+        Ke = arnoldi_extend(op, Ks, 12)
+        assert bool(Ke.breakdown)
+        assert int(Ke.m_used) == int(Ks.m_used)
+
+    def test_extend_rejects_lanczos(self, rng):
+        from exponentialutilities_jl_tpu.ops.krylov import arnoldi_extend
+        op = eu.laplacian_1d(20)
+        Ks = lanczos(op, jnp.asarray(rng.standard_normal(20)), 5)
+        with pytest.raises(ValueError, match="Lanczos"):
+            arnoldi_extend(op, Ks, 10)
