@@ -63,13 +63,16 @@ def config2():
     from scipy.sparse.linalg import expm_multiply
     from exponentialutilities_jl_tpu import expv, laplacian_1d
 
+    from exponentialutilities_jl_tpu import make_expv
+
     n = 100_000
     dt = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
     op = laplacian_1d(n, dtype=dt)
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n)
     bj = jnp.asarray(b, dtype=dt)
-    t_expv, w = _timeit(lambda: expv(0.5, op, bj, m=30, reduced="device"), 20)
+    fn = make_expv(op, m=30)           # fused one-dispatch serving path
+    t_expv, w = _timeit(lambda: fn(0.5, bj), 20)
     A = diags([np.ones(n - 1), -2 * np.ones(n), np.ones(n - 1)], [-1, 0, 1],
               format="csr")
     ref = expm_multiply(0.5 * A, b)
@@ -109,6 +112,7 @@ def config4():
     from exponentialutilities_jl_tpu import (advection_diffusion_1d, kiops,
                                              phiv_timestep)
 
+    jax.config.update("jax_enable_x64", True)
     n = 2000
     dt = jnp.float64
     op = advection_diffusion_1d(n, peclet=10.0, dtype=dt)
@@ -147,12 +151,12 @@ def config5():
     """10M-row 3-D Laplacian expv — BASELINE's scale config (single chip
     here; the multi-host variant shards the same operator over a mesh)."""
     import jax, jax.numpy as jnp
-    from exponentialutilities_jl_tpu import expv, laplacian_3d
+    from exponentialutilities_jl_tpu import expv, laplacian_nd_stencil
 
     nx = ny = nz = 216   # 216³ ≈ 10.08M
     n = nx * ny * nz
     dt = jnp.float32
-    op = laplacian_3d(nx, ny, nz, dtype=dt)
+    op = laplacian_nd_stencil(nz, ny, nx, dtype=dt)
     rng = np.random.default_rng(0)
     bj = jnp.asarray(rng.standard_normal(n), dtype=dt)
     t_expv, w = _timeit(lambda: expv(0.05, op, bj, m=20, reduced="device"), 5)

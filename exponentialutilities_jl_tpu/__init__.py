@@ -35,6 +35,8 @@ from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
                          banded_from_scipy)
 from .utils.testmatrices import (laplacian_1d, poisson_2d, laplacian_3d,
                                  advection_diffusion_1d)
+from .ops.stencil import (StencilOperator, laplacian_nd_stencil,
+                          advection_diffusion_1d_stencil)
 
 __version__ = "0.1.0"
 
@@ -52,4 +54,6 @@ __all__ = [
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
     "ell_from_scipy", "blockell_from_scipy", "banded_from_scipy",
     "laplacian_1d", "poisson_2d", "laplacian_3d", "advection_diffusion_1d",
+    "StencilOperator", "laplacian_nd_stencil",
+    "advection_diffusion_1d_stencil",
 ]

@@ -310,7 +310,18 @@ def expm(A, method: str = "higham2005", **kwargs):
     ``method`` ∈ {"higham2005", "generic", "diagonalization", "native"}
     (reference analogue: ``exponential!`` method structs,
     src/ExponentialUtilities.jl:64-72). Functional: returns a new array.
+
+    Sparse/matrix-free operators are rejected: their exponential is dense —
+    use ``expv``/``phiv`` instead (the reference's sparse guard,
+    src/exp_sparse.jl:1-15).
     """
+    from ..utils.linop import LinearOperator
+
+    if isinstance(A, LinearOperator):
+        raise TypeError(
+            "expm of a sparse/matrix-free operator produces a dense matrix; "
+            "use expv/phiv for its action, or pass `op.to_dense()` "
+            "explicitly (reference: src/exp_sparse.jl)")
     try:
         fn = _METHODS[method]
     except KeyError:

@@ -32,6 +32,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -281,13 +282,15 @@ class BandedOperator(LinearOperator):
 
     def matvec(self, x):
         n = x.shape[0]
+        h = max((abs(o) for o in self.offsets), default=0)
+        # y[i] += diags[k, i] * x[i+o]. Zero-padding both ends makes every
+        # shifted read a static slice AND handles the boundary rows exactly
+        # (out-of-range x values read the pad zeros) — no masks, no rolls;
+        # XLA fuses the k shifted multiply-adds into one pass.
+        xe = jnp.pad(x, (h, h))
         y = jnp.zeros_like(x, dtype=jnp.result_type(self.dtype, x.dtype))
         for k, o in enumerate(self.offsets):
-            # y[i] += diags[k, i] * x[i+o]; roll + mask keeps shapes static.
-            xs = jnp.roll(x, -o)
-            idx = jnp.arange(n) + o
-            valid = (idx >= 0) & (idx < n)
-            y = y + jnp.where(valid, self.diags[k] * xs, 0)
+            y = y + self.diags[k] * lax.dynamic_slice_in_dim(xe, h + o, n)
         return y
 
     def opnorm_hint(self):

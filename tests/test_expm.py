@@ -189,3 +189,10 @@ class TestBalancing:
         rel = (np.abs(np.asarray(E) - oracle)
                / np.maximum(np.abs(oracle), 1e-300)).max()
         assert rel < 1e-8
+
+
+def test_sparse_operator_rejected(rng):
+    """Reference sparse guard parity (src/exp_sparse.jl:1-15)."""
+    from exponentialutilities_jl_tpu import expm, laplacian_1d
+    with pytest.raises(TypeError, match="expv"):
+        expm(laplacian_1d(16))
