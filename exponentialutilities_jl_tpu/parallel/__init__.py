@@ -5,8 +5,10 @@ from .ops import (make_mesh, shard_vector, shard_banded,
                   LocalBandedOperator)
 from .krylov import expv_sharded, phiv_sharded, make_expv_step
 from .gspmd import shard_operator
+from .stencil import shard_stencil, LocalStencilOperator
 
 __all__ = [
     "make_mesh", "shard_vector", "shard_banded", "LocalBandedOperator",
     "expv_sharded", "phiv_sharded", "make_expv_step", "shard_operator",
+    "shard_stencil", "LocalStencilOperator",
 ]

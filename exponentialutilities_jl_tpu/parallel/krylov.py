@@ -24,29 +24,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.expv import expv_from_basis
 from ..models.phiv import phiv_from_basis
 from ..ops.sparse import BandedOperator
+from ..ops.stencil import StencilOperator
 from .ops import shard_banded, shard_vector
+from .stencil import shard_stencil
 
 __all__ = ["expv_sharded", "phiv_sharded", "make_expv_step"]
 
 
-def _sharded_call(op: BandedOperator, mesh: Mesh, axis_name: str | None,
-                  body):
+def _shard_op(op, mesh: Mesh, axis: str):
+    """Dispatch: (params, make_local, param_spec) for a shardable operator."""
+    if isinstance(op, BandedOperator):
+        params, make_local = shard_banded(op, mesh, axis)
+        return params, make_local, P(None, axis)
+    if isinstance(op, StencilOperator):
+        params, make_local = shard_stencil(op, mesh, axis)
+        return params, make_local, P()
+    raise TypeError(
+        f"no sharding rule for operator type {type(op).__name__}; "
+        "use a BandedOperator or StencilOperator (or the GSPMD path, "
+        "parallel/gspmd.py)")
+
+
+def _sharded_call(op, mesh: Mesh, axis_name: str | None, body):
     """Run ``body(local_op, b_local) -> row-sharded result`` under shard_map."""
     axis = axis_name or mesh.axis_names[0]
-    diags_sharded, make_local = shard_banded(op, mesh, axis)
+    params, make_local, pspec = _shard_op(op, mesh, axis)
 
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, axis), P(axis)),
+        in_specs=(pspec, P(axis)),
         out_specs=P(axis))
-    def run(diags_local, b_local):
-        return body(make_local(diags_local), b_local)
+    def run(params_local, b_local):
+        return body(make_local(params_local), b_local)
 
-    return run, diags_sharded
+    return run, params
 
 
-def expv_sharded(t, op: BandedOperator, b, mesh: Mesh, *, m: int = 30,
+def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
                  tol: float = 1e-7, iop: int = 0, reorth: bool = True,
                  hermitian: bool | None = None,
                  axis_name: str | None = None):
@@ -67,11 +82,11 @@ def expv_sharded(t, op: BandedOperator, b, mesh: Mesh, *, m: int = 30,
                             reorth=reorth, hermitian=herm, axis_name=axis)
         return expv_from_basis(t, Ks)
 
-    run, diags_sharded = _sharded_call(op, mesh, axis, body)
-    return run(diags_sharded, shard_vector(b, mesh, axis))
+    run, params = _sharded_call(op, mesh, axis, body)
+    return run(params, shard_vector(b, mesh, axis))
 
 
-def phiv_sharded(t, op: BandedOperator, b, k: int, mesh: Mesh, *,
+def phiv_sharded(t, op, b, k: int, mesh: Mesh, *,
                  m: int = 30, tol: float = 1e-7, iop: int = 0,
                  correct: bool = False, reorth: bool = True,
                  hermitian: bool | None = None,
@@ -82,24 +97,24 @@ def phiv_sharded(t, op: BandedOperator, b, k: int, mesh: Mesh, *,
     axis = axis_name or mesh.axis_names[0]
     herm = op.is_hermitian if hermitian is None else hermitian
     t = jnp.asarray(t)
-    diags_sharded, make_local = shard_banded(op, mesh, axis)
+    params, make_local, pspec = _shard_op(op, mesh, axis)
 
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, axis), P(axis)),
+        in_specs=(pspec, P(axis)),
         out_specs=(P(axis), P()))
-    def run(diags_local, b_local):
-        lop = make_local(diags_local)
+    def run(params_local, b_local):
+        lop = make_local(params_local)
         Ks = build_subspace(lop, b_local, m, tol=tol, iop=iop,
                             reorth=reorth, hermitian=herm, axis_name=axis)
         w, err = phiv_from_basis(t, Ks, k, correct=correct)
         return w, err
 
-    return run(diags_sharded, shard_vector(b, mesh, axis))
+    return run(params, shard_vector(b, mesh, axis))
 
 
-def make_expv_step(op: BandedOperator, mesh: Mesh, *, m: int = 30,
+def make_expv_step(op, mesh: Mesh, *, m: int = 30,
                    tol: float = 1e-7, hermitian: bool | None = None,
                    axis_name: str | None = None):
     """AOT-style factory: returns ``(step, diags_sharded)`` where
@@ -113,19 +128,19 @@ def make_expv_step(op: BandedOperator, mesh: Mesh, *, m: int = 30,
 
     axis = axis_name or mesh.axis_names[0]
     herm = op.is_hermitian if hermitian is None else hermitian
-    diags_sharded, make_local = shard_banded(op, mesh, axis)
+    params, make_local, pspec = _shard_op(op, mesh, axis)
 
     @jax.jit
-    def step(t, diags, b):
+    def step(t, params_, b):
         @functools.partial(
             jax.shard_map, mesh=mesh,
-            in_specs=(P(None, axis), P(axis)),
+            in_specs=(pspec, P(axis)),
             out_specs=P(axis))
-        def run(diags_local, b_local):
-            lop = make_local(diags_local)
+        def run(params_local, b_local):
+            lop = make_local(params_local)
             Ks = build_subspace(lop, b_local, m, tol=tol, hermitian=herm,
                                 axis_name=axis)
             return expv_from_basis(t, Ks)
-        return run(diags, b)
+        return run(params_, b)
 
-    return step, diags_sharded
+    return step, params

@@ -151,3 +151,57 @@ class TestGspmdAutoSharding:
         oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ b
         np.testing.assert_allclose(np.asarray(w).ravel(), oracle, rtol=1e-6,
                                    atol=1e-8)
+
+
+class TestShardedStencil:
+    """Plane-halo sharded stencil operators (parallel/stencil.py)."""
+
+    def test_matvec_matches_global(self, mesh, rng):
+        import functools
+        from exponentialutilities_jl_tpu import laplacian_nd_stencil
+        from exponentialutilities_jl_tpu.parallel import shard_stencil
+        st = laplacian_nd_stencil(16, 4, 4)   # 256 points, axis0=16 over 8
+        x = jnp.asarray(rng.standard_normal(256))
+        coeffs, make_local = shard_stencil(st, mesh)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(), P("shard")),
+                           out_specs=P("shard"))
+        def mv(c, x_local):
+            return make_local(c).matvec(x_local)
+
+        y = mv(coeffs, shard_vector(x, mesh))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(st.matvec(x)),
+                                   rtol=1e-13, atol=1e-13)
+
+    def test_expv_sharded_stencil(self, mesh, rng):
+        from exponentialutilities_jl_tpu import laplacian_nd_stencil
+        st = laplacian_nd_stencil(16, 4, 4)
+        b = jnp.asarray(rng.standard_normal(256))
+        w = expv_sharded(0.1, st, b, mesh, m=40)
+        dense = np.asarray(st.to_banded().to_dense())
+        oracle = sla.expm(0.1 * dense) @ np.asarray(b)
+        np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9,
+                                   atol=1e-10)
+
+    def test_phiv_sharded_stencil(self, mesh, rng):
+        from exponentialutilities_jl_tpu import laplacian_nd_stencil, phiv
+        st = laplacian_nd_stencil(16, 4, 4)
+        b = jnp.asarray(rng.standard_normal(256))
+        w_s, err_s = phiv_sharded(0.2, st, b, 2, mesh, m=30)
+        w_d, err_d = phiv(0.2, st, b, 2, m=30, errest=True,
+                          reduced="device")
+        np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_d),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_make_expv_step_stencil(self, mesh, rng):
+        from exponentialutilities_jl_tpu import laplacian_nd_stencil
+        from exponentialutilities_jl_tpu.parallel import make_expv_step
+        st = laplacian_nd_stencil(16, 4, 4)
+        step, params = make_expv_step(st, mesh, m=20)
+        b = shard_vector(jnp.asarray(rng.standard_normal(256)), mesh)
+        w = step(0.1, params, b)
+        dense = np.asarray(st.to_banded().to_dense())
+        np.testing.assert_allclose(np.asarray(w),
+                                   sla.expm(0.1 * dense) @ np.asarray(b),
+                                   rtol=1e-9, atol=1e-10)
