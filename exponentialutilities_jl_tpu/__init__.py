@@ -25,7 +25,9 @@ from .ops.phi_dense import phi, phi_scalar, phi_with_info, phiv_dense
 from .ops.krylov import KrylovBasis, arnoldi, lanczos
 from .models.expv import expv, expv_from_basis, build_subspace, make_expv
 from .models.phiv import phiv, phiv_from_basis, make_phiv
-from .models.timestepping import expv_timestep, phiv_timestep, TimestepStats
+from .models.timestepping import (expv_timestep, phiv_timestep,
+                                  TimestepStats, phiv_timestep_fused,
+                                  expv_timestep_fused)
 from .models.kiops import kiops, KiopsStats, AugmentedOperator
 from .models.expv_taylor import expv_taylor
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
@@ -48,6 +50,7 @@ __all__ = [
     "expv", "expv_from_basis", "phiv", "phiv_from_basis",
     "make_expv", "make_phiv",
     "expv_timestep", "phiv_timestep", "TimestepStats",
+    "phiv_timestep_fused", "expv_timestep_fused",
     "kiops", "KiopsStats", "AugmentedOperator", "expv_taylor",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",

@@ -36,7 +36,8 @@ from ..utils.linop import LinearOperator, aslinearoperator
 from .expv import build_subspace
 from .phiv import phiv_from_basis
 
-__all__ = ["expv_timestep", "phiv_timestep", "TimestepStats"]
+__all__ = ["expv_timestep", "phiv_timestep", "TimestepStats",
+           "phiv_timestep_fused", "expv_timestep_fused"]
 
 # m bucket ladder (ratio ≈ 4/3, matching NW's m_new ∈ [3m/4, 4m/3] move cap):
 # bounds the number of distinct compiled kernel sizes per solve.
@@ -281,3 +282,57 @@ def expv_timestep(ts, A, b, **kwargs):
     ``phiv_timestep`` (reference: src/krylov_phiv_adaptive.jl:49-91)."""
     b = jnp.asarray(b)
     return phiv_timestep(ts, A, b[:, None], **kwargs)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "m", "nsteps", "iop",
+                                             "correct", "hermitian"))
+def _phiv_timestep_fused(op, B, tend, p: int, m: int, nsteps: int, iop: int,
+                         correct: bool, hermitian: bool):
+    from .phiv import _phiv_from_basis_device
+
+    tend = jnp.asarray(tend)
+    tau = tend / nsteps
+
+    def body(carry, _):
+        u, t = carry
+        W = _compute_W(op, u, B, t, p)
+        Ks = build_subspace(op, W[:, p], m, iop=iop, hermitian=hermitian)
+        P, eps = _phiv_from_basis_device(tau, Ks, p + 1, correct)
+        u = _update_u(W, P, tau, p)
+        return (u, t + tau), eps
+
+    (u, _), eps_hist = jax.lax.scan(
+        body, (B[:, 0], jnp.zeros((), tend.dtype)), None, length=nsteps)
+    return u, eps_hist
+
+
+def phiv_timestep_fused(t_end, A, B, *, nsteps: int, m: int = 10,
+                        iop: int = 0, correct: bool = False,
+                        hermitian: bool | None = None):
+    """Fixed-(τ, m) Niesen–Wright stepping as ONE compiled program
+    (``lax.scan`` over substeps) — zero host round-trips per substep.
+
+    The adaptive ``phiv_timestep`` is the right tool when τ/m are unknown;
+    this is the production-serving form once they are: run the adaptive
+    driver once, read ``TimestepStats.final_tau / final_m``, and bake them
+    in here. Returns ``(u(t_end), eps_history)`` with the per-substep
+    error estimates for monitoring.
+    """
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    p = B.shape[1] - 1
+    herm = op.is_hermitian if hermitian is None else hermitian
+    m = min(m, op.shape[0])
+    return _phiv_timestep_fused(op, B, t_end, p, m, nsteps, iop, correct,
+                                herm)
+
+
+def expv_timestep_fused(t_end, A, b, *, nsteps: int, m: int = 10,
+                        iop: int = 0, hermitian: bool | None = None):
+    """``exp(t_end·A) b`` by fixed-τ substepping in one compiled program
+    (the p = 0 case of ``phiv_timestep_fused``)."""
+    b = jnp.asarray(b)
+    return phiv_timestep_fused(t_end, A, b[:, None], nsteps=nsteps, m=m,
+                               iop=iop, hermitian=hermitian)

@@ -206,3 +206,44 @@ class TestWarmup:
         out = warmup(n=64, m=8, dtype=jnp.float64, dense=False,
                      mesh=make_mesh(8))
         assert "expv_sharded" in out
+
+
+class TestFusedTimestep:
+    """One-jit fixed-tau stepping (phiv_timestep_fused)."""
+
+    def test_expv_fused_vs_expm(self, rng):
+        import scipy.linalg as sla
+        from exponentialutilities_jl_tpu import expv_timestep_fused
+        n = 60
+        A = rng.standard_normal((n, n)) / 8
+        b = rng.standard_normal(n)
+        u, eps = expv_timestep_fused(1.0, jnp.asarray(A), jnp.asarray(b),
+                                     nsteps=8, m=20)
+        oracle = sla.expm(A) @ b
+        np.testing.assert_allclose(np.asarray(u), oracle, rtol=1e-8,
+                                   atol=1e-10)
+        assert eps.shape == (8,)
+
+    def test_phiv_fused_matches_host_driver(self, rng):
+        from exponentialutilities_jl_tpu import (phiv_timestep,
+                                                 phiv_timestep_fused)
+        n = 50
+        A = rng.standard_normal((n, n)) / 10
+        B = rng.standard_normal((n, 3))
+        u, _ = phiv_timestep_fused(0.8, jnp.asarray(A), jnp.asarray(B),
+                                   nsteps=4, m=25)
+        U = phiv_timestep(0.8, jnp.asarray(A), jnp.asarray(B), tau=0.2,
+                          m=25, adaptive=False)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(U), rtol=1e-7,
+                                   atol=1e-9)
+
+    def test_fused_hermitian_stencil(self, rng):
+        import scipy.linalg as sla
+        from exponentialutilities_jl_tpu import (expv_timestep_fused,
+                                                 laplacian_1d)
+        op = laplacian_1d(64)
+        b = rng.standard_normal(64)
+        u, _ = expv_timestep_fused(0.5, op, jnp.asarray(b), nsteps=4, m=20)
+        oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(np.asarray(u), oracle, rtol=1e-8,
+                                   atol=1e-10)
