@@ -108,7 +108,8 @@ def expv_from_basis(t, Ks: KrylovBasis, *, reduced: str = "device"):
 def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
          mode: str = "happy_breakdown", reorth: bool = True,
          hermitian: bool | None = None, atol: float = 1e-8,
-         rtol: float | None = None, reduced: str | None = None):
+         rtol: float | None = None, reduced: str | None = None,
+         two_pass: bool = False):
     """Compute ``exp(tA) b`` with a Krylov approximation
     (reference: ``expv``, src/krylov_phiv.jl:108-151).
 
@@ -135,6 +136,12 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
         from ..ops.host_reduced import reduced_default
         reduced = reduced_default()
     if mode == "happy_breakdown":
+        herm = op.is_hermitian if hermitian is None else hermitian
+        if two_pass:
+            if not herm:
+                raise NotImplementedError(
+                    "two_pass expv requires a Hermitian operator (Lanczos)")
+            return _expv_two_pass(op, b, t, m)
         Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
                             hermitian=hermitian)
         return expv_from_basis(t, Ks, reduced=reduced)
@@ -245,4 +252,34 @@ def _expv_error_estimate(op, b, t, m: int, atol: float, rtol: float):
                      jnp.asarray(beta0 == 0)))
     w = ev @ V[:m].astype(ev.dtype)
     out = beta0.astype(w.dtype) * w
+    return jnp.where(beta0 > 0, out, jnp.zeros_like(out))
+
+
+@functools.partial(jax.jit, static_argnames=("m", "axis_name"))
+@mxu_full_precision
+def _expv_two_pass(op, b, t, m: int, axis_name: str | None = None):
+    """Storage-free Hermitian expv: two Lanczos passes, no (m+1, n) basis.
+
+    Large-n XLA loops cannot append basis rows in place (stacked loop
+    outputs are copied — measured 2.2 vs 0.6 ms/iteration at n = 10M), so
+    for big problems it is cheaper to run the three-term recurrence twice:
+    pass 1 records (α, β), the reduced tridiagonal exponential gives the
+    combination coefficients, pass 2 regenerates each v_j and accumulates
+    ``w = β₀ Σ_j coeffs[j] v_j`` on the fly. 2m matvecs, O(n) memory.
+    """
+    from ..ops.krylov import lanczos_coeffs, lanczos_replay
+
+    b = jnp.asarray(b)
+    t = jnp.asarray(t)
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs(
+        op, b, m, axis_name=axis_name)
+    # Masked tridiagonal: trailing zero α/β → block-diagonal; e₁ excites
+    # only the effective leading block (same argument as _exp_reduced_e1).
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1))
+    w_eig, Q = jnp.linalg.eigh(T)
+    cdt = jnp.result_type(Q.dtype, t.dtype)
+    coeffs = (Q.astype(cdt) @ (jnp.exp(t * w_eig) * Q[0, :].astype(cdt))
+              * beta0.astype(cdt))
+    out = lanczos_replay(op, b, coeffs, alphas, betas, m,
+                         axis_name=axis_name)
     return jnp.where(beta0 > 0, out, jnp.zeros_like(out))

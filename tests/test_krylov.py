@@ -318,3 +318,33 @@ class TestArnoldiExtend:
         Ks = lanczos(op, jnp.asarray(rng.standard_normal(20)), 5)
         with pytest.raises(ValueError, match="Lanczos"):
             arnoldi_extend(op, Ks, 10)
+
+
+class TestTwoPassExpv:
+    """Storage-free two-pass Lanczos expv (large-n path)."""
+
+    def test_matches_basis_path(self, rng):
+        op = eu.laplacian_1d(96)
+        b = jnp.asarray(rng.standard_normal(96))
+        w1 = eu.expv(0.5, op, b, m=40, reduced="device")
+        w2 = eu.expv(0.5, op, b, m=40, two_pass=True)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_vs_scipy(self, rng):
+        op = eu.poisson_2d(8, 8)
+        b = rng.standard_normal(64)
+        w = eu.expv(0.1, op, jnp.asarray(b), m=40, two_pass=True)
+        oracle = sla.expm(0.1 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9,
+                                   atol=1e-10)
+
+    def test_rejects_nonhermitian(self, rng):
+        with pytest.raises(NotImplementedError, match="Hermitian"):
+            eu.expv(1.0, rng.standard_normal((10, 10)),
+                    rng.standard_normal(10), two_pass=True, hermitian=False)
+
+    def test_zero_vector(self, rng):
+        op = eu.laplacian_1d(32)
+        w = eu.expv(1.0, op, np.zeros(32), m=10, two_pass=True)
+        assert np.all(np.asarray(w) == 0)
