@@ -64,20 +64,27 @@ def _sharded_call(op, mesh: Mesh, axis_name: str | None, body):
 def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
                  tol: float = 1e-7, iop: int = 0, reorth: bool = True,
                  hermitian: bool | None = None,
-                 axis_name: str | None = None):
+                 axis_name: str | None = None, two_pass: bool = False):
     """``exp(tA) b`` with A row-partitioned over ``mesh``.
 
     ``b`` may be a global (replicated or host) array or already sharded;
     the result is row-sharded the same way. One compiled program covers
-    any device count of the same mesh shape.
+    any device count of the same mesh shape. ``two_pass=True`` uses the
+    storage-free Lanczos (Hermitian only) — per-shard memory O(n_local)
+    instead of O(m·n_local), the scale-out form for huge n.
     """
     from ..models.expv import build_subspace
 
     axis = axis_name or mesh.axis_names[0]
     herm = op.is_hermitian if hermitian is None else hermitian
     t = jnp.asarray(t)
+    if two_pass and not herm:
+        raise NotImplementedError("two_pass requires a Hermitian operator")
 
     def body(lop, b_local):
+        if two_pass:
+            from ..models.expv import _expv_two_pass
+            return _expv_two_pass(lop, b_local, t, m, axis_name=axis)
         Ks = build_subspace(lop, b_local, m, tol=tol, iop=iop,
                             reorth=reorth, hermitian=herm, axis_name=axis)
         return expv_from_basis(t, Ks)

@@ -205,3 +205,13 @@ class TestShardedStencil:
         np.testing.assert_allclose(np.asarray(w),
                                    sla.expm(0.1 * dense) @ np.asarray(b),
                                    rtol=1e-9, atol=1e-10)
+
+
+def test_expv_sharded_two_pass(mesh, rng):
+    """Storage-free two-pass Lanczos under shard_map (psum reductions +
+    halo matvec, O(n_local) memory per shard)."""
+    op = laplacian_1d(256)
+    b = jnp.asarray(rng.standard_normal(256))
+    w = expv_sharded(0.5, op, b, mesh, m=40, two_pass=True)
+    oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ np.asarray(b)
+    np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9, atol=1e-10)
