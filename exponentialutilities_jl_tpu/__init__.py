@@ -23,7 +23,8 @@ from .ops.expm import (expm, expm_higham2005, expm_generic,
                        expm_diagonalization, expm_native, balance_matrix)
 from .ops.phi_dense import phi, phi_scalar, phi_with_info, phiv_dense
 from .ops.krylov import KrylovBasis, arnoldi, lanczos
-from .models.expv import expv, expv_from_basis, build_subspace, make_expv
+from .models.expv import (expv, expv_from_basis, build_subspace, make_expv,
+                          expv_batched)
 from .models.phiv import phiv, phiv_from_basis, make_phiv
 from .models.timestepping import (expv_timestep, phiv_timestep,
                                   TimestepStats, phiv_timestep_fused,
@@ -48,7 +49,7 @@ __all__ = [
     "phi", "phi_scalar", "phi_with_info", "phiv_dense",
     "KrylovBasis", "arnoldi", "lanczos", "build_subspace",
     "expv", "expv_from_basis", "phiv", "phiv_from_basis",
-    "make_expv", "make_phiv",
+    "make_expv", "make_phiv", "expv_batched",
     "expv_timestep", "phiv_timestep", "TimestepStats",
     "phiv_timestep_fused", "expv_timestep_fused",
     "kiops", "KiopsStats", "AugmentedOperator", "expv_taylor",

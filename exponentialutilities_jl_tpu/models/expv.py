@@ -34,7 +34,8 @@ from ..ops.expm import expm_higham2005
 from ..ops.krylov import KrylovBasis, arnoldi, lanczos
 from ..utils.linop import LinearOperator, aslinearoperator
 
-__all__ = ["expv", "expv_from_basis", "build_subspace", "make_expv"]
+__all__ = ["expv", "expv_from_basis", "build_subspace", "make_expv",
+           "expv_batched"]
 
 
 def build_subspace(op: LinearOperator, b, m: int, *, tol: float = 1e-7,
@@ -283,3 +284,23 @@ def _expv_two_pass(op, b, t, m: int, axis_name: str | None = None):
     out = lanczos_replay(op, b, coeffs, alphas, betas, m,
                          axis_name=axis_name)
     return jnp.where(beta0 > 0, out, jnp.zeros_like(out))
+
+
+def expv_batched(t, A, B, *, m: int = 30, tol: float = 1e-7,
+                 hermitian: bool | None = None, reduced: str | None = None,
+                 two_pass: bool = False):
+    """``exp(tA) b_i`` for a batch of right-hand sides B (batch, n) — one
+    independent Krylov subspace per column, batched by ``vmap`` (a
+    capability the reference lacks; its expv is one b at a time).
+
+    Under GSPMD this composes with a 2-D (data × rows) mesh: shard B as
+    ``P("data", "shard")`` and the operator rows as ``P(..., "shard")``
+    and the batch parallelizes across the "data" axis while each subspace
+    build parallelizes across "shard".
+    """
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    B = jnp.asarray(B)
+    return jax.vmap(
+        lambda b: expv(t, op, b, m=m, tol=tol, hermitian=hermitian,
+                       reduced="device" if reduced is None else reduced,
+                       two_pass=two_pass))(B)

@@ -37,6 +37,12 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "shard") -> Mesh:
     """A 1-D mesh over the first ``n_devices`` devices (default: all)."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                "device(s) are visible; for a virtual CPU mesh set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                "JAX_PLATFORMS=cpu before jax initializes a backend")
         devs = devs[:n_devices]
     return Mesh(devs, (axis_name,))
 

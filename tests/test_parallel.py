@@ -215,3 +215,24 @@ def test_expv_sharded_two_pass(mesh, rng):
     w = expv_sharded(0.5, op, b, mesh, m=40, two_pass=True)
     oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ np.asarray(b)
     np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9, atol=1e-10)
+
+
+def test_2d_mesh_batched_expv(rng):
+    """dp × rows 2-D mesh: batch of RHS sharded on "data", operator rows on
+    "shard" — GSPMD parallelizes both axes (the dp+sp composition)."""
+    from jax.sharding import Mesh, NamedSharding
+    from exponentialutilities_jl_tpu import BandedOperator, expv_batched
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("data", "shard"))
+    op = laplacian_1d(128)
+    diags_s = jax.device_put(op.diags, NamedSharding(mesh2, P(None, "shard")))
+    op_s = BandedOperator(diags_s, op.offsets, is_hermitian=True)
+    B = rng.standard_normal((4, 128))
+    B_s = jax.device_put(jnp.asarray(B),
+                         NamedSharding(mesh2, P("data", "shard")))
+    W = expv_batched(0.3, op_s, B_s, m=30)
+    E = sla.expm(0.3 * np.asarray(op.to_dense()))
+    np.testing.assert_allclose(np.asarray(W), (E @ B.T).T, rtol=1e-10,
+                               atol=1e-12)
+    assert "data" in str(W.sharding) and "shard" in str(W.sharding)
