@@ -28,9 +28,7 @@ def main():
     import jax.numpy as jnp
 
     from exponentialutilities_jl_tpu import BandedOperator, laplacian_1d
-    from exponentialutilities_jl_tpu.models.expv import (_combine_expv,
-                                                        _exp_reduced_e1,
-                                                        build_subspace)
+    from exponentialutilities_jl_tpu.models.expv import _expv_two_pass
 
     backend = jax.default_backend()
     n = 100_000
@@ -48,8 +46,8 @@ def main():
         lop = BandedOperator(diags, (-1, 0, 1), is_hermitian=True)
 
         def body(i, b):
-            Ks = build_subspace(lop, b, m)
-            w = _combine_expv(Ks, _exp_reduced_e1(Ks, t))
+            # storage-free two-pass Lanczos: no (m+1, n) basis buffer
+            w = _expv_two_pass(lop, b, t, m)
             return w / jnp.linalg.norm(w)
 
         return jnp.sum(jax.lax.fori_loop(0, K, body, b))
@@ -70,8 +68,7 @@ def main():
     @jax.jit
     def single(diags, b):
         lop = BandedOperator(diags, (-1, 0, 1), is_hermitian=True)
-        Ks = build_subspace(lop, b, m)
-        return _combine_expv(Ks, _exp_reduced_e1(Ks, t))
+        return _expv_two_pass(lop, b, t, m)
 
     w = np.asarray(single(op.diags, b), np.float64)
     A = sp.diags([np.ones(n - 1), -2 * np.ones(n), np.ones(n - 1)],

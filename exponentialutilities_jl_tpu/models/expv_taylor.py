@@ -34,7 +34,7 @@ from jax import lax
 
 from ..utils.precision import mxu_full_precision
 
-from ..utils.linop import LinearOperator, aslinearoperator
+from ..utils.linop import LinearOperator
 
 __all__ = ["expv_taylor", "taylor_theta"]
 

@@ -19,7 +19,6 @@ points that close over the mesh live in parallel/krylov.py.
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -348,3 +348,13 @@ class TestTwoPassExpv:
         op = eu.laplacian_1d(32)
         w = eu.expv(1.0, op, np.zeros(32), m=10, two_pass=True)
         assert np.all(np.asarray(w) == 0)
+
+
+def test_make_expv_bake_operator(rng):
+    op = eu.laplacian_1d(64)
+    b = jnp.asarray(rng.standard_normal(64))
+    fn_arg = eu.make_expv(op, m=30)
+    fn_baked = eu.make_expv(op, m=30, bake_operator=True)
+    np.testing.assert_allclose(np.asarray(fn_baked(0.3, b)),
+                               np.asarray(fn_arg(0.3, b)), rtol=1e-12,
+                               atol=1e-14)
