@@ -28,7 +28,7 @@ from .models.expv import (expv, expv_from_basis, build_subspace, make_expv,
 from .models.phiv import phiv, phiv_from_basis, make_phiv
 from .models.timestepping import (expv_timestep, phiv_timestep,
                                   TimestepStats, phiv_timestep_fused,
-                                  expv_timestep_fused)
+                                  expv_timestep_fused, make_phiv_timestep)
 from .models.kiops import kiops, KiopsStats, AugmentedOperator
 from .models.expv_taylor import expv_taylor
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
@@ -51,7 +51,7 @@ __all__ = [
     "expv", "expv_from_basis", "phiv", "phiv_from_basis",
     "make_expv", "make_phiv", "expv_batched",
     "expv_timestep", "phiv_timestep", "TimestepStats",
-    "phiv_timestep_fused", "expv_timestep_fused",
+    "phiv_timestep_fused", "expv_timestep_fused", "make_phiv_timestep",
     "kiops", "KiopsStats", "AugmentedOperator", "expv_taylor",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",

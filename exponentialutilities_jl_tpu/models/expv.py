@@ -110,7 +110,7 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
          mode: str = "happy_breakdown", reorth: bool = True,
          hermitian: bool | None = None, atol: float = 1e-8,
          rtol: float | None = None, reduced: str | None = None,
-         two_pass: bool = False):
+         two_pass: bool = False, return_info: bool = False):
     """Compute ``exp(tA) b`` with a Krylov approximation
     (reference: ``expv``, src/krylov_phiv.jl:108-151).
 
@@ -129,6 +129,9 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
       reduced: where to evaluate the small reduced exponential —
         "device" | "host" | None (auto: host on a TPU backend with x64,
         matching the reference's host-LAPACK split; see ops/host_reduced.py).
+      return_info: in error_estimate mode, also return the number of
+        Lanczos iterations taken (the reference's verbose iteration count,
+        src/krylov_phiv_error_estimate.jl:128-143).
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
     b = jnp.asarray(b)
@@ -154,7 +157,8 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
                 "(reference: src/krylov_phiv_error_estimate.jl:74-79)")
         if rtol is None:
             rtol = float(jnp.sqrt(tol))
-        return _expv_error_estimate(op, b, t, m, atol, rtol)
+        w, iters = _expv_error_estimate(op, b, t, m, atol, rtol)
+        return (w, iters) if return_info else w
     raise ValueError(f"unknown expv mode {mode!r}")
 
 
@@ -269,7 +273,7 @@ def _expv_error_estimate(op, b, t, m: int, atol: float, rtol: float):
                      jnp.asarray(beta0 == 0)))
     w = ev @ V[:m].astype(ev.dtype)
     out = beta0.astype(w.dtype) * w
-    return jnp.where(beta0 > 0, out, jnp.zeros_like(out))
+    return jnp.where(beta0 > 0, out, jnp.zeros_like(out)), j
 
 
 @functools.partial(jax.jit, static_argnames=("m", "axis_name"))

@@ -37,7 +37,8 @@ from .expv import build_subspace
 from .phiv import phiv_from_basis
 
 __all__ = ["expv_timestep", "phiv_timestep", "TimestepStats",
-           "phiv_timestep_fused", "expv_timestep_fused"]
+           "phiv_timestep_fused", "expv_timestep_fused",
+           "make_phiv_timestep"]
 
 # m bucket ladder (ratio ≈ 4/3, matching NW's m_new ∈ [3m/4, 4m/3] move cap):
 # bounds the number of distinct compiled kernel sizes per solve.
@@ -336,3 +337,35 @@ def expv_timestep_fused(t_end, A, b, *, nsteps: int, m: int = 10,
     b = jnp.asarray(b)
     return phiv_timestep_fused(t_end, A, b[:, None], nsteps=nsteps, m=m,
                                iop=iop, hermitian=hermitian)
+
+
+def make_phiv_timestep(t_end, A, B, *, tol: float = 1e-7, m: int = 10,
+                       iop: int = 0, correct: bool = False,
+                       hermitian: bool | None = None, safety: float = 0.8):
+    """Calibrate-then-fuse: run the adaptive Niesen–Wright driver ONCE to
+    find a working (τ, m), then return a fully fused fixed-(τ, m) stepper
+    ``fn(B) -> (u(t_end), eps_history)`` — one compiled program per call,
+    no host round-trips (the production-serving form of C11).
+
+    ``safety`` shrinks the calibrated τ so the fixed grid stays inside the
+    accepted-error region for nearby inputs.
+    """
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    _, stats = phiv_timestep(float(t_end), op, B, tol=tol, m=m, iop=iop,
+                             correct=correct, adaptive=True,
+                             hermitian=hermitian, return_stats=True)
+    tau = max(stats.final_tau * safety, 1e-300)
+    nsteps = max(1, int(math.ceil(float(t_end) / tau)))
+    m_cal = max(stats.final_m, 2)
+
+    def fn(B_new):
+        return phiv_timestep_fused(float(t_end), op, B_new, nsteps=nsteps,
+                                   m=m_cal, iop=iop, correct=correct,
+                                   hermitian=hermitian)
+
+    fn.nsteps = nsteps
+    fn.m = m_cal
+    return fn

@@ -358,3 +358,14 @@ def test_make_expv_bake_operator(rng):
     np.testing.assert_allclose(np.asarray(fn_baked(0.3, b)),
                                np.asarray(fn_arg(0.3, b)), rtol=1e-12,
                                atol=1e-14)
+
+
+def test_error_estimate_return_info(rng):
+    n = 60
+    A = rng.standard_normal((n, n)); A = (A + A.T) / 2
+    b = rng.standard_normal(n)
+    w, iters = eu.expv(0.1, A, b, m=60, mode="error_estimate", atol=1e-10,
+                       rtol=1e-10, return_info=True)
+    assert 1 <= int(iters) < 60   # early termination actually triggered
+    exact = sla.expm(0.1 * A) @ b
+    assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-8

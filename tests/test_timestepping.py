@@ -247,3 +247,21 @@ class TestFusedTimestep:
         oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ b
         np.testing.assert_allclose(np.asarray(u), oracle, rtol=1e-8,
                                    atol=1e-10)
+
+
+def test_make_phiv_timestep_calibrated(rng):
+    """Calibrate-then-fuse serving wrapper matches the adaptive driver."""
+    import scipy.linalg as sla
+    from exponentialutilities_jl_tpu import make_phiv_timestep
+    n = 60
+    A = rng.standard_normal((n, n)) / 8
+    B = rng.standard_normal((n, 2))
+    fn = make_phiv_timestep(1.0, jnp.asarray(A), jnp.asarray(B), tol=1e-8,
+                            m=15)
+    u, eps = fn(jnp.asarray(B))
+    # oracle: u = phi0(A)b0 + phi1(A)b1
+    E = np.zeros((n, 1)); E[:, 0] = B[:, 1]
+    F = sla.expm(np.block([[A, E], [np.zeros((1, n + 1))]]))
+    oracle = sla.expm(A) @ B[:, 0] + F[:n, n]
+    np.testing.assert_allclose(np.asarray(u), oracle, rtol=1e-6, atol=1e-8)
+    assert fn.nsteps >= 1 and eps.shape == (fn.nsteps,)
