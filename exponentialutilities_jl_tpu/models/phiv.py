@@ -116,7 +116,8 @@ def make_phiv(op, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
 
 def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
          correct: bool = False, errest: bool = False, reorth: bool = True,
-         hermitian: bool | None = None, reduced: str | None = None):
+         hermitian: bool | None = None, reduced: str | None = None,
+         two_pass: bool = False):
     """Compute ``[φ_0(tA)b … φ_k(tA)b]`` with a Krylov approximation
     (reference: ``phiv``, src/krylov_phiv.jl:519-531). ``k ≥ 1``.
 
@@ -128,7 +129,46 @@ def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
     if reduced is None:
         from ..ops.host_reduced import reduced_default
         reduced = reduced_default()
+    if two_pass:
+        herm = op.is_hermitian if hermitian is None else hermitian
+        if not herm:
+            raise NotImplementedError(
+                "two_pass phiv requires a Hermitian operator (Lanczos)")
+        w, err = _phiv_two_pass(op, b, t, m, k)
+        return (w, err) if errest else w
     Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
                         hermitian=hermitian)
     w, err = phiv_from_basis(t, Ks, k, correct=correct, reduced=reduced)
     return (w, err) if errest else w
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k", "axis_name"))
+def _phiv_two_pass(op, b, t, m: int, k: int, axis_name: str | None = None):
+    """Storage-free Hermitian φ-actions: (w (n, k+1), err) without the
+    (m+1, n) basis — pass 1 records the Lanczos (α, β), the reduced
+    augmented exponential gives per-order combination coefficients, pass 2
+    regenerates the basis vectors and accumulates all k+1 columns at once
+    (same rationale as models/expv._expv_two_pass)."""
+    from ..ops.krylov import lanczos_coeffs, lanczos_replay
+
+    b = jnp.asarray(b)
+    t = jnp.asarray(t)
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs(
+        op, b, m, axis_name=axis_name)
+    dt = jnp.result_type(b.dtype, t.dtype)
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1)).astype(dt)
+    e1 = jnp.zeros((m,), dtype=dt).at[0].set(1)
+    C2 = phiv_dense(t.astype(dt) * T, e1, k)          # (m, k+1)
+    coeffs = C2 * beta0.astype(dt)                     # (m, k+1)
+    w = lanczos_replay(op, b, coeffs, alphas, betas, m,
+                       axis_name=axis_name)             # (n, k+1), one pass
+
+    last = jnp.maximum(m_used - 1, 0)
+    h_res = jnp.where(m_used < m, betas[jnp.minimum(m_used, m - 1)],
+                      betas[m - 1]).astype(dt)
+    err = jnp.abs(beta0.astype(dt) * h_res * t.astype(dt) * C2[last, k])
+    zero = beta0 > 0
+    w = jnp.where(zero, w, jnp.zeros_like(w))
+    err = jnp.where(zero, err, jnp.zeros_like(err))
+    return w, err

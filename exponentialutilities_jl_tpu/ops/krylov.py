@@ -369,7 +369,11 @@ def lanczos_replay(op, b, coeffs, alphas, betas, m: int, *,
                    axis_name: str | None = None):
     """Pass 2 of storage-free Lanczos: ``w = Σ_j coeffs[j] · v_j`` by
     regenerating the basis vectors from the recorded (α, β) — bitwise the
-    same recurrence as pass 1, still no (m+1, n) storage."""
+    same recurrence as pass 1, still no (m+1, n) storage.
+
+    ``coeffs`` may be (m,) → w (n,), or (m, p) → w (n, p) (all p
+    combinations accumulated in the single replay — used by the two-pass
+    φ-actions)."""
     b = jnp.asarray(b)
     dt = b.dtype
     rdt = jnp.finfo(dt).dtype
@@ -378,9 +382,14 @@ def lanczos_replay(op, b, coeffs, alphas, betas, m: int, *,
           .astype(rdt) * b).astype(dt)
     cdt = coeffs.dtype
 
+    def accum(w, vc, cj):
+        if coeffs.ndim == 1:
+            return w + cj * vc.astype(cdt)
+        return w + vc.astype(cdt)[:, None] * cj[None, :]
+
     def step(carry, j):
         vp, vc, w = carry
-        w = w + coeffs[j] * vc.astype(cdt)
+        w = accum(w, vc, coeffs[j])
         y = op.matvec(vc)
         y = y - alphas[j].astype(rdt) * vc
         bprev = jnp.where(j >= 1, betas[jnp.maximum(j - 1, 0)], 0.0)
@@ -389,7 +398,8 @@ def lanczos_replay(op, b, coeffs, alphas, betas, m: int, *,
                           _safe_normalize(y, betas[j], dt), 0)
         return (vc, vnext, w), None
 
+    w0 = (jnp.zeros_like(v0, dtype=cdt) if coeffs.ndim == 1
+          else jnp.zeros(v0.shape + coeffs.shape[1:], dtype=cdt))
     (_, _, w), _ = lax.scan(
-        step, (jnp.zeros_like(v0), v0, jnp.zeros_like(v0, dtype=cdt)),
-        jnp.arange(m))
+        step, (jnp.zeros_like(v0), v0, w0), jnp.arange(m))
     return w

@@ -369,3 +369,21 @@ def test_error_estimate_return_info(rng):
     assert 1 <= int(iters) < 60   # early termination actually triggered
     exact = sla.expm(0.1 * A) @ b
     assert np.linalg.norm(np.asarray(w) - exact) / np.linalg.norm(exact) < 1e-8
+
+
+class TestTwoPassPhiv:
+    def test_matches_basis_path(self, rng):
+        op = eu.laplacian_1d(96)
+        b = jnp.asarray(rng.standard_normal(96))
+        w1, e1 = eu.phiv(0.3, op, b, 3, m=40, errest=True, reduced="device")
+        w2, e2 = eu.phiv(0.3, op, b, 3, m=40, errest=True, two_pass=True)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(float(e2), float(e1), rtol=1e-6,
+                                   atol=1e-15)
+
+    def test_rejects_nonhermitian(self, rng):
+        with pytest.raises(NotImplementedError, match="Hermitian"):
+            eu.phiv(1.0, rng.standard_normal((10, 10)),
+                    rng.standard_normal(10), 2, two_pass=True,
+                    hermitian=False)
