@@ -100,17 +100,43 @@ def config1():
 
 
 def config2():
-    """1-D Laplacian N=1e5 Lanczos expv — identical to bench.py; see its
-    JSON line for the headline number."""
-    import subprocess, sys, os
-    out = subprocess.run([sys.executable,
-                          os.path.join(os.path.dirname(__file__), "..",
-                                       "bench.py")],
-                         capture_output=True, text=True, timeout=1200)
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
-    d["config"] = 2
-    return d
+    """1-D Laplacian N=1e5 Lanczos expv — same workload as bench.py, run
+    in-process (a bench.py subprocess would deadlock with this process
+    over the single-chip remote-PJRT tunnel)."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from exponentialutilities_jl_tpu import StencilOperator
+    from exponentialutilities_jl_tpu.models.expv import _expv_two_pass
+
+    n, m, t = 100_000, 30, 0.5
+    dt = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+    coeffs = jnp.asarray([1.0, -2.0, 1.0], dtype=dt)
+    op = StencilOperator((n,), ((-1,), (0,), (1,)), coeffs,
+                         is_hermitian=True)
+    rng = np.random.default_rng(0)
+    b_host = rng.standard_normal(n)
+    bj = jnp.asarray(b_host, dtype=dt)
+
+    def step(v):
+        w = _expv_two_pass(op, v, t, m)
+        return w / jnp.linalg.norm(w)
+
+    t_expv = _chain_time(step, bj)
+
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import expm_multiply
+    A = sp.diags([np.ones(n - 1), -2 * np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1], format="csr")
+    t0 = time.perf_counter()
+    ref = expm_multiply(t * A, b_host)
+    scipy_ms = (time.perf_counter() - t0) * 1e3
+    from exponentialutilities_jl_tpu import expv
+    w = np.asarray(expv(t, op, bj, m=m, two_pass=True), np.float64)
+    err = float(np.linalg.norm(w - ref) / np.linalg.norm(ref))
+    return {"config": 2, "name": "laplacian1d_1e5_expv",
+            "expv_ms": round(t_expv * 1e3, 3),
+            "vs_scipy_expm_multiply": round(scipy_ms / (t_expv * 1e3), 1),
+            "rel_err": err}
 
 
 def config3():

@@ -55,6 +55,12 @@ class SparseELLOperator(LinearOperator):
 
     data: (n, w) values, zero in padded slots.
     cols: (n, w) int32 column indices, 0 in padded slots (safe: value is 0).
+
+    Performance note: the matvec is gather-based. XLA's gather lowering on
+    TPU is very slow (~1 GB/s measured on v5e); on TPU prefer
+    ``BlockELLOperator`` (Pallas kernel, 120 GB/s), ``BandedOperator``, or
+    ``StencilOperator`` — use ELL on TPU only for genuinely unstructured
+    sparsity at small n, or on CPU where the gather vectorizes fine.
     """
 
     data: jax.Array
