@@ -387,3 +387,14 @@ class TestTwoPassPhiv:
             eu.phiv(1.0, rng.standard_normal((10, 10)),
                     rng.standard_normal(10), 2, two_pass=True,
                     hermitian=False)
+
+
+def test_two_pass_complex_t(rng):
+    """Complex t on a real Hermitian basis through the storage-free path
+    (Schrödinger-type propagation)."""
+    op = eu.laplacian_1d(64)
+    b = rng.standard_normal(64)
+    t = 0.2j
+    w = eu.expv(t, op, jnp.asarray(b), m=40, two_pass=True)
+    oracle = sla.expm(t * np.asarray(op.to_dense())) @ b
+    np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9, atol=1e-10)

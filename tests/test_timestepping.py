@@ -265,3 +265,16 @@ def test_make_phiv_timestep_calibrated(rng):
     oracle = sla.expm(A) @ B[:, 0] + F[:n, n]
     np.testing.assert_allclose(np.asarray(u), oracle, rtol=1e-6, atol=1e-8)
     assert fn.nsteps >= 1 and eps.shape == (fn.nsteps,)
+
+
+def test_kiops_task1_scaling(rng):
+    """task1=True divides w(t) by t^p (reference: src/kiops.jl task1)."""
+    n = 40
+    A = rng.standard_normal((n, n)) / 10
+    b = rng.standard_normal(n)
+    B = jnp.asarray(np.stack([b, 0.5 * b], axis=1))
+    from exponentialutilities_jl_tpu import kiops
+    w1, _ = kiops([2.0], jnp.asarray(A), B, task1=False)
+    w2, _ = kiops([2.0], jnp.asarray(A), B, task1=True)
+    np.testing.assert_allclose(np.asarray(w2).ravel() * 2.0,
+                               np.asarray(w1).ravel(), rtol=1e-10)
