@@ -142,10 +142,14 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
     if mode == "happy_breakdown":
         herm = op.is_hermitian if hermitian is None else hermitian
         if two_pass:
-            if not herm:
-                raise NotImplementedError(
-                    "two_pass expv requires a Hermitian operator (Lanczos)")
-            return _expv_two_pass(op, b, t, m)
+            if herm:
+                return _expv_two_pass(op, b, t, m)
+            if iop <= 0:
+                raise ValueError(
+                    "non-Hermitian two_pass expv requires an IOP window "
+                    "(iop > 0): the rolling-window recurrence is what "
+                    "makes the replay storage-free")
+            return _expv_two_pass_arnoldi(op, b, t, m, iop)
         Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
                             hermitian=hermitian)
         return expv_from_basis(t, Ks, reduced=reduced)
@@ -324,3 +328,28 @@ def expv_batched(t, A, B, *, m: int = 30, tol: float = 1e-7,
         lambda b: expv(t, op, b, m=m, tol=tol, hermitian=hermitian,
                        reduced="device" if reduced is None else reduced,
                        two_pass=two_pass))(B)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "win", "axis_name"))
+@mxu_full_precision
+def _expv_two_pass_arnoldi(op, b, t, m: int, win: int,
+                           axis_name: str | None = None):
+    """Storage-free NON-Hermitian expv: two IOP-Arnoldi passes over a
+    (win, n) rolling window (ops/krylov.arnoldi_coeffs/arnoldi_replay).
+    The incomplete-orthogonalization approximation is the KIOPS working
+    regime (window 2, reference src/kiops.jl); accuracy matches
+    ``expv(..., iop=win, reorth=False)`` exactly — same recurrence, no
+    basis storage."""
+    from ..ops.krylov import (arnoldi_coeffs, arnoldi_replay,
+                              expand_compact_hessenberg)
+
+    b = jnp.asarray(b)
+    t = jnp.asarray(t)
+    Hc, beta0, m_used, broke = arnoldi_coeffs(op, b, m, win,
+                                              axis_name=axis_name)
+    H = expand_compact_hessenberg(Hc, win)
+    dt = jnp.result_type(H.dtype, t.dtype)
+    expHe = expm_higham2005((t.astype(dt) * H[:m, :m].astype(dt)))[:, 0]
+    coeffs = expHe * beta0.astype(dt)
+    w = arnoldi_replay(op, b, coeffs, Hc, m, win, axis_name=axis_name)
+    return jnp.where(beta0 > 0, w, jnp.zeros_like(w))

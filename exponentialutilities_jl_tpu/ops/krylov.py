@@ -38,7 +38,8 @@ from jax import lax
 from ..utils.precision import mxu_full_precision
 
 __all__ = ["KrylovBasis", "arnoldi", "arnoldi_extend", "lanczos",
-           "lanczos_coeffs", "lanczos_replay"]
+           "lanczos_coeffs", "lanczos_replay", "arnoldi_coeffs",
+           "arnoldi_replay", "expand_compact_hessenberg"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -402,4 +403,104 @@ def lanczos_replay(op, b, coeffs, alphas, betas, m: int, *,
           else jnp.zeros(v0.shape + coeffs.shape[1:], dtype=cdt))
     (_, _, w), _ = lax.scan(
         step, (jnp.zeros_like(v0), v0, w0), jnp.arange(m))
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("m", "win", "axis_name"))
+@mxu_full_precision
+def arnoldi_coeffs(op, b, m: int, win: int, *, tol: float = 1e-7,
+                   axis_name: str | None = None):
+    """Pass 1 of storage-free IOP Arnoldi: the compact Hessenberg WITHOUT
+    materializing the basis.
+
+    The IOP recurrence only ever reads the last ``win`` basis vectors, so
+    the loop carries a (win, n) rolling window instead of the (m+1, n)
+    basis (which XLA cannot append to in place — see lanczos_coeffs).
+
+    Returns (Hc, beta0, m_used, breakdown) with Hc (m, win+1) compact
+    columns: Hc[j, :win] are the projections onto the window rows
+    (oldest→newest) and Hc[j, win] = h_{j+1,j}.
+    """
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    dt = b.dtype
+    rdt = jnp.finfo(dt).dtype
+    beta0 = _pnorm(b, axis_name).astype(rdt)
+    v0 = (jnp.where(beta0 > 0, 1.0 / jnp.where(beta0 > 0, beta0, 1), 0.0)
+          .astype(rdt) * b).astype(dt)
+    W0 = jnp.zeros((win, n), dtype=dt).at[-1].set(v0)
+
+    def step(carry, j):
+        W, broke, m_used = carry
+        y = op.matvec(W[-1])
+        # window rows i correspond to basis indices j-win+1+i; valid ≥ 0.
+        wmask = (j - win + 1 + jnp.arange(win)) >= 0
+        h = jnp.where(wmask, _psum_maybe(W.conj() @ y, axis_name), 0)
+        y = y - h @ W
+        nrm = _pnorm(y, axis_name).astype(rdt)
+        now_broke = nrm < tol
+        active = jnp.logical_not(broke)
+        vnext = jnp.where(active & jnp.logical_not(now_broke),
+                          _safe_normalize(y, nrm, dt), 0)
+        hc = jnp.where(active,
+                       jnp.concatenate([h, nrm.astype(dt)[None]]), 0)
+        W = jnp.concatenate([W[1:], vnext[None]], axis=0)
+        m_used = jnp.where(active, (j + 1).astype(jnp.int32), m_used)
+        return (W, broke | now_broke, m_used), hc
+
+    (_, broke, m_used), Hc = lax.scan(
+        step, (W0, jnp.asarray(beta0 == 0), jnp.asarray(0, jnp.int32)),
+        jnp.arange(m))
+    m_used = jnp.where(beta0 == 0, 0, m_used).astype(jnp.int32)
+    return Hc, beta0, m_used, broke
+
+
+def expand_compact_hessenberg(Hc, win: int):
+    """(m, win+1) compact columns → full (m+1, m) banded Hessenberg."""
+    m = Hc.shape[0]
+    H = jnp.zeros((m + 1, m), dtype=Hc.dtype)
+    for j in range(m):
+        for i in range(win):
+            r = j - win + 1 + i
+            if r >= 0:
+                H = H.at[r, j].set(Hc[j, i])
+        H = H.at[j + 1, j].set(Hc[j, win])
+    return H
+
+
+@functools.partial(jax.jit, static_argnames=("m", "win", "axis_name"))
+@mxu_full_precision
+def arnoldi_replay(op, b, coeffs, Hc, m: int, win: int, *,
+                   axis_name: str | None = None):
+    """Pass 2: ``w = Σ_j coeffs[j] · v_j`` by regenerating the IOP basis
+    from the recorded compact Hessenberg — bitwise the same recurrence as
+    pass 1. coeffs (m,) or (m, p)."""
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    dt = b.dtype
+    rdt = jnp.finfo(dt).dtype
+    beta0 = _pnorm(b, axis_name).astype(rdt)
+    v0 = (jnp.where(beta0 > 0, 1.0 / jnp.where(beta0 > 0, beta0, 1), 0.0)
+          .astype(rdt) * b).astype(dt)
+    W0 = jnp.zeros((win, n), dtype=dt).at[-1].set(v0)
+    cdt = coeffs.dtype
+
+    def accum(w, vc, cj):
+        if coeffs.ndim == 1:
+            return w + cj * vc.astype(cdt)
+        return w + vc.astype(cdt)[:, None] * cj[None, :]
+
+    def step(carry, j):
+        W, w = carry
+        w = accum(w, W[-1], coeffs[j])
+        y = op.matvec(W[-1])
+        y = y - Hc[j, :win] @ W
+        nrm = jnp.real(Hc[j, win]).astype(rdt)
+        vnext = jnp.where(nrm > 0, _safe_normalize(y, nrm, dt), 0)
+        W = jnp.concatenate([W[1:], vnext[None]], axis=0)
+        return (W, w), None
+
+    w0 = (jnp.zeros((n,), dtype=cdt) if coeffs.ndim == 1
+          else jnp.zeros((n,) + coeffs.shape[1:], dtype=cdt))
+    (_, w), _ = lax.scan(step, (W0, w0), jnp.arange(m))
     return w

@@ -339,8 +339,10 @@ class TestTwoPassExpv:
         np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9,
                                    atol=1e-10)
 
-    def test_rejects_nonhermitian(self, rng):
-        with pytest.raises(NotImplementedError, match="Hermitian"):
+    def test_nonhermitian_needs_iop(self, rng):
+        # non-Hermitian two_pass is available via the IOP window; without
+        # a window it raises (see TestTwoPassArnoldi).
+        with pytest.raises(ValueError, match="iop"):
             eu.expv(1.0, rng.standard_normal((10, 10)),
                     rng.standard_normal(10), two_pass=True, hermitian=False)
 
@@ -398,3 +400,43 @@ def test_two_pass_complex_t(rng):
     w = eu.expv(t, op, jnp.asarray(b), m=40, two_pass=True)
     oracle = sla.expm(t * np.asarray(op.to_dense())) @ b
     np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9, atol=1e-10)
+
+
+class TestTwoPassArnoldi:
+    """Storage-free IOP-Arnoldi expv (non-Hermitian large-n path)."""
+
+    def test_matches_iop_basis_path(self, rng):
+        op = eu.advection_diffusion_1d(80, peclet=3.0)
+        b = jnp.asarray(rng.standard_normal(80))
+        w1 = eu.expv(5e-4, op, b, m=30, iop=4, reorth=False,
+                     reduced="device")
+        w2 = eu.expv(5e-4, op, b, m=30, iop=4, two_pass=True)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_vs_scipy_oracle(self, rng):
+        op = eu.advection_diffusion_1d(60, peclet=2.0)
+        b = rng.standard_normal(60)
+        w = eu.expv(5e-4, op, jnp.asarray(b), m=40, iop=6, two_pass=True)
+        oracle = sla.expm(5e-4 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-7,
+                                   atol=1e-8)
+
+    def test_requires_iop(self, rng):
+        with pytest.raises(ValueError, match="iop"):
+            eu.expv(1.0, rng.standard_normal((10, 10)),
+                    rng.standard_normal(10), two_pass=True, hermitian=False)
+
+    def test_compact_hessenberg_matches_full(self, rng):
+        from exponentialutilities_jl_tpu.ops.krylov import (
+            arnoldi, arnoldi_coeffs, expand_compact_hessenberg)
+        n, m, win = 40, 12, 3
+        A = rng.standard_normal((n, n)) / 6
+        op = eu.DenseOperator(jnp.asarray(A))
+        b = jnp.asarray(rng.standard_normal(n))
+        Ks = arnoldi(op, b, m, iop=win, reorth=False)
+        Hc, beta0, m_used, broke = arnoldi_coeffs(op, b, m, win)
+        H = expand_compact_hessenberg(Hc, win)
+        np.testing.assert_allclose(np.asarray(H), np.asarray(Ks.H),
+                                   rtol=1e-12, atol=1e-13)
+        assert float(beta0) == float(Ks.beta)
