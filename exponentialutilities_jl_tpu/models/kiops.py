@@ -104,20 +104,122 @@ class KiopsStats:
     last_m: int = 0
 
 
-@functools.partial(jax.jit, static_argnames=("m", "iop", "p"))
-@mxu_full_precision
-def _kiops_build(aug_op: AugmentedOperator, w_col, t_now, mu, m: int,
-                 iop: int, p: int, tol: float):
-    """Build the augmented Krylov basis for the current substep. The
-    augmented tail of the starting vector encodes the Taylor weights
+def _kiops_x0(w_col, t_now, mu, p: int):
+    """Augmented starting vector: main w plus the Taylor-weight tail
     t^i/i!·μ (reference: augmented ``firststep!``, src/arnoldi.jl:253-275)."""
     dt = w_col.dtype
     t_now = jnp.asarray(t_now, jnp.finfo(dt).dtype)
     tail = [(t_now ** (p - 1 - i)) / math.factorial(p - 1 - i) * mu
             for i in range(p - 1)] + [jnp.asarray(mu, jnp.finfo(dt).dtype)]
     b_aug = jnp.stack([jnp.asarray(v, jnp.finfo(dt).dtype) for v in tail]).astype(dt)
-    x0 = jnp.concatenate([w_col, b_aug])
+    return jnp.concatenate([w_col, b_aug])
+
+
+@functools.partial(jax.jit, static_argnames=("m", "iop", "p"))
+@mxu_full_precision
+def _kiops_build(aug_op: AugmentedOperator, w_col, t_now, mu, m: int,
+                 iop: int, p: int, tol: float):
+    """Build the augmented Krylov basis for the current substep."""
+    x0 = _kiops_x0(w_col, t_now, mu, p)
     return arnoldi(aug_op, x0, m, iop=iop, tol=tol, reorth=False)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class _KsLite:
+    """Storage-free substitute for KrylovBasis in two-pass KIOPS: the
+    compact Hessenberg + the augmented starting vector (the basis is
+    regenerated on demand by ``arnoldi_replay``)."""
+
+    Hc: jax.Array          # (m, win+1) compact Hessenberg
+    x0: jax.Array          # (n+p,) augmented start vector
+    beta: jax.Array
+    m_used: jax.Array
+    breakdown: jax.Array
+    win: int = 2
+
+    @property
+    def m(self) -> int:
+        return self.Hc.shape[0]
+
+    def tree_flatten(self):
+        return (self.Hc, self.x0, self.beta, self.m_used,
+                self.breakdown), (self.win,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, win=aux[0])
+
+
+@functools.partial(jax.jit, static_argnames=("m", "iop", "p"))
+@mxu_full_precision
+def _kiops_coeffs(aug_op: AugmentedOperator, w_col, t_now, mu, m: int,
+                  iop: int, p: int, tol: float) -> "_KsLite":
+    """Two-pass variant of _kiops_build: record the compact Hessenberg
+    only — O(n) memory instead of O(m·n) (ops/krylov.arnoldi_coeffs)."""
+    from ..ops.krylov import arnoldi_coeffs
+
+    x0 = _kiops_x0(w_col, t_now, mu, p)
+    win = m if iop == 0 else iop
+    Hc, beta0, m_used, broke = arnoldi_coeffs(aug_op, x0, m, win, tol=tol)
+    return _KsLite(Hc=Hc, x0=x0, beta=beta0, m_used=m_used,
+                   breakdown=broke, win=win)
+
+
+def _kiops_aug_F(H, j, tau_sgn, m: int, reduced: str):
+    """exp of the (j+1)² augmented Hessenberg with the φ₁ coupling, from a
+    full (m+1, m) H; returns (F (m+1, m+1), h_res)."""
+    dt = H.dtype
+    rows = jnp.arange(m + 1)
+    Haug = jnp.zeros((m + 1, m + 1), dtype=dt).at[:, :m].set(H)
+    nrm = Haug[j, jnp.maximum(j - 1, 0)]
+    Haug = Haug.at[j, jnp.maximum(j - 1, 0)].set(0)
+    Haug = Haug.at[0, j].set(1)
+    block = (rows[:, None] <= j) & (rows[None, :] <= j)
+    Haug = jnp.where(block, Haug, 0)
+    F = expm_higham2005(tau_sgn.astype(dt) * Haug)
+    return F, nrm
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+@mxu_full_precision
+def _kiops_trial_tp(aug_op, KsL: "_KsLite", tau_sgn, n: int):
+    """Two-pass trial: expand the compact Hessenberg, exponentiate, and
+    regenerate-combine the main components via arnoldi_replay."""
+    from ..ops.krylov import arnoldi_replay, expand_compact_hessenberg
+
+    m = KsL.m
+    j = KsL.m_used
+    H = expand_compact_hessenberg(KsL.Hc, KsL.win)
+    F, nrm = _kiops_aug_F(H, j, tau_sgn, m, "device")
+    dt = H.dtype
+    err = jnp.abs(KsL.beta.astype(dt) * nrm
+                  * F[jnp.maximum(j - 1, 0), j])
+    coeffs = KsL.beta.astype(dt) * F[:, 0]
+    w_full = arnoldi_replay(aug_op, KsL.x0, coeffs[:m], KsL.Hc, m, KsL.win,
+                            final_coeff=coeffs[m], with_final=True)
+    return w_full[:n], err
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+@mxu_full_precision
+def _kiops_phantom_tp(aug_op, KsL: "_KsLite", tau_sgn, n: int):
+    """Two-pass phantom-snapshot evaluation (no φ₁ coupling)."""
+    from ..ops.krylov import arnoldi_replay, expand_compact_hessenberg
+
+    m = KsL.m
+    j = KsL.m_used
+    H = expand_compact_hessenberg(KsL.Hc, KsL.win)
+    dt = H.dtype
+    rows = jnp.arange(m + 1)
+    Hj = jnp.zeros((m + 1, m + 1), dtype=dt).at[:, :m].set(H)
+    block = (rows[:, None] < j) & (rows[None, :] < j)
+    Hj = jnp.where(block, Hj, 0)
+    F2 = expm_higham2005(tau_sgn.astype(dt) * Hj)
+    col = jnp.where(rows < j, F2[:, 0], 0) * KsL.beta.astype(dt)
+    w_full = arnoldi_replay(aug_op, KsL.x0, col[:m], KsL.Hc, m, KsL.win,
+                            final_coeff=col[m], with_final=True)
+    return w_full[:n]
 
 
 def _kiops_trial_host(Ks, tau_sgn, n: int):
@@ -226,7 +328,8 @@ def _kiops_phantom_device(Ks, tau_sgn, n: int):
 
 def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
           m: int | None = None, iop: int = 2, task1: bool = False,
-          return_stats: bool = True, reduced: str | None = None):
+          return_stats: bool = True, reduced: str | None = None,
+          two_pass: bool = False):
     """KIOPS: linear combination of φ functions at times ``tstops``
     (reference: ``kiops``, src/kiops.jl:50-274).
 
@@ -298,14 +401,20 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
         if not basis_valid:
             # tau_now is unsigned here; the sign enters only through the
             # exponentials (reference: src/kiops.jl:131-149).
-            Ks = _kiops_build(aug, w_cur, tau_now, mu, m, iop, p, tol)
+            if two_pass:
+                Ks = _kiops_coeffs(aug, w_cur, tau_now, mu, m, iop, p, tol)
+            else:
+                Ks = _kiops_build(aug, w_cur, tau_now, mu, m, iop, p, tol)
             stats.krylov_steps += int(Ks.m_used)
             basis_valid = True
         j = int(Ks.m_used)
         happy = bool(Ks.breakdown)
 
-        w_trial, err = _kiops_trial(Ks, jnp.asarray(sgn * tau), n,
-                                    reduced=reduced)
+        if two_pass:
+            w_trial, err = _kiops_trial_tp(aug, Ks, jnp.asarray(sgn * tau), n)
+        else:
+            w_trial, err = _kiops_trial(Ks, jnp.asarray(sgn * tau), n,
+                                        reduced=reduced)
         stats.exps += 1
         err = float(err)
 
@@ -366,8 +475,13 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
             # snapshots strictly inside (tau_now, next_t)
             while l < num_steps - 1 and abs(tau_out[l]) < abs(next_t):
                 tau_phantom = abs(tau_out[l]) - tau_now
-                W[:, l] = np.asarray(_kiops_phantom(
-                    Ks, jnp.asarray(sgn * tau_phantom), n, reduced=reduced))
+                if two_pass:
+                    W[:, l] = np.asarray(_kiops_phantom_tp(
+                        aug, Ks, jnp.asarray(sgn * tau_phantom), n))
+                else:
+                    W[:, l] = np.asarray(_kiops_phantom(
+                        Ks, jnp.asarray(sgn * tau_phantom), n,
+                        reduced=reduced))
                 l += 1
             W[:, l] = np.asarray(w_trial)
             w_cur = jnp.asarray(W[:, l])
@@ -381,7 +495,8 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
         oldm = m
         m = m_new
         if m != oldm:
-            if (basis_valid and m > oldm and not bool(Ks.breakdown)):
+            if (basis_valid and m > oldm and not two_pass
+                    and not bool(Ks.breakdown)):
                 # Resume: keep the built columns and extend to the larger m
                 # (reference: arnoldi!(..., init=j) restart after a rejected
                 # substep, src/kiops.jl:131-134, src/arnoldi.jl:332-353).

@@ -468,13 +468,17 @@ def expand_compact_hessenberg(Hc, win: int):
     return H
 
 
-@functools.partial(jax.jit, static_argnames=("m", "win", "axis_name"))
+@functools.partial(jax.jit, static_argnames=("m", "win", "axis_name",
+                                             "with_final"))
 @mxu_full_precision
 def arnoldi_replay(op, b, coeffs, Hc, m: int, win: int, *,
+                   final_coeff=None, with_final: bool = False,
                    axis_name: str | None = None):
     """Pass 2: ``w = Σ_j coeffs[j] · v_j`` by regenerating the IOP basis
     from the recorded compact Hessenberg — bitwise the same recurrence as
-    pass 1. coeffs (m,) or (m, p)."""
+    pass 1. coeffs (m,) or (m, p). With ``with_final=True``,
+    ``final_coeff`` additionally weights the (m+1)-th vector v_m (used by
+    KIOPS' (m+1)² augmented exponential)."""
     b = jnp.asarray(b)
     n = b.shape[0]
     dt = b.dtype
@@ -502,5 +506,7 @@ def arnoldi_replay(op, b, coeffs, Hc, m: int, win: int, *,
 
     w0 = (jnp.zeros((n,), dtype=cdt) if coeffs.ndim == 1
           else jnp.zeros((n,) + coeffs.shape[1:], dtype=cdt))
-    (_, w), _ = lax.scan(step, (W0, w0), jnp.arange(m))
+    (W, w), _ = lax.scan(step, (W0, w0), jnp.arange(m))
+    if with_final:
+        w = accum(w, W[-1], jnp.asarray(final_coeff, dtype=cdt))
     return w

@@ -278,3 +278,18 @@ def test_kiops_task1_scaling(rng):
     w2, _ = kiops([2.0], jnp.asarray(A), B, task1=True)
     np.testing.assert_allclose(np.asarray(w2).ravel() * 2.0,
                                np.asarray(w1).ravel(), rtol=1e-10)
+
+
+def test_kiops_two_pass_matches(rng):
+    """Storage-free KIOPS (compact Hessenberg + replay) matches the
+    basis-storing path."""
+    from exponentialutilities_jl_tpu import kiops
+    n = 50
+    A = rng.standard_normal((n, n)) / 10
+    b = rng.standard_normal(n)
+    B = jnp.asarray(np.stack([b, 0.3 * b, 0.1 * b], axis=1))
+    w1, s1 = kiops([1.0], jnp.asarray(A), B, tol=1e-9)
+    w2, s2 = kiops([1.0], jnp.asarray(A), B, tol=1e-9, two_pass=True)
+    np.testing.assert_allclose(np.asarray(w2).ravel(),
+                               np.asarray(w1).ravel(), rtol=1e-8,
+                               atol=1e-11)
