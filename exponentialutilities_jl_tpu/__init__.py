@@ -21,7 +21,9 @@ Operators               LinearOperator, DenseOperator, DiagonalOperator,
 
 from .ops.expm import (expm, expm_higham2005, expm_generic,
                        expm_diagonalization, expm_native, balance_matrix)
-from .ops.phi_dense import phi, phi_scalar, phi_with_info, phiv_dense
+from .ops.phi_dense import (phi, phi_scalar, phi_taylor, phi_with_info,
+                            phiv_dense)
+from .ops.phi_almohy import phi_pade, phi_pade_with_info
 from .ops.krylov import KrylovBasis, arnoldi, lanczos
 from .models.expv import (expv, expv_from_basis, build_subspace, make_expv,
                           expv_batched)
@@ -46,7 +48,8 @@ __version__ = "0.1.0"
 __all__ = [
     "expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
     "expm_native", "balance_matrix",
-    "phi", "phi_scalar", "phi_with_info", "phiv_dense",
+    "phi", "phi_scalar", "phi_taylor", "phi_pade", "phi_pade_with_info",
+    "phi_with_info", "phiv_dense",
     "KrylovBasis", "arnoldi", "lanczos", "build_subspace",
     "expv", "expv_from_basis", "phiv", "phiv_from_basis",
     "make_expv", "make_phiv", "expv_batched",

@@ -156,16 +156,28 @@ def balance_matrix(A, *, sweeps: int = 5):
     return Ab, d
 
 
-def _masked_squaring(X, s, max_squarings):
-    """X^(2^s) with a bounded, reverse-differentiable masked loop."""
-    def body(i, X):
-        return jnp.where(i < s, X @ X, X)
-    return lax.fori_loop(0, max_squarings, body, X, unroll=False)
+def _masked_squaring(X, s, max_squarings, differentiable: bool = False):
+    """X^(2^s) repeated squaring.
+
+    Primal path (``differentiable=False``, the default): a dynamic trip-count
+    ``fori_loop`` (lowers to ``while``) so s stages cost exactly s GEMMs —
+    the reference's squaring loop runs s iterations too
+    (src/exp_noalloc.jl / exp_13.jl:87-111). Reverse-mode AD cannot
+    differentiate a while loop, so ``differentiable=True`` switches to the
+    bounded masked form (``max_squarings`` masked GEMMs) which supports
+    both JVP and VJP."""
+    if differentiable:
+        def body(i, X):
+            return jnp.where(i < s, X @ X, X)
+        return lax.fori_loop(0, max_squarings, body, X, unroll=False)
+    return lax.fori_loop(0, s, lambda i, X: X @ X, X)
 
 
-@functools.partial(jax.jit, static_argnames=("max_squarings", "balance"))
+@functools.partial(jax.jit, static_argnames=("max_squarings", "balance",
+                                             "differentiable"))
 @mxu_full_precision
-def expm_higham2005(A, *, max_squarings: int = 32, balance: bool = False):
+def expm_higham2005(A, *, max_squarings: int = 32, balance: bool = False,
+                    differentiable: bool = False):
     """Higham-2005 scaling-and-squaring Padé ``exp(A)``.
 
     Norm buckets → Padé degree (reference analogue: src/exp_noalloc.jl RHO_V
@@ -174,11 +186,16 @@ def expm_higham2005(A, *, max_squarings: int = 32, balance: bool = False):
     of a given shape/dtype. ``balance=True`` applies Osborne balancing
     (reference: LAPACK gebal at src/exp_baseexp.jl:162) before the Padé and
     undoes it exactly afterwards: exp(A) = D exp(D⁻¹AD) D⁻¹.
+
+    ``differentiable=True`` selects the bounded masked squaring loop so the
+    result supports reverse-mode AD; the default runs exactly s squaring
+    GEMMs (see ``_masked_squaring``).
     """
     A = jnp.asarray(A)
     if balance:
         Ab, d = balance_matrix(A)
-        Eb = expm_higham2005(Ab, max_squarings=max_squarings, balance=False)
+        Eb = expm_higham2005(Ab, max_squarings=max_squarings, balance=False,
+                             differentiable=differentiable)
         return (d[:, None] * Eb) * (1.0 / d)[None, :]
     n = A.shape[-1]
     real_dt = jnp.finfo(A.dtype).dtype  # real counterpart for norms
@@ -211,7 +228,7 @@ def expm_higham2005(A, *, max_squarings: int = 32, balance: bool = False):
 
     U, V = lax.switch(idx, branches, As, A2, A4, A6)
     X = _pq_solve(U, V)
-    return _masked_squaring(X, s, max_squarings)
+    return _masked_squaring(X, s, max_squarings, differentiable)
 
 
 def pade_order_for_eps(eps: float) -> int:
@@ -234,13 +251,18 @@ def _generic_pade_coeffs(k: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("order", "max_squarings"))
+@functools.partial(jax.jit, static_argnames=("order", "max_squarings",
+                                             "differentiable"))
 @mxu_full_precision
-def expm_generic(A, *, order: int | None = None, max_squarings: int = 48):
+def expm_generic(A, *, order: int | None = None, max_squarings: int = 48,
+                 differentiable: bool = True):
     """Type-generic scaling-and-squaring with arbitrary-order diagonal Padé.
 
     The Padé order is chosen statically from the dtype's machine epsilon
-    (reference: src/exp_generic.jl:58-283). Differentiable in both modes;
+    (reference: src/exp_generic.jl:58-283). This is the AD-first method
+    (the reference's ExpMethodGeneric exists for ForwardDiff support), so
+    ``differentiable`` defaults to True here (bounded masked squaring,
+    reverse-AD safe); pass False for the exact-s primal squaring loop.
     Inf/NaN inputs propagate to the output rather than erroring
     (reference's overflow guard, src/exp_generic.jl:151-157, is implicit:
     IEEE arithmetic carries non-finite values through).
@@ -269,7 +291,7 @@ def expm_generic(A, *, order: int | None = None, max_squarings: int = 48):
         N = N @ X + coeffs[j] * I
         D = D @ (-X) + coeffs[j] * I
     P = jnp.linalg.solve(D, N)
-    return _masked_squaring(P, s, max_squarings)
+    return _masked_squaring(P, s, max_squarings, differentiable)
 
 
 @mxu_full_precision

@@ -43,7 +43,7 @@ from ..utils.precision import mxu_full_precision
 
 from .expm import expm_higham2005
 
-__all__ = ["phi_scalar", "phiv_dense", "phi", "phi_with_info"]
+__all__ = ["phi_scalar", "phiv_dense", "phi", "phi_taylor", "phi_with_info"]
 
 
 def _inv_factorial(n: int) -> float:
@@ -186,15 +186,20 @@ def _double_argument_stage(F, p: int):
     return scale[:, None, None].astype(dt) * (G + C)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_squarings"))
+@functools.partial(jax.jit, static_argnames=("k", "max_squarings",
+                                             "differentiable"))
 @mxu_full_precision
-def phi(A, k: int, *, max_squarings: int = 48):
+def phi_taylor(A, k: int, *, max_squarings: int = 48,
+               differentiable: bool = False):
     """Simultaneous [φ_0(A), …, φ_k(A)] for dense A, stacked as (k+1, n, n).
 
     TPU-native scaling-and-recovering (see module docstring). The scaling
-    count s = max(0, ⌈log₂(‖A‖₁/θ)⌉) is data, not shape: a bounded masked
-    ``fori_loop`` performs the double-argument stages, so one compilation
-    serves every norm.
+    count s = max(0, ⌈log₂(‖A‖₁/θ)⌉) is data, not shape: by default a
+    dynamic trip-count loop performs exactly s double-argument stages (each
+    a (p+1)-batched GEMM), matching the reference's s-iteration squaring
+    undo (src/phi_almohy.jl:493-505). ``differentiable=True`` switches to
+    the bounded masked form (``max_squarings`` stages) which reverse-mode
+    AD can traverse.
     """
     A = jnp.asarray(A)
     if A.ndim != 2 or A.shape[0] != A.shape[1]:
@@ -212,10 +217,44 @@ def phi(A, k: int, *, max_squarings: int = 48):
     X = A * (2.0 ** (-s)).astype(rdt)
     F = _phi_all_of_scaled(X, p, order)
 
-    def body(i, F):
-        return jnp.where(i < s, _double_argument_stage(F, p), F)
+    if differentiable:
+        def body(i, F):
+            return jnp.where(i < s, _double_argument_stage(F, p), F)
+        return lax.fori_loop(0, max_squarings, body, F, unroll=False)
+    return lax.fori_loop(0, s, lambda i, F: _double_argument_stage(F, p), F)
 
-    return lax.fori_loop(0, max_squarings, body, F, unroll=False)
+
+def phi(A, k: int, *, method: str = "auto", max_squarings: int | None = None,
+        differentiable: bool = False):
+    """Simultaneous [φ_0(A), …, φ_k(A)] — the dense-φ front door.
+
+    ``method``:
+      * ``"pade"`` — Al-Mohy–Liu Padé scaling-and-recovering with the
+        θ_{m,p} table and joint (m, s, τ) cost-model selection
+        (``ops/phi_almohy.py``; reference: src/phi_almohy.jl). Requires
+        k ≥ 1 and an LU solve (f64 on CPU, f32 on TPU).
+      * ``"taylor"`` — Paterson–Stockmeyer Taylor + recovery (LU-free,
+        works at every dtype/platform combination, incl. f64-on-TPU where
+        the device LU does not compile).
+      * ``"auto"`` (default) — pade for k ≥ 1 at 64-bit precision (the
+        reference's Float64/ComplexF64 → Al-Mohy–Liu dispatch,
+        src/phi.jl:188-234), taylor otherwise.
+    """
+    A = jnp.asarray(A)
+    if method == "auto":
+        use_pade = k >= 1 and jnp.finfo(A.dtype).bits >= 64
+        method = "pade" if use_pade else "taylor"
+    if method == "pade":
+        from .phi_almohy import phi_pade
+        return phi_pade(A, k, differentiable=differentiable,
+                        **({} if max_squarings is None
+                           else {"max_squarings": max_squarings}))
+    if method == "taylor":
+        return phi_taylor(A, k, differentiable=differentiable,
+                          **({} if max_squarings is None
+                             else {"max_squarings": max_squarings}))
+    raise ValueError(f"unknown phi method {method!r}; "
+                     "expected 'auto', 'pade' or 'taylor'")
 
 
 def phi_with_info(A, k: int, **kwargs):

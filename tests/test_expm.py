@@ -121,11 +121,13 @@ def test_reverse_ad(rng):
 
 
 def test_higham_reverse_ad(rng):
-    # the masked-squaring loop keeps higham2005 reverse-differentiable too
+    # differentiable=True selects the bounded masked-squaring loop, which
+    # keeps higham2005 reverse-differentiable (default is the exact-s
+    # while-form primal loop, which reverse AD cannot traverse)
     A = rng.standard_normal((8, 8)) / 2
 
     def f(M):
-        return jnp.sum(eu.expm_higham2005(M))
+        return jnp.sum(eu.expm_higham2005(M, differentiable=True))
 
     g = jax.grad(f)(jnp.asarray(A))
     eps = 1e-6
