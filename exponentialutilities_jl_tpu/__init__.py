@@ -32,7 +32,7 @@ from .models.timestepping import (expv_timestep, phiv_timestep,
                                   TimestepStats, phiv_timestep_fused,
                                   expv_timestep_fused, make_phiv_timestep)
 from .models.kiops import kiops, KiopsStats, AugmentedOperator
-from .models.expv_taylor import expv_taylor
+from .models.expv_taylor import expv_taylor, expv_taylor_batched
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
 from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
@@ -55,7 +55,7 @@ __all__ = [
     "make_expv", "make_phiv", "expv_batched",
     "expv_timestep", "phiv_timestep", "TimestepStats",
     "phiv_timestep_fused", "expv_timestep_fused", "make_phiv_timestep",
-    "kiops", "KiopsStats", "AugmentedOperator", "expv_taylor",
+    "kiops", "KiopsStats", "AugmentedOperator", "expv_taylor", "expv_taylor_batched",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",

