@@ -5,10 +5,13 @@ from .ops import (make_mesh, shard_vector, shard_banded,
                   LocalBandedOperator)
 from .krylov import expv_sharded, phiv_sharded, make_expv_step
 from .gspmd import shard_operator
+from .multihost import (initialize_distributed, make_global_mesh,
+                        make_host_data_mesh)
 from .stencil import shard_stencil, LocalStencilOperator
 
 __all__ = [
     "make_mesh", "shard_vector", "shard_banded", "LocalBandedOperator",
     "expv_sharded", "phiv_sharded", "make_expv_step", "shard_operator",
     "shard_stencil", "LocalStencilOperator",
+    "initialize_distributed", "make_global_mesh", "make_host_data_mesh",
 ]
