@@ -28,6 +28,7 @@ from .ops.krylov import KrylovBasis, arnoldi, lanczos
 from .models.expv import (expv, expv_from_basis, build_subspace, make_expv,
                           expv_batched)
 from .models.phiv import phiv, phiv_from_basis, make_phiv
+from .models.nw_device import (phiv_timestep_device, expv_timestep_device)
 from .models.timestepping import (expv_timestep, phiv_timestep,
                                   TimestepStats, phiv_timestep_fused,
                                   expv_timestep_fused, make_phiv_timestep)
@@ -55,7 +56,8 @@ __all__ = [
     "make_expv", "make_phiv", "expv_batched",
     "expv_timestep", "phiv_timestep", "TimestepStats",
     "phiv_timestep_fused", "expv_timestep_fused", "make_phiv_timestep",
-    "kiops", "KiopsStats", "AugmentedOperator", "expv_taylor", "expv_taylor_batched",
+    "kiops", "KiopsStats", "AugmentedOperator",
+    "phiv_timestep_device", "expv_timestep_device", "expv_taylor", "expv_taylor_batched",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",

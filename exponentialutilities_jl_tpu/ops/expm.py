@@ -41,7 +41,8 @@ from jax import lax
 from ..utils.precision import mxu_full_precision
 
 __all__ = ["expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
-           "expm_native", "pade_order_for_eps", "balance_matrix"]
+           "expm_native", "expm_taylor", "pade_order_for_eps",
+           "balance_matrix"]
 
 
 # Higham 2005 Padé coefficient tables (Table 2.3 of "The Scaling and Squaring
@@ -318,11 +319,45 @@ def expm_native(A):
     return jax.scipy.linalg.expm(jnp.asarray(A))
 
 
+@functools.partial(jax.jit, static_argnames=("order", "max_squarings",
+                                             "differentiable"))
+@mxu_full_precision
+def expm_taylor(A, *, order: int | None = None, max_squarings: int = 48,
+                differentiable: bool = False):
+    """Scaling-and-squaring with a Paterson–Stockmeyer TAYLOR kernel —
+    solver-free ``exp(A)``.
+
+    No LU/solve and no eigendecomposition, so this path compiles at EVERY
+    dtype/platform combination — in particular f64 on TPU, where
+    ``jnp.linalg.solve`` does not lower. It is the reduced-exponential
+    engine of the device-resident adaptive drivers (models/nw_device.py):
+    the (m+k)² augmented exponentials run on-chip in f64 with no host
+    staging. Truncation: ‖A/2ˢ‖₁ ≤ 1 with order chosen so the series tail
+    is below the dtype's unit roundoff (tail ≤ e/(M+1)! at θ = 1).
+    """
+    from .phi_dense import _ps_phi_taylor, _taylor_order
+
+    A = jnp.asarray(A)
+    rdt = jnp.finfo(A.dtype).dtype
+    theta, order_auto = _taylor_order(A.dtype)
+    if order is None:
+        order = order_auto
+    nA = _onenorm(A).astype(rdt)
+    s = jnp.maximum(0, jnp.ceil(jnp.log2(
+        jnp.maximum(nA, jnp.finfo(rdt).tiny) / theta))).astype(jnp.int32)
+    s = jnp.where(nA > theta, s, 0)
+    s = jnp.minimum(s, max_squarings)
+    X = A * (2.0 ** (-s)).astype(rdt)
+    E = _ps_phi_taylor(X, 0, order)
+    return _masked_squaring(E, s, max_squarings, differentiable)
+
+
 _METHODS = {
     "higham2005": expm_higham2005,
     "generic": expm_generic,
     "diagonalization": expm_diagonalization,
     "native": expm_native,
+    "taylor": expm_taylor,
 }
 
 

@@ -92,28 +92,36 @@ def phi_scalar(z, k: int):
     return flat.reshape(z.shape + (k + 1,))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "expm_method"))
 @mxu_full_precision
-def phiv_dense(A, v, k: int):
+def phiv_dense(A, v, k: int, *, expm_method: str = "higham2005"):
     """[φ_0(A)v φ_1(A)v … φ_k(A)v] for small dense A via the augmented matrix
 
         Ã = [A  v  e₁ … e_{k-1}; 0  J]   (J the k×k nilpotent shift)
 
     (Sidje Thm 1; reference: src/phi.jl:63-94). Returns an (m, k+1) matrix.
+
+    ``expm_method="taylor"`` selects the solver-free Paterson–Stockmeyer
+    exponential (ops/expm.expm_taylor) — required when the whole program
+    must compile in f64 ON TPU (no LU lowering), e.g. inside the
+    device-resident adaptive drivers.
     """
+    from .expm import expm_taylor
+    engine = expm_taylor if expm_method == "taylor" else expm_higham2005
+
     A = jnp.asarray(A)
     v = jnp.asarray(v)
     m = A.shape[0]
     dt = jnp.result_type(A.dtype, v.dtype)
     if k == 0:
-        return (expm_higham2005(A.astype(dt)) @ v.astype(dt))[:, None]
+        return (engine(A.astype(dt)) @ v.astype(dt))[:, None]
     Aug = jnp.zeros((m + k, m + k), dtype=dt)
     Aug = Aug.at[:m, :m].set(A.astype(dt))
     Aug = Aug.at[:m, m].set(v.astype(dt))
     if k >= 2:
         idx = jnp.arange(m, m + k - 1)
         Aug = Aug.at[idx, idx + 1].set(jnp.ones((k - 1,), dt))
-    P = expm_higham2005(Aug)
+    P = engine(Aug)
     w0 = P[:m, :m] @ v.astype(dt)
     return jnp.concatenate([w0[:, None], P[:m, m:m + k]], axis=1)
 

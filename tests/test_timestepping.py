@@ -401,3 +401,78 @@ class TestTwoPassTimestep:
         with pytest.raises(NotImplementedError):
             eu.phiv_timestep(1.0, A, np.ones((n, 2)), two_pass=True,
                              correct=True)
+
+
+class TestDeviceResidentNW:
+    """Device-resident adaptive driver (models/nw_device.py): whole
+    accept/reject control flow in one compiled while_loop per m bucket
+    (VERDICT r1 item 4)."""
+
+    def test_matches_host_driver_hermitian(self, rng):
+        n, p = 100, 3
+        A = laplacian_1d(n)
+        B = rng.standard_normal((n, p + 1))
+        U1, s1 = eu.phiv_timestep([2.5, 5.0], A, B, adaptive=True,
+                                  hermitian=True, return_stats=True)
+        U2, s2 = eu.phiv_timestep_device([2.5, 5.0], A, B, hermitian=True,
+                                         return_stats=True)
+        assert s2.info == 0
+        assert (np.linalg.norm(np.asarray(U1) - np.asarray(U2))
+                / np.linalg.norm(np.asarray(U1)) < 1e-9)
+
+    def test_advection_diffusion_vs_oracle(self, rng):
+        # config-4 class problem: stiff advection–diffusion, non-Hermitian
+        n, p = 200, 2
+        A = 40.0 * laplacian_1d(n) + 10.0 * (np.diag(np.ones(n - 1), 1)
+                                             - np.diag(np.ones(n - 1), -1))
+        B = rng.standard_normal((n, p + 1))
+        ts = [0.05, 0.1]
+        U, stats = eu.phiv_timestep_device(ts, A, B, tol=1e-7, iop=4,
+                                           hermitian=False,
+                                           return_stats=True)
+        assert stats.info == 0
+        want = phi_combination_oracle(ts, A, B)
+        rel = np.linalg.norm(np.asarray(U) - want) / np.linalg.norm(want)
+        assert rel < 1e-6, rel
+
+    def test_expm_taylor_reduced_engine(self, rng):
+        # the solver-free reduced engine (f64-on-TPU path) must agree
+        n, p = 80, 2
+        A = laplacian_1d(n)
+        B = rng.standard_normal((n, p + 1))
+        U1 = eu.phiv_timestep_device(1.0, A, B, hermitian=True,
+                                     expm_method="higham2005")
+        U2 = eu.phiv_timestep_device(1.0, A, B, hermitian=True,
+                                     expm_method="taylor")
+        assert (np.linalg.norm(np.asarray(U1) - np.asarray(U2))
+                / np.linalg.norm(np.asarray(U1)) < 1e-12)
+
+    def test_expv_device_wrapper(self, rng):
+        n = 64
+        A = laplacian_1d(n)
+        b = rng.standard_normal(n)
+        w = eu.expv_timestep_device(1.0, A, b, hermitian=True)
+        want = sla.expm(1.0 * A) @ b
+        assert np.linalg.norm(np.asarray(w) - want) / np.linalg.norm(want) < 1e-6
+
+    def test_failure_protocol_device(self, rng):
+        n = 16
+        op = TestFailureProtocol._poisoned_op(n)
+        b = np.zeros(n)
+        b[0] = 1.0
+        U, stats = eu.phiv_timestep_device(1.0, op, b[:, None], opnorm=4.0,
+                                           return_stats=True)
+        assert stats.info != 0
+        assert not np.all(np.isfinite(np.asarray(U)))
+
+
+def test_expm_taylor_method(rng):
+    # solver-free expm engine vs scipy across norm scales
+    for scale in [0.1, 1.0, 10.0, 300.0]:
+        A = rng.standard_normal((20, 20)) * scale / 4
+        X = np.asarray(eu.expm(A, method="taylor"))
+        want = sla.expm(A)
+        rel = np.max(np.abs(X - want)) / np.max(np.abs(want))
+        # forward error scales with u*kappa ~ u*||A||; 1e-12 covers the
+        # norm-300 case
+        assert rel < 1e-12, (scale, rel)
