@@ -1,0 +1,313 @@
+"""Fused Lanczos-step Pallas kernel for 3-D constant-coefficient stencils.
+
+One Lanczos iteration is: z = A·v_j; α = v_j·z; y = z − α·v_j − β·v_{j-1};
+β_{j+1} = ‖y‖; v_{j+1} = y/β_{j+1}. As separate XLA ops (matvec, dot,
+axpy, norm, scale) this streams ~9n of HBM traffic per iteration
+(measured 0.54 ms at n = 10M in round 1). This kernel fuses the WHOLE
+iteration — recurrence combination, next matvec, and both reductions —
+into one sliding-plane sweep with ~5n traffic:
+
+    read  Z̃_p, Ṽc_p, Ṽp_p                        (3 planes per step)
+    y_p  = ca·Z̃_p + cb·Ṽc_p + cc·Ṽp_p           → write + 3-plane VMEM ring
+    Zn_{p-1} = stencil(y_{p-2}, y_{p-1}, y_p)     → write (one-plane lag)
+    partials: Σ y², Σ y·Zn                         → per-step rows
+
+**No normalization pass ever runs.** The sweep stores the UNNORMALIZED
+y_j = β_{j+1}·v_{j+1} and its image Z̃_j = A·y_j; the NEXT sweep's scalar
+coefficients absorb the normalizations exactly:
+
+    ca = 1/β_j,  cb = −α_j/β_j,  cc = −β_j/β_{j−1},
+
+with α_j = (y·Ay)/‖y‖² and β_j = ‖y‖ read off the previous sweep's
+moments. Iteration 0 is the same kernel with (ca, cb, cc) = (1, 0, 0)
+and Z̃ = v_0, which emits A·v_0 and the first moments.
+
+Geometry: ghosted plane layout (GhostGrid) — x padded to >nx multiple of
+128 lanes, pad lanes identically zero so the ±1 lane shift's row wrap is
+exact Dirichlet; y ghost rows zero; z ends masked. The y-ring scratch
+persists across the sequential TPU grid (planes stream once).
+
+Used by ``lanczos_coeffs_fused`` — drop-in pass-1 twin of
+ops/krylov.lanczos_coeffs for ``StencilOperator`` grids (two-pass expv /
+NW / KIOPS all consume the same (α, β) record). Reference context: the
+Lanczos recurrence, src/arnoldi.jl:375-466; the fusion has no reference
+counterpart (SURVEY §7 phase 4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["GhostGrid", "fused_lanczos_step", "lanczos_coeffs_fused"]
+
+_LANES = 128
+
+
+class GhostGrid:
+    """Static description of the ghosted plane layout for (nz, ny, nx).
+
+    Planes have (ny + 2) ghosted grid rows of P = ceil((nx+1)/128) row
+    pieces (≥ 1 pad lane guaranteed so lane wraps land in zeros), padded
+    up to a multiple of 8 rows. Hashable → usable as a static jit arg.
+    """
+
+    def __init__(self, nz, ny, nx):
+        self.nz, self.ny, self.nx = int(nz), int(ny), int(nx)
+        self.P = -(-(self.nx + 1) // _LANES)   # ≥1 pad lane always
+        self.nxp = self.P * _LANES
+        rp = (self.ny + 2) * self.P
+        self.rows_per_plane = -(-rp // 8) * 8
+        self.n = self.nz * self.ny * self.nx
+
+    def __hash__(self):
+        return hash((self.nz, self.ny, self.nx))
+
+    def __eq__(self, other):
+        return (isinstance(other, GhostGrid)
+                and (self.nz, self.ny, self.nx)
+                == (other.nz, other.ny, other.nx))
+
+    def to_ghost(self, x):
+        """(n,) flat row-major grid vector → (nz, rows_per_plane, 128)."""
+        X = x.reshape(self.nz, self.ny, self.nx)
+        Xp = jnp.pad(X, ((0, 0), (1, 1), (0, self.nxp - self.nx)))
+        Xp = Xp.reshape(self.nz, (self.ny + 2) * self.P, _LANES)
+        extra = self.rows_per_plane - (self.ny + 2) * self.P
+        if extra:
+            Xp = jnp.pad(Xp, ((0, 0), (0, extra), (0, 0)))
+        return Xp
+
+    def from_ghost(self, Xg):
+        Xp = Xg[:, :(self.ny + 2) * self.P, :].reshape(
+            self.nz, self.ny + 2, self.nxp)
+        return Xp[:, 1:-1, :self.nx].reshape(-1)
+
+    def xmask(self):
+        """(rows_per_plane, 128) 1/0 mask of real cells."""
+        m = np.zeros((self.rows_per_plane, _LANES), np.float32)
+        for piece in range(self.P):
+            lo = piece * _LANES
+            hi = min(self.nx, lo + _LANES)
+            if hi > lo:
+                for yrow in range(1, self.ny + 1):
+                    m[yrow * self.P + piece, :hi - lo] = 1.0
+        return m
+
+
+def _lane_shift_full(buf, s: int):
+    """±1 element shift of the flat (rows, 128) plane; row wraps land in
+    the guaranteed x-pad/ghost zero lanes, so plain slicing with a zero
+    edge row is exact Dirichlet."""
+    R = buf.shape[0]
+    z1 = jnp.zeros((1, 1), buf.dtype)
+    if s == 1:
+        main = jnp.concatenate([buf[:, 1:],
+                                jnp.concatenate([buf[1:, :1],
+                                                 z1], axis=0)], axis=1)
+        return main
+    main = jnp.concatenate([jnp.concatenate([z1, buf[:R - 1, 127:]],
+                                            axis=0), buf[:, :127]], axis=1)
+    return main
+
+
+def _row_shift_full(buf, off: int):
+    """Row shift by ``off`` (zeros shift in — ghost rows absorb)."""
+    R = buf.shape[0]
+    o = abs(off)
+    z = jnp.zeros((o, _LANES), buf.dtype)
+    if off > 0:
+        return jnp.concatenate([buf[o:, :], z], axis=0)
+    return jnp.concatenate([z, buf[:R - o, :]], axis=0)
+
+
+def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref,
+                  Y_hbm, Znext_hbm, part_ref,
+                  yring, zbuf, vcbuf, vpbuf, stage, sems, *,
+                  P: int, nz: int, c0: float, cx: float, cy: float,
+                  cz: float):
+    i = pl.program_id(0)
+    ca = coef_ref[0]
+    cb = coef_ref[1]
+    cc = coef_ref[2]
+
+    @pl.when(i % 8 == 0)
+    def _():
+        part_ref[:, :] = jnp.zeros_like(part_ref)
+
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    @pl.when(i < nz)
+    def _():
+        cps = [pltpu.make_async_copy(src.at[i], dst, sems.at[k])
+               for src, dst, k in ((Z_hbm, zbuf, 0), (Vc_hbm, vcbuf, 1),
+                                   (Vp_hbm, vpbuf, 2))]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        # y_i = ca·Z + cb·Vc + cc·Vp (masked so pads stay zero)
+        y = (ca * zbuf[:, :] + cb * vcbuf[:, :] + cc * vpbuf[:, :]) \
+            * mask_ref[:, :]
+        yring[i % 3] = y
+        prow = jnp.where(lane2 == 0, jnp.sum(y * y), 0.0)
+        part_ref[pl.ds(i % 8, 1), :] = part_ref[pl.ds(i % 8, 1), :] + prow
+        cp = pltpu.make_async_copy(yring.at[i % 3], Y_hbm.at[i], sems.at[3])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i >= 1)
+    def _():
+        p = i - 1
+        yc = yring[p % 3]
+        zn = c0 * yc
+        zn = zn + cx * _lane_shift_full(yc, 1)
+        zn = zn + cx * _lane_shift_full(yc, -1)
+        zn = zn + cy * _row_shift_full(yc, P)
+        zn = zn + cy * _row_shift_full(yc, -P)
+        zm = jnp.where(p >= 1, yring[(p - 1) % 3], 0.0)
+        zp = jnp.where(p + 1 < nz, yring[(p + 1) % 3], 0.0)
+        zn = (zn + cz * zm + cz * zp) * mask_ref[:, :]
+        stage[:, :] = zn
+        prow = jnp.where(lane2 == 1, jnp.sum(zn * yc), 0.0)
+        part_ref[pl.ds(i % 8, 1), :] = part_ref[pl.ds(i % 8, 1), :] + prow
+        cp = pltpu.make_async_copy(stage, Znext_hbm.at[p], sems.at[4])
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("grid_desc", "coeffs_static",
+                                             "interpret"))
+def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
+                       coeffs_static, interpret: bool = False):
+    """One fused sweep. ``coefs`` = (ca, cb, cc) scalars (see module doc).
+
+    Returns (Yg, Zng, ypy, yzy): unnormalized y planes, A·y planes, and
+    the raw moments ‖y‖², y·(A·y).
+    """
+    nz = grid_desc.nz
+    R = grid_desc.rows_per_plane
+    P = grid_desc.P
+    c0, cx, cy, cz = coeffs_static
+    nsteps = nz + 1
+    ns8 = -(-nsteps // 8) * 8
+    dt = Zg.dtype
+
+    Yg, Zn, parts = pl.pallas_call(
+        functools.partial(_fused_kernel, P=P, nz=nz, c0=c0, cx=cx,
+                          cy=cy, cz=cz),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # (3,) coefficients
+            pl.BlockSpec(memory_space=pltpu.ANY),       # Z planes
+            pl.BlockSpec(memory_space=pltpu.ANY),       # Vc planes
+            pl.BlockSpec(memory_space=pltpu.ANY),       # Vp planes
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # mask (R, 128)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, _LANES), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nz, R, _LANES), dt),
+            jax.ShapeDtypeStruct((nz, R, _LANES), dt),
+            jax.ShapeDtypeStruct((ns8, _LANES), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, R, _LANES), dt),             # y ring
+            pltpu.VMEM((R, _LANES), dt),                # z plane
+            pltpu.VMEM((R, _LANES), dt),                # vc plane
+            pltpu.VMEM((R, _LANES), dt),                # vp plane
+            pltpu.VMEM((R, _LANES), dt),                # znext staging
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(coefs, dt), Zg, Vcg, Vpg, mask.astype(dt))
+    ypy = jnp.sum(parts[:, 0])
+    yzy = jnp.sum(parts[:, 1])
+    return Yg, Zn, ypy, yzy
+
+
+def _stencil_coeffs_static(op) -> tuple:
+    """(c0, cx, cy, cz) from a 3-D 7-point StencilOperator (validated)."""
+    from ..stencil import StencilOperator
+
+    if not isinstance(op, StencilOperator) or len(op.grid_shape) != 3:
+        raise ValueError("fused Lanczos requires a 3-D StencilOperator")
+    cmap = {off: float(c) for off, c in
+            zip(op.offsets, np.asarray(op.coeffs))}
+    need = {(0, 0, 0), (0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0),
+            (1, 0, 0), (-1, 0, 0)}
+    if set(cmap) - need:
+        raise ValueError("fused Lanczos supports 7-point stencils only")
+    cx = cmap.get((0, 0, 1), 0.0)
+    if (cmap.get((0, 0, -1), cx) != cx
+            or cmap.get((0, 1, 0), 0.0) != cmap.get((0, -1, 0), 0.0)
+            or cmap.get((1, 0, 0), 0.0) != cmap.get((-1, 0, 0), 0.0)):
+        raise ValueError("fused Lanczos requires a symmetric stencil")
+    return (cmap.get((0, 0, 0), 0.0), cx, cmap.get((0, 1, 0), 0.0),
+            cmap.get((1, 0, 0), 0.0))
+
+
+def lanczos_coeffs_fused(op, b, m: int, *, tol: float = 1e-7,
+                         interpret: bool = False):
+    """Drop-in twin of ``ops.krylov.lanczos_coeffs`` for 3-D 7-point
+    ``StencilOperator``s: (alphas, betas, beta0, m_used, breakdown) at
+    ~5n HBM traffic per iteration via ``fused_lanczos_step``.
+    """
+    coeffs_static = _stencil_coeffs_static(op)
+    gg = GhostGrid(*op.grid_shape)
+    b = jnp.asarray(b)
+    dt = b.dtype
+    mask = jnp.asarray(gg.xmask())
+
+    beta0 = jnp.linalg.norm(b)
+    v0 = jnp.where(beta0 > 0, b / jnp.where(beta0 > 0, beta0, 1), 0.0)
+    V0g = gg.to_ghost(v0)
+
+    step = functools.partial(fused_lanczos_step, grid_desc=gg,
+                             coeffs_static=coeffs_static,
+                             interpret=interpret)
+
+    # Iteration 0: (1,0,0) sweep emits y = v0, Z̃ = A v0, moments.
+    zeros = jnp.zeros_like(V0g)
+    Y, Z, ypy, yzy = step(V0g, zeros, zeros, (1.0, 0.0, 0.0), mask)
+
+    def body(carry, _):
+        Y, Z, Yprev, ypy, yzy, beta_prev, broke, m_used, j = carry
+        beta = jnp.sqrt(jnp.maximum(ypy, 0.0))
+        alpha = jnp.where(ypy > 0, yzy / jnp.maximum(ypy, 1e-300), 0.0)
+        now_broke = beta < tol
+        active = jnp.logical_not(broke)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        safe_bp = jnp.where(beta_prev > 0, beta_prev, 1.0)
+        ca = jnp.where(active & ~now_broke, 1.0 / safe_beta, 0.0)
+        cb = -alpha * ca
+        cc = jnp.where(active & ~now_broke, -beta / safe_bp, 0.0)
+        Yn, Zn, ypy_n, yzy_n = step(Z, Y, Yprev,
+                                    jnp.stack([ca, cb, cc]), mask)
+        m_used_n = jnp.where(active, j + 1, m_used)
+        out_alpha = jnp.where(active, alpha, 0.0)
+        # β reported at position j is the NEXT off-diagonal ‖y_{j+1}‖
+        beta_next = jnp.sqrt(jnp.maximum(ypy_n, 0.0))
+        out_beta = jnp.where(active & ~now_broke, beta_next, 0.0)
+        carry = (Yn, Zn, Y, ypy_n, yzy_n, beta,
+                 broke | now_broke, m_used_n, j + 1)
+        return carry, (out_alpha, out_beta)
+
+    init = (Y, Z, jnp.zeros_like(Y), ypy, yzy,
+            jnp.asarray(1.0, dt), jnp.asarray(beta0 == 0),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    (_, _, _, _, _, _, broke, m_used, _), (alphas, betas) = lax.scan(
+        body, init, None, length=m)
+    m_used = jnp.where(beta0 == 0, 0, m_used).astype(jnp.int32)
+    return alphas, betas, beta0.astype(jnp.result_type(dt, jnp.float32)), \
+        m_used, broke
