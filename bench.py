@@ -84,6 +84,19 @@ def main():
     scipy_ms = (time.perf_counter() - t0) * 1e3
     rel_err = float(np.linalg.norm(w - ref) / np.linalg.norm(ref))
 
+    # f64 accuracy through the host-staged reduced path (BASELINE's
+    # 1e-10 class; the timed metric above stays f32 — the serving dtype).
+    rel_err_64 = None
+    try:
+        jax.config.update("jax_enable_x64", True)
+        from exponentialutilities_jl_tpu import expv as _expv
+        op64 = make_op(jnp.asarray([1.0, -2.0, 1.0], jnp.float64))
+        w64 = np.asarray(_expv(t, op64, jnp.asarray(b_host), m=40,
+                               hermitian=True, two_pass=True))
+        rel_err_64 = float(np.linalg.norm(w64 - ref) / np.linalg.norm(ref))
+    except Exception:
+        pass
+
     # Effective stencil-SpMV bandwidth: bytes touched per matvec ≈
     # diags (3n) read + x read + y write, m+1 matvecs per call.
     itemsize = np.dtype(np.float32 if backend == "tpu" else np.float64).itemsize
@@ -97,6 +110,7 @@ def main():
         "vs_baseline": round(scipy_ms / ms, 2),
         "backend": backend,
         "rel_err_vs_scipy": rel_err,
+        "rel_err_f64_vs_scipy": rel_err_64,
         "scipy_expm_multiply_ms": round(scipy_ms, 1),
         "effective_spmv_gbs": round(spmv_gbs, 2),
     }))
