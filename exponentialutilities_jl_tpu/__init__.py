@@ -37,7 +37,7 @@ from .models.expv_taylor import expv_taylor, expv_taylor_batched
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
 from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
-                         ell_from_scipy, blockell_from_scipy,
+                         SellOperator, ell_from_scipy, blockell_from_scipy,
                          banded_from_scipy)
 from .utils.testmatrices import (laplacian_1d, poisson_2d, laplacian_3d,
                                  advection_diffusion_1d)
@@ -61,6 +61,7 @@ __all__ = [
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
+    "SellOperator",
     "ell_from_scipy", "blockell_from_scipy", "banded_from_scipy",
     "laplacian_1d", "poisson_2d", "laplacian_3d", "advection_diffusion_1d",
     "StencilOperator", "laplacian_nd_stencil",

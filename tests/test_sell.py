@@ -77,3 +77,42 @@ def test_sell_pack_fill_accounting(rng):
     # every stored value appears exactly once
     assert np.isclose(float(jnp.sum(data.vals)), float(np.sum(vals)),
                       rtol=1e-4)
+
+
+def test_sell_operator_in_expv(rng):
+    # the container plugs into the Krylov stack end-to-end
+    import exponentialutilities_jl_tpu as eu
+    import scipy.linalg as sla
+    n, d, band = 512, 6, 200
+    rows, cols, vals = banded_random(rng, n, d, band)
+    # symmetrize so the Lanczos path is exercised
+    import scipy.sparse as sp
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    A = (A + A.T).tocoo()
+    op = eu.SellOperator.from_coo(A.row, A.col, A.data / 10, n,
+                                  dtype=np.float64, is_hermitian=True)
+    b = rng.standard_normal(n)
+    w = np.asarray(eu.expv(0.3, op, jnp.asarray(b), m=40))
+    want = sla.expm(0.3 * np.asarray(A.todense()) / 10) @ b
+    assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-9
+
+
+def test_sell_operator_rcm(rng):
+    # RCM permutation makes a shuffled banded matrix window-packable
+    import exponentialutilities_jl_tpu as eu
+    import scipy.sparse as sp
+    n, d, band = 2000, 6, 300
+    rows, cols, vals = banded_random(rng, n, d, band)
+    p = rng.permutation(n)               # scramble away the band
+    A = sp.coo_matrix((vals, (p[rows], p[cols])), shape=(n, n))
+    with pytest.raises(ValueError):
+        eu.SellOperator.from_coo(A.row, A.col, A.data, n)   # no locality
+    op = eu.SellOperator.from_coo(A.row, A.col, A.data, n, rcm=True,
+                                  window=2048)
+    x = rng.standard_normal(n).astype(np.float32)
+    # operator acts in permuted space: y_perm = P A P^T (P x)
+    perm = op.perm
+    xp = x[perm]
+    yp = np.asarray(op.matvec(jnp.asarray(xp)))
+    want = (A @ x)[perm]
+    assert np.max(np.abs(yp - want)) / np.max(np.abs(want)) < 1e-4
