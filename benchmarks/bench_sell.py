@@ -76,7 +76,7 @@ def main():
     print(f"packed in {time.time()-t0:.1f}s tiles={data.vals.shape} "
           f"fill={data.nnz/data.vals.size:.3f} residue={RESIDUE}", flush=True)
     xj = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    t = chain_time(lambda v: sell_spmv(data, v))
+    t = chain_time(lambda v: sell_spmv(data, v), xj)
     nnz = data.nnz
     stream = data.vals.size * 4 + data.lidx.size * 4 + 2 * n * 4
     print(f"per-matvec {t*1e3:.3f} ms | raw-stream {(stream/t)/1e9:.0f} GB/s"

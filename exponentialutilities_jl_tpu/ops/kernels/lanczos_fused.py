@@ -45,7 +45,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["GhostGrid", "fused_lanczos_step", "lanczos_coeffs_fused"]
+__all__ = ["GhostGrid", "fused_lanczos_step", "lanczos_coeffs_fused",
+           "lanczos_replay_fused"]
 
 _LANES = 128
 
@@ -127,11 +128,11 @@ def _row_shift_full(buf, off: int):
     return jnp.concatenate([z, buf[:R - o, :]], axis=0)
 
 
-def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref,
-                  Y_hbm, Znext_hbm, part_ref,
-                  yring, zbuf, vcbuf, vpbuf, stage, sems, *,
+def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
+                  Y_hbm, Znext_hbm, part_ref, W_out,
+                  yring, zbuf, vcbuf, vpbuf, stage, wbuf, sems, *,
                   P: int, nz: int, c0: float, cx: float, cy: float,
-                  cz: float):
+                  cz: float, accum: bool):
     i = pl.program_id(0)
     ca = coef_ref[0]
     cb = coef_ref[1]
@@ -160,6 +161,17 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref,
         part_ref[pl.ds(i % 8, 1), :] = part_ref[pl.ds(i % 8, 1), :] + prow
         cp = pltpu.make_async_copy(yring.at[i % 3], Y_hbm.at[i], sems.at[3])
         cp.start()
+        if accum:
+            # w += cw·v_j: accumulate the ALREADY-LOADED Vc plane into the
+            # aliased accumulator (the replay pass of two-pass expv/phiv).
+            cw = coef_ref[3]
+            cpw = pltpu.make_async_copy(W_hbm.at[i], wbuf, sems.at[5])
+            cpw.start()
+            cpw.wait()
+            wbuf[:, :] = wbuf[:, :] + cw * vcbuf[:, :]
+            cpo = pltpu.make_async_copy(wbuf, W_out.at[i], sems.at[5])
+            cpo.start()
+            cpo.wait()
         cp.wait()
 
     @pl.when(i >= 1)
@@ -182,14 +194,22 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref,
         cp.wait()
 
 
+def _kernel_plain(coef, Z, Vc, Vp, mask, Y, Zn, parts,
+                  yring, zbuf, vcbuf, vpbuf, stage, sems, **kw):
+    _fused_kernel(coef, Z, Vc, Vp, mask, None, Y, Zn, parts, None,
+                  yring, zbuf, vcbuf, vpbuf, stage, None, sems,
+                  accum=False, **kw)
+
+
 @functools.partial(jax.jit, static_argnames=("grid_desc", "coeffs_static",
                                              "interpret"))
 def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
-                       coeffs_static, interpret: bool = False):
-    """One fused sweep. ``coefs`` = (ca, cb, cc) scalars (see module doc).
+                       coeffs_static, w_accum=None, interpret: bool = False):
+    """One fused sweep. ``coefs`` = (ca, cb, cc[, cw]) scalars (module doc).
 
-    Returns (Yg, Zng, ypy, yzy): unnormalized y planes, A·y planes, and
-    the raw moments ‖y‖², y·(A·y).
+    Returns (Yg, Zng, ypy, yzy) — plus W_new when ``w_accum`` planes are
+    given (the replay accumulator: W_new = w_accum + cw·Vc, updated
+    in-place through an input/output alias during the same sweep).
     """
     nz = grid_desc.nz
     R = grid_desc.rows_per_plane
@@ -198,41 +218,64 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     nsteps = nz + 1
     ns8 = -(-nsteps // 8) * 8
     dt = Zg.dtype
+    accum = w_accum is not None
 
-    Yg, Zn, parts = pl.pallas_call(
-        functools.partial(_fused_kernel, P=P, nz=nz, c0=c0, cx=cx,
-                          cy=cy, cz=cz),
+    plane_any = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # coefficients
+        plane_any, plane_any, plane_any,            # Z, Vc, Vp
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # mask (R, 128)
+    ]
+    out_specs = [plane_any, plane_any,
+                 pl.BlockSpec((8, _LANES), lambda i: (i // 8, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((nz, R, _LANES), dt),
+                 jax.ShapeDtypeStruct((nz, R, _LANES), dt),
+                 jax.ShapeDtypeStruct((ns8, _LANES), dt)]
+    scratch = [
+        pltpu.VMEM((3, R, _LANES), dt),             # y ring
+        pltpu.VMEM((R, _LANES), dt),                # z plane
+        pltpu.VMEM((R, _LANES), dt),                # vc plane
+        pltpu.VMEM((R, _LANES), dt),                # vp plane
+        pltpu.VMEM((R, _LANES), dt),                # znext staging
+    ]
+    if accum:
+        in_specs.append(plane_any)                  # W accumulator
+        out_specs.append(plane_any)
+        out_shape.append(jax.ShapeDtypeStruct((nz, R, _LANES), dt))
+        scratch.append(pltpu.VMEM((R, _LANES), dt))  # w plane
+        scratch.append(pltpu.SemaphoreType.DMA((6,)))
+        kern = functools.partial(_fused_kernel, P=P, nz=nz, c0=c0, cx=cx,
+                                 cy=cy, cz=cz, accum=True)
+        operands = (jnp.asarray(coefs, dt), Zg, Vcg, Vpg,
+                    mask.astype(dt), w_accum)
+        alias = {5: 3}
+    else:
+        scratch.append(pltpu.SemaphoreType.DMA((6,)))
+        kern = functools.partial(_kernel_plain, P=P, nz=nz, c0=c0, cx=cx,
+                                 cy=cy, cz=cz)
+        operands = (jnp.asarray(coefs, dt), Zg, Vcg, Vpg, mask.astype(dt))
+        alias = {}
+
+    out = pl.pallas_call(
+        kern,
         grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # (3,) coefficients
-            pl.BlockSpec(memory_space=pltpu.ANY),       # Z planes
-            pl.BlockSpec(memory_space=pltpu.ANY),       # Vc planes
-            pl.BlockSpec(memory_space=pltpu.ANY),       # Vp planes
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # mask (R, 128)
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((8, _LANES), lambda i: (i // 8, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nz, R, _LANES), dt),
-            jax.ShapeDtypeStruct((nz, R, _LANES), dt),
-            jax.ShapeDtypeStruct((ns8, _LANES), dt),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((3, R, _LANES), dt),             # y ring
-            pltpu.VMEM((R, _LANES), dt),                # z plane
-            pltpu.VMEM((R, _LANES), dt),                # vc plane
-            pltpu.VMEM((R, _LANES), dt),                # vp plane
-            pltpu.VMEM((R, _LANES), dt),                # znext staging
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        input_output_aliases=alias,
         interpret=interpret,
-    )(jnp.asarray(coefs, dt), Zg, Vcg, Vpg, mask.astype(dt))
+    )(*operands)
+    if accum:
+        Yg, Zn, parts, Wn = out
+    else:
+        Yg, Zn, parts = out
+        Wn = None
     ypy = jnp.sum(parts[:, 0])
     yzy = jnp.sum(parts[:, 1])
+    if accum:
+        return Yg, Zn, ypy, yzy, Wn
     return Yg, Zn, ypy, yzy
 
 
@@ -311,3 +354,59 @@ def lanczos_coeffs_fused(op, b, m: int, *, tol: float = 1e-7,
     m_used = jnp.where(beta0 == 0, 0, m_used).astype(jnp.int32)
     return alphas, betas, beta0.astype(jnp.result_type(dt, jnp.float32)), \
         m_used, broke
+
+
+def lanczos_replay_fused(op, b, coeffs, *, tol: float = 1e-7,
+                         interpret: bool = False):
+    """Replay twin: w = Σ_j coeffs[j]·v_j regenerating the basis with the
+    SAME fused sweeps (7n traffic each — the extra 2n is the aliased
+    in-place accumulator). ``coeffs`` has length m. Numerically identical
+    recurrence to ``lanczos_coeffs_fused`` (bitwise same kernel)."""
+    coeffs_static = _stencil_coeffs_static(op)
+    gg = GhostGrid(*op.grid_shape)
+    b = jnp.asarray(b)
+    dt = b.dtype
+    mask = jnp.asarray(gg.xmask())
+    m = coeffs.shape[0]
+
+    beta0 = jnp.linalg.norm(b)
+    v0 = jnp.where(beta0 > 0, b / jnp.where(beta0 > 0, beta0, 1), 0.0)
+    V0g = gg.to_ghost(v0)
+
+    step = functools.partial(fused_lanczos_step, grid_desc=gg,
+                             coeffs_static=coeffs_static,
+                             interpret=interpret)
+
+    W0 = jnp.zeros_like(V0g)
+    # Sweep 0: y = v0 (ca = 1 on Z = v0); nothing to accumulate yet.
+    Y, Z, ypy, yzy, W = step(V0g, V0g, jnp.zeros_like(V0g),
+                             jnp.stack([jnp.asarray(1.0, dt),
+                                        jnp.asarray(0.0, dt),
+                                        jnp.asarray(0.0, dt),
+                                        jnp.asarray(0.0, dt)]),
+                             mask, w_accum=W0)
+
+    def body(carry, cj):
+        # Sweep k accumulates cj·v_{k-1} from its Vc INPUT plane
+        # (Vc = Ỹ_{k-2} with ‖Vc‖ = β_{k-1}·…; Vc/beta = v_{k-1}),
+        # while producing Ỹ_{k-1} for the next step — m+1 sweeps total.
+        Y, Z, Yprev, ypy, yzy, beta_prev, broke, W = carry
+        beta = jnp.sqrt(jnp.maximum(ypy, 0.0))
+        alpha = jnp.where(ypy > 0, yzy / jnp.maximum(ypy, 1e-300), 0.0)
+        now_broke = beta < tol
+        active = jnp.logical_not(broke)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        safe_bp = jnp.where(beta_prev > 0, beta_prev, 1.0)
+        ca = jnp.where(active & ~now_broke, 1.0 / safe_beta, 0.0)
+        cb = -alpha * ca
+        cc = jnp.where(active & ~now_broke, -beta / safe_bp, 0.0)
+        cw = jnp.where(active, cj / safe_beta, 0.0)
+        Yn, Zn, ypy_n, yzy_n, Wn = step(
+            Z, Y, Yprev, jnp.stack([ca, cb, cc, cw.astype(dt)]), mask,
+            w_accum=W)
+        return (Yn, Zn, Y, ypy_n, yzy_n, beta, broke | now_broke, Wn), None
+
+    init = (Y, Z, jnp.zeros_like(Y), ypy, yzy, jnp.asarray(1.0, dt),
+            jnp.asarray(beta0 == 0), W)
+    (Y, Z, _, _, _, _, _, W), _ = lax.scan(body, init, coeffs.astype(dt))
+    return gg.from_ghost(W)

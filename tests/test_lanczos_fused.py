@@ -62,3 +62,27 @@ def test_fused_rejects_unsupported(rng):
     op1 = laplacian_1d(64)
     with pytest.raises(ValueError):
         lanczos_coeffs_fused(op1, jnp.ones(64), 4, interpret=True)
+
+
+def test_fused_replay_two_pass_expv(rng):
+    # full fused two-pass: coeffs pass + accumulating replay pass
+    import scipy.linalg as sla
+    from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+        lanczos_replay_fused)
+    shape = (6, 6, 6)
+    op = laplacian_nd_stencil(*shape, dtype=jnp.float32)
+    n = 216
+    b = rng.standard_normal(n).astype(np.float32)
+    m = 20
+    al, be, beta0, mu, br = lanczos_coeffs_fused(op, jnp.asarray(b), m,
+                                                 interpret=True)
+    T = (np.diag(np.asarray(al)) + np.diag(np.asarray(be)[:-1], 1)
+         + np.diag(np.asarray(be)[:-1], -1))
+    e1 = np.zeros(m); e1[0] = 1
+    coeffs = float(beta0) * sla.expm(0.05 * T) @ e1
+    w = np.asarray(lanczos_replay_fused(
+        op, jnp.asarray(b), jnp.asarray(coeffs.astype(np.float32)),
+        interpret=True))
+    A = np.asarray(op.to_banded().to_dense())
+    want = sla.expm(0.05 * A) @ b
+    assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-5
