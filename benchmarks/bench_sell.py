@@ -33,20 +33,22 @@ def gen(n, d, band, rng):
     return rows, cols, vals
 
 
-def chain_time(fn, x, ks=(2, 8), reps=3):
+def chain_time(data, x, ks=(2, 8), reps=3):
+    # data passed as a pytree ARGUMENT (a closure constant would be
+    # embedded into the remote-compile request -> HTTP 413 at 10M rows)
     @functools.partial(jax.jit, static_argnames=("k",))
-    def chained(x, k):
+    def chained(data, x, k):
         def body(i, x):
-            y = fn(x)
+            y = sell_spmv(data, x)
             return y / jnp.max(jnp.abs(y))
         return jnp.sum(jax.lax.fori_loop(0, k, body, x))
     out = {}
     for k in ks:
-        float(chained(x, k))          # warm/compile
+        float(chained(data, x, k))          # warm/compile
         best = 1e9
         for _ in range(reps):
             t0 = time.time()
-            float(chained(x, k))
+            float(chained(data, x, k))
             best = min(best, time.time() - t0)
         out[k] = best
     k0, k1 = ks
@@ -76,7 +78,7 @@ def main():
     print(f"packed in {time.time()-t0:.1f}s tiles={data.vals.shape} "
           f"fill={data.nnz/data.vals.size:.3f} residue={RESIDUE}", flush=True)
     xj = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    t = chain_time(lambda v: sell_spmv(data, v), xj)
+    t = chain_time(data, xj)
     nnz = data.nnz
     stream = data.vals.size * 4 + data.lidx.size * 4 + 2 * n * 4
     print(f"per-matvec {t*1e3:.3f} ms | raw-stream {(stream/t)/1e9:.0f} GB/s"

@@ -26,6 +26,7 @@ __all__ = [
     "load_native", "native_available",
     "csr_to_ell_arrays", "bsr_to_blockell_arrays", "csr_to_banded_arrays",
     "csr_band_offsets", "rcm_ordering", "balance_partition",
+    "sell_pack_csr",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -254,3 +255,41 @@ def balance_partition(A, p: int):
         bounds[part] = min(max(j, bounds[part - 1]), n)
     bounds[p] = n
     return bounds
+
+
+def sell_pack_csr(A, window: int = 1024):
+    """Native SELL-window pack of a scipy CSR matrix: returns
+    (vals (T,8,128), lidx (T,8,128) int32, group_ptr (G+1) int32,
+    win_row (G) int32) or None when the native library is unavailable.
+    Raises ValueError when a group's columns exceed its window (same
+    contract as the numpy packer in ops/kernels/sell.py)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    A = A.tocsr()
+    A.sort_indices()
+    n = A.shape[0]
+    G = (n + 127) // 128
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    group_ptr = np.empty(G + 1, np.int32)
+    win_row = np.empty(G, np.int32)
+    lib.sell_plan.restype = ctypes.c_int64
+    T = lib.sell_plan(ctypes.c_int64(n), ctypes.c_int64(window),
+                      _ptr(indptr, _i64p), _ptr(indices, _i32p),
+                      _ptr(group_ptr, _i32p), _ptr(win_row, _i32p))
+    if T < 0:
+        g = -T - 1
+        raise ValueError(
+            f"group {g}: column span exceeds the {window}-wide window; "
+            "RCM-permute, widen the window, or use block-ELL/banded")
+    dt = A.dtype if A.dtype in (np.float32, np.float64) else np.float64
+    data = np.ascontiguousarray(A.data, dtype=dt)
+    vals = np.empty((T, 8, 128), dt)
+    lidx = np.empty((T, 8, 128), np.int32)
+    fill = lib.sell_fill_f32 if dt == np.float32 else lib.sell_fill_f64
+    fp = _f32p if dt == np.float32 else _f64p
+    fill(ctypes.c_int64(n), _ptr(indptr, _i64p), _ptr(indices, _i32p),
+         _ptr(data, fp), _ptr(group_ptr, _i32p), _ptr(win_row, _i32p),
+         ctypes.c_int64(T), _ptr(vals, fp), _ptr(lidx, _i32p))
+    return vals, lidx, group_ptr, win_row

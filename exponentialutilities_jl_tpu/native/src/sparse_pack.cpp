@@ -265,3 +265,88 @@ void balance_partition(int64_t n, int64_t p, const int64_t* indptr,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------- SELL pack
+// Plan + fill for the SELL-window layout (ops/kernels/sell.py): rows
+// grouped in 128s (row-per-lane), v = ceil(maxdeg/8) tiles of (8, 128)
+// per group, per-group aligned x-window. Two-call protocol so the caller
+// owns all allocations:
+//   sell_plan  -> group_ptr (G+1), win_row (G); returns total tiles T,
+//                 or -(g+1) if group g's columns exceed its window.
+//   sell_fill_* -> vals (T,8,128), lidx (T,8,128) filled in one pass.
+
+extern "C" {
+
+int64_t sell_plan(int64_t n, int64_t window, const int64_t* indptr,
+                  const int32_t* indices, int32_t* group_ptr,
+                  int32_t* win_row) {
+    const int64_t G = (n + 127) / 128;
+    group_ptr[0] = 0;
+    for (int64_t g = 0; g < G; ++g) {
+        const int64_t r0 = g * 128;
+        const int64_t r1 = std::min(n, r0 + 128);
+        int64_t maxdeg = 0;
+        int64_t cmin = INT64_MAX, cmax = -1;
+        for (int64_t r = r0; r < r1; ++r) {
+            const int64_t deg = indptr[r + 1] - indptr[r];
+            maxdeg = std::max(maxdeg, deg);
+            for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k) {
+                cmin = std::min<int64_t>(cmin, indices[k]);
+                cmax = std::max<int64_t>(cmax, indices[k]);
+            }
+        }
+        int64_t ws = 0;
+        if (cmax >= 0) {
+            ws = (cmin / 128) * 128;
+            if (cmax >= ws + window) return -(g + 1);
+        }
+        win_row[g] = (int32_t)(ws / 128);
+        const int64_t v = std::max<int64_t>(1, (maxdeg + 7) / 8);
+        group_ptr[g + 1] = group_ptr[g] + (int32_t)v;
+    }
+    return group_ptr[G];
+}
+
+}  // extern "C"
+
+template <typename T>
+static void sell_fill_impl(int64_t n, const int64_t* indptr,
+                           const int32_t* indices, const T* data,
+                           const int32_t* group_ptr, const int32_t* win_row,
+                           int64_t T_tiles, T* vals, int32_t* lidx) {
+    std::memset(vals, 0, sizeof(T) * T_tiles * 8 * 128);
+    std::memset(lidx, 0, sizeof(int32_t) * T_tiles * 8 * 128);
+    for (int64_t r = 0; r < n; ++r) {
+        const int64_t g = r / 128;
+        const int64_t lane = r % 128;
+        const int64_t t0 = group_ptr[g];
+        const int32_t ws = win_row[g] * 128;
+        int64_t i = 0;
+        for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k, ++i) {
+            const int64_t t = t0 + i / 8;
+            const int64_t s = i % 8;
+            vals[(t * 8 + s) * 128 + lane] = data[k];
+            lidx[(t * 8 + s) * 128 + lane] = indices[k] - ws;
+        }
+    }
+}
+
+extern "C" {
+
+void sell_fill_f32(int64_t n, const int64_t* indptr, const int32_t* indices,
+                   const float* data, const int32_t* group_ptr,
+                   const int32_t* win_row, int64_t T_tiles, float* vals,
+                   int32_t* lidx) {
+    sell_fill_impl<float>(n, indptr, indices, data, group_ptr, win_row,
+                          T_tiles, vals, lidx);
+}
+
+void sell_fill_f64(int64_t n, const int64_t* indptr, const int32_t* indices,
+                   const double* data, const int32_t* group_ptr,
+                   const int32_t* win_row, int64_t T_tiles, double* vals,
+                   int32_t* lidx) {
+    sell_fill_impl<double>(n, indptr, indices, data, group_ptr, win_row,
+                           T_tiles, vals, lidx);
+}
+
+}  // extern "C"
