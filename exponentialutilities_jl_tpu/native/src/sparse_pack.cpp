@@ -277,32 +277,36 @@ void balance_partition(int64_t n, int64_t p, const int64_t* indptr,
 
 extern "C" {
 
+// group_ptr: (G+1); win_row: per 8-group BLOCK (B = ceil(G/8)).
 int64_t sell_plan(int64_t n, int64_t window, const int64_t* indptr,
                   const int32_t* indices, int32_t* group_ptr,
                   int32_t* win_row) {
     const int64_t G = (n + 127) / 128;
+    const int64_t B = (G + 7) / 8;
     group_ptr[0] = 0;
-    for (int64_t g = 0; g < G; ++g) {
-        const int64_t r0 = g * 128;
-        const int64_t r1 = std::min(n, r0 + 128);
-        int64_t maxdeg = 0;
+    for (int64_t b = 0; b < B; ++b) {
+        const int64_t rb0 = b * 8 * 128;
+        const int64_t rb1 = std::min(n, rb0 + 8 * 128);
         int64_t cmin = INT64_MAX, cmax = -1;
-        for (int64_t r = r0; r < r1; ++r) {
-            const int64_t deg = indptr[r + 1] - indptr[r];
-            maxdeg = std::max(maxdeg, deg);
-            for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k) {
-                cmin = std::min<int64_t>(cmin, indices[k]);
-                cmax = std::max<int64_t>(cmax, indices[k]);
-            }
+        for (int64_t k = indptr[rb0]; k < indptr[rb1]; ++k) {
+            cmin = std::min<int64_t>(cmin, indices[k]);
+            cmax = std::max<int64_t>(cmax, indices[k]);
         }
         int64_t ws = 0;
         if (cmax >= 0) {
             ws = (cmin / 128) * 128;
-            if (cmax >= ws + window) return -(g + 1);
+            if (cmax >= ws + window) return -(b + 1);
         }
-        win_row[g] = (int32_t)(ws / 128);
-        const int64_t v = std::max<int64_t>(1, (maxdeg + 7) / 8);
-        group_ptr[g + 1] = group_ptr[g] + (int32_t)v;
+        win_row[b] = (int32_t)(ws / 128);
+        for (int64_t g = b * 8; g < std::min(G, (b + 1) * 8); ++g) {
+            const int64_t r0 = g * 128;
+            const int64_t r1 = std::min(n, r0 + 128);
+            int64_t maxdeg = 0;
+            for (int64_t r = r0; r < r1; ++r)
+                maxdeg = std::max(maxdeg, indptr[r + 1] - indptr[r]);
+            const int64_t v = std::max<int64_t>(1, (maxdeg + 7) / 8);
+            group_ptr[g + 1] = group_ptr[g] + (int32_t)v;
+        }
     }
     return group_ptr[G];
 }
@@ -320,7 +324,7 @@ static void sell_fill_impl(int64_t n, const int64_t* indptr,
         const int64_t g = r / 128;
         const int64_t lane = r % 128;
         const int64_t t0 = group_ptr[g];
-        const int32_t ws = win_row[g] * 128;
+        const int32_t ws = win_row[g / 8] * 128;
         int64_t i = 0;
         for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k, ++i) {
             const int64_t t = t0 + i / 8;

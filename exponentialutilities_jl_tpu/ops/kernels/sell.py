@@ -1,33 +1,40 @@
 """SELL-window SpMV — vector-gather sparse kernel for unstructured matrices.
 
 Round-1's ``blockell_spmv`` gathers x one 128-lane row-copy per 8×128 dense
-block: great when blocks are dense, but an UNSTRUCTURED matrix (~10 nnz
+block: fine when blocks are dense, but an UNSTRUCTURED matrix (~10 nnz
 scattered per row) makes the blocks nearly empty and the effective rate
-collapses. This kernel removes both problems:
+collapses (XLA scalar-ELL measured ~1 GB/s). This kernel's design:
 
-* **Value stream without block padding** — a SELL-style lane-major layout:
-  rows are grouped in 128s (lane l of a tile = row l of the group); each
-  group stores ``v = ceil(maxdeg/8)`` tiles of shape (8, 128), tile t's
-  sublane s holding slot ``8·t+s`` of every row. Padded slots carry value
-  0. The value/index streams are contiguous (T, 8, 128) arrays read at
-  full HBM rate.
-* **Gather at VPU vector rate** — each (8, 128) tile of 1024 x-elements is
-  gathered with EIGHT ``tpu.dynamic_gather`` ops (exposed through
-  ``jnp.take_along_axis`` on a (8, 128) table): the group's x-window
-  (1024 contiguous elements, ONE DMA) is viewed as (8, 128); a local
-  index decomposes as q·128+r, and the cross-sublane part is handled by
-  8 sublane-rolls of the window, each followed by one lane-gather and a
-  masked accumulate. ~35 VPU ops per 1024 slots ≈ 30 slots/cycle — two
-  orders of magnitude over per-element gathers (XLA scalar-ELL measured
-  ~1 GB/s in round 1).
-* **Reduction with no scatter** — row-per-lane means the per-row sum is a
-  plain sublane-axis reduction; output rows are written contiguously.
+* **Value stream without block padding** — SELL lane-major layout: rows
+  grouped in 128s (lane l = row l of the group); each group stores
+  ``v = ceil(maxdeg/8)`` tiles of (8, 128), sublane s of tile t holding
+  slot ``8·t+s`` of every row. Padded slots carry value 0. The value and
+  index streams are contiguous (T, 8, 128) arrays.
+* **Gather at VPU vector rate** — ``tpu.dynamic_gather`` (via
+  ``jnp.take_along_axis`` on an (8, 128) table) gathers 1024 elements per
+  op. Two packings:
+  - default (roll): arbitrary slot placement; one 8-step sublane-roll +
+    lane-gather + select pass per 1024-element window half;
+  - ``residue=True``: each nnz placed at sublane ≡ window-row (mod 8), so
+    a tile needs ONE gather per window half + one select — ~4 VPU ops per
+    1024 slots — at the cost of more padding (v = max per-row per-class
+    count).
+* **Latency-proof DMA schedule** — the v1 kernel issued 3 blocking DMAs
+  per 128-row group (window + values + indices) and measured 37 ms at
+  10M rows: pure DMA round-trip latency. v2 amortizes: ONE x-window, ONE
+  value-chunk and ONE index-chunk DMA per 8-group block (the block's
+  tiles are contiguous by construction), double-buffered across grid
+  steps so the next block's transfers overlap the current block's
+  compute.
+* **Reduction with no scatter** — row-per-lane makes the per-row sum a
+  sublane-axis reduction; output rows are written contiguously.
 
-Constraint: each 128-row group's columns must fit one 1024-wide aligned
-window (checked at pack time). After RCM this holds for bandwidth ≤ ~900;
-wider matrices fall back to the k-chunk variant or block-ELL. SpMV role in
-the reference: outsourced to SparseArrays (src/arnoldi.jl:182); this layer
-is the BASELINE.json per-chip speed-of-light metric.
+Constraint: each 8-group block's (1024 rows') columns must fit one aligned
+``window``-wide span (default 2048; any multiple of 1024). After RCM this
+holds for bandwidth ≲ window − 1150; wider matrices fall back to
+block-ELL/banded. SpMV role in the reference: outsourced to SparseArrays
+(src/arnoldi.jl:182); this layer is the BASELINE.json per-chip
+speed-of-light metric.
 """
 
 from __future__ import annotations
@@ -43,36 +50,41 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["sell_pack", "sell_spmv", "sell_spmv_ref", "SellData"]
 
-_W = 1024            # window width (elements); (8, 128) as a gather table
+_W = 1024
 _LANES = 128
 _SUB = 8
+_GPB = 8                     # groups per block (output tile = (8, 128))
 
 
 class SellData:
     """Packed SELL-window arrays (host-built, device-resident).
 
-    vals:      (T, 8, 128) float values, 0 in padded slots.
-    lidx:      (T, 8, 128) int32 window-local element indices (0 padded).
+    vals:      (T + cap, 8, 128) values, 0 in padded slots (cap trailing
+               pad tiles let the fixed-size chunk DMA over-read safely).
+    lidx:      same shape, int32 block-window-local element indices.
     group_ptr: (G + 1,) int32 tile offsets per 128-row group.
-    win_row:   (G,) int32 window start as a 128-lane ROW index into
-               x.reshape(-1, 128).
-    n:         logical dimension. nnz: true nonzero count.
+    win_row:   (B,) int32 per-BLOCK window start (128-lane row units).
+    n, nnz:    logical dimension / true nonzero count.
+    win_rows:  window size in 128-lane rows (static).
+    residue:   sublane ≡ window-row (mod 8) packing (static).
+    cap:       chunk-DMA tile capacity = max tiles per block (static).
     """
 
     def __init__(self, vals, lidx, group_ptr, win_row, n, nnz,
-                 win_rows=_SUB, residue=False):
+                 win_rows=_SUB * 2, residue=False, cap=_GPB):
         self.vals = vals
         self.lidx = lidx
         self.group_ptr = group_ptr
         self.win_row = win_row
         self.n = int(n)
         self.nnz = int(nnz)
-        self.win_rows = int(win_rows)   # window size in 128-lane rows
-        self.residue = bool(residue)    # sublane == window row (q) packing
+        self.win_rows = int(win_rows)
+        self.residue = bool(residue)
+        self.cap = int(cap)
 
     def tree_flatten(self):
         return ((self.vals, self.lidx, self.group_ptr, self.win_row),
-                (self.n, self.nnz, self.win_rows, self.residue))
+                (self.n, self.nnz, self.win_rows, self.residue, self.cap))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -87,220 +99,219 @@ jax.tree_util.register_pytree_node(
 
 
 def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
-              window: int = 1024, residue: bool = False) -> SellData:
-    """Pack COO (rows, cols, vals) into SELL-window form.
+              window: int = 2048, residue: bool = False) -> SellData:
+    """Pack COO (rows, cols, vals) into SELL-window form (module doc).
 
-    ``window`` (multiple of 1024): per-group x-window width. Wider windows
-    admit wider bands at proportionally more gather work per tile (the
-    kernel runs one 8-step roll-gather pass per 1024-element half).
-    ``residue=True`` (requires window=1024) places each nnz at the
-    sublane equal to its window ROW q = local_idx // 128, so the kernel
-    needs exactly ONE lane-gather per tile (no rolls/selects) — fastest
-    when the extra padding it induces (v = max per-row per-q-class count)
-    stays moderate.
-
-    Raises ValueError if any 128-row group's columns exceed its aligned
-    window — the caller should RCM-permute first (the packer does not
-    reorder) or fall back to another container.
+    Raises ValueError if any 8-group block's columns exceed its aligned
+    ``window`` — RCM-permute first (the packer does not reorder), widen
+    the window, or fall back to another container. Duplicate (row, col)
+    entries are summed.
     """
     if window % _W:
         raise ValueError("window must be a multiple of 1024")
-    if residue and window != _W:
-        raise ValueError("residue packing requires window=1024")
-    if not residue:
-        # Native C++ single-pass packer (≈20× the numpy path at 80M nnz).
-        try:
-            import scipy.sparse as _sp
-            from ...native import sell_pack_csr
-            r, c, v = rows_cols_vals
-            A = _sp.coo_matrix((np.asarray(v, dtype=dtype),
-                                (np.asarray(r), np.asarray(c))),
-                               shape=(n, n))
-            nnz_true = len(np.asarray(v))
-            packed = sell_pack_csr(A, window=window)
-            if packed is not None:
-                va, li, gp, wr = packed
-                return SellData(jnp.asarray(va), jnp.asarray(li),
-                                jnp.asarray(gp), jnp.asarray(wr),
-                                n, nnz_true, win_rows=window // _LANES)
-        except ImportError:
-            pass
     rows, cols, vals = rows_cols_vals
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals, dtype=dtype)
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
+
+    import scipy.sparse as sp
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    A.sort_indices()
+    nnz = A.nnz
+    if not residue:
+        # Native C++ single-pass packer when available.
+        try:
+            from ...native import sell_pack_csr
+            packed = sell_pack_csr(A, window=window)
+        except ImportError:
+            packed = None
+        if packed is not None:
+            va, lia, gp, wr, cap = packed
+            return SellData(jnp.asarray(va.astype(dtype)),
+                            jnp.asarray(lia), jnp.asarray(gp),
+                            jnp.asarray(wr), n, int(nnz),
+                            win_rows=window // _LANES, residue=False,
+                            cap=cap)
+    indptr = A.indptr.astype(np.int64)
+    indices = A.indices.astype(np.int64)
+    data = A.data
 
     G = -(-n // _LANES)
+    B = -(-G // _GPB)
     n_pad = G * _LANES
-    counts = np.bincount(rows, minlength=n_pad)
-    row_start = np.concatenate([[0], np.cumsum(counts)])
+    counts = np.zeros(n_pad, np.int64)
+    counts[:n] = np.diff(indptr)
 
-    # Per-group column window (vectorized over groups via reduceat on the
-    # row-sorted column stream; empty groups get window 0). reduceat runs
-    # over the NONEMPTY groups' start offsets only — their segments end at
-    # the next nonempty start, which is exactly the group boundary since
-    # empty groups contribute no elements.
-    gb = row_start[np.arange(G) * _LANES]          # group nnz boundaries
-    nonempty = np.diff(np.concatenate([gb, [len(cols)]])) > 0
-    cmin = np.zeros(G, np.int64)
-    cmax = np.zeros(G, np.int64)
+    # Per-BLOCK window from per-block column extrema.
+    bb = indptr[np.minimum(np.arange(B) * _GPB * _LANES, n)]
+    nonempty = np.diff(np.concatenate([bb, [nnz]])) > 0
+    cmin = np.zeros(B, np.int64)
+    cmax = np.zeros(B, np.int64)
     ne = np.flatnonzero(nonempty)
     if len(ne):
-        cmin[ne] = np.minimum.reduceat(cols, gb[ne])
-        cmax[ne] = np.maximum.reduceat(cols, gb[ne])
-    ws = (cmin // _LANES) * _LANES
-    bad = cmax >= ws + window
+        cmin[ne] = np.minimum.reduceat(indices, bb[ne])
+        cmax[ne] = np.maximum.reduceat(indices, bb[ne])
+    wsb = (cmin // _LANES) * _LANES
+    bad = cmax >= wsb + window
     if np.any(bad):
-        g = int(np.argmax(bad))
+        blk = int(np.argmax(bad))
         raise ValueError(
-            f"group {g}: column span [{cmin[g]}, {cmax[g]}] exceeds the "
-            f"{window}-wide window; RCM-permute, widen the window, or "
+            f"block {blk}: column span [{cmin[blk]}, {cmax[blk]}] exceeds "
+            f"the {window}-wide window; RCM-permute, widen the window, or "
             "use block-ELL/banded instead")
 
-    g_of = rows // _LANES
-    lane = rows % _LANES
+    r_all = np.repeat(np.arange(n), np.diff(indptr))
+    g_of = r_all // _LANES
+    lane = r_all % _LANES
+    li = indices - wsb[g_of // _GPB]
+
     if residue:
-        # Sublane = window row q; depth within the (row, q) class picks
-        # the tile. v_g = max class count over the group's rows.
-        li = cols - ws[g_of]
         q = li >> 7
-        key = rows * _SUB + q          # rows ascending → still row-sorted
+        key = r_all * _SUB + (q & 7)
         order2 = np.argsort(key, kind="stable")
         inv = np.empty_like(order2)
         inv[order2] = np.arange(len(order2))
         ks = key[order2]
-        change = np.concatenate([[True], ks[1:] != ks[:-1]])             if len(ks) else np.zeros(0, bool)
-        startpos = np.maximum.accumulate(
-            np.where(change, np.arange(len(ks)), 0)) if len(ks) else ks
-        depth = (np.arange(len(ks)) - startpos)[inv]
-        if len(depth):
-            vmax = np.zeros(G, np.int64)
-            np.maximum.at(vmax, g_of, depth + 1)
-            v = np.maximum(1, vmax)
+        if len(ks):
+            change = np.concatenate([[True], ks[1:] != ks[:-1]])
+            startpos = np.maximum.accumulate(
+                np.where(change, np.arange(len(ks)), 0))
+            depth = (np.arange(len(ks)) - startpos)[inv]
+            vmax_g = np.zeros(G, np.int64)
+            np.maximum.at(vmax_g, g_of, depth + 1)
+            v = np.maximum(1, vmax_g)
         else:
+            depth = r_all  # empty
             v = np.ones(G, np.int64)
         group_ptr = np.concatenate([[0], np.cumsum(v)]).astype(np.int32)
-        T = int(group_ptr[-1])
         tile = group_ptr[g_of] + depth
-        sub = q
-        lidx_store = li & 127          # r only; q == sublane
+        sub = (q & 7)
     else:
         maxdeg = counts.reshape(G, _LANES).max(axis=1)
         v = np.maximum(1, -(-maxdeg // _SUB)).astype(np.int64)
         group_ptr = np.concatenate([[0], np.cumsum(v)]).astype(np.int32)
-        T = int(group_ptr[-1])
-        i_in_row = np.arange(len(rows)) - row_start[rows]
+        i_in_row = np.arange(nnz) - indptr[r_all]
         tile = group_ptr[g_of] + i_in_row // _SUB
         sub = i_in_row % _SUB
-        lidx_store = cols - ws[g_of]
 
-    vals_all = np.zeros((T, _SUB, _LANES), dtype)
-    lidx_all = np.zeros((T, _SUB, _LANES), np.int32)
-    vals_all[tile, sub, lane] = vals
-    lidx_all[tile, sub, lane] = lidx_store
+    T = int(group_ptr[-1])
+    # chunk capacity: max tiles in any 8-group block (+ trailing pad)
+    gp_blk = group_ptr[np.minimum(np.arange(B + 1) * _GPB, G)]
+    cap = int(np.max(np.diff(gp_blk))) if B else 1
+    cap = max(cap, 1)
+
+    vals_all = np.zeros((T + cap, _SUB, _LANES), dtype)
+    lidx_all = np.zeros((T + cap, _SUB, _LANES), np.int32)
+    vals_all[tile, sub, lane] = data.astype(dtype)
+    lidx_all[tile, sub, lane] = li
     return SellData(jnp.asarray(vals_all), jnp.asarray(lidx_all),
                     jnp.asarray(group_ptr),
-                    jnp.asarray((ws // _LANES).astype(np.int32)),
-                    n, len(vals), win_rows=window // _LANES,
-                    residue=residue)
+                    jnp.asarray((wsb // _LANES).astype(np.int32)),
+                    n, int(nnz), win_rows=window // _LANES,
+                    residue=residue, cap=cap)
+
+
+def _gather_tile(win, li, wr: int, residue: bool, sid):
+    """Gather 1024 x-elements for one (8, 128) tile from the (wr, 128)
+    VMEM window (see module doc)."""
+    if residue:
+        r = li & 127
+        gathered = None
+        for h in range(wr // _SUB):
+            half = win[h * _SUB:(h + 1) * _SUB, :]
+            Gh = jnp.take_along_axis(half, r, axis=1,
+                                     mode="promise_in_bounds")
+            if gathered is None:
+                gathered = Gh
+            else:
+                gathered = jnp.where((li >> 10) == h, Gh, gathered)
+        return gathered
+    q = li >> 7
+    r = li & 127
+    gathered = jnp.zeros(li.shape, win.dtype)
+    for h in range(wr // _SUB):
+        half = win[h * _SUB:(h + 1) * _SUB, :]
+        qh = q - h * _SUB
+        in_half = (q >> 3) == h
+        jd = (qh - sid + _SUB) & 7
+        for j in range(_SUB):
+            Wj = pltpu.roll(half, _SUB - j, 0) if j else half
+            Gj = jnp.take_along_axis(Wj, r, axis=1,
+                                     mode="promise_in_bounds")
+            gathered = jnp.where(in_half & (jd == j), Gj, gathered)
+    return gathered
 
 
 def _sell_kernel(group_ptr_ref, win_row_ref, vals_hbm, lidx_hbm, x_hbm,
-                 out_ref, win_ref, vbuf, ibuf, sems, *, wr: int,
-                 residue: bool):
-    """One grid step = 8 consecutive 128-row groups (the output tile is a
-    full (8, 128) register). Per group: one contiguous window DMA (wr·512
-    bytes), then v double-buffered (vals, lidx) tile streams; per (8, 128)
-    tile, one 8-step roll + lane-gather (tpu.dynamic_gather) pass per
-    1024-element window half."""
-    gblk = pl.program_id(0)
+                 out_ref, win2, vbuf, ibuf, sems, *, wr: int, cap: int,
+                 residue: bool, nblocks: int):
+    b = pl.program_id(0)
+    par = b % 2
+    nxt = (b + 1) % 2
     sid = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
-    halves = wr // _SUB
 
-    def tile_dma(slot, t):
-        return (pltpu.make_async_copy(vals_hbm.at[t], vbuf.at[slot],
-                                      sems.at[slot]),
-                pltpu.make_async_copy(lidx_hbm.at[t], ibuf.at[slot],
-                                      sems.at[3 + slot]))
+    def block_dmas(p, blk):
+        t0 = group_ptr_ref[blk * _GPB]
+        return (
+            pltpu.make_async_copy(x_hbm.at[pl.ds(win_row_ref[blk], wr)],
+                                  win2.at[p], sems.at[p * 3 + 0]),
+            pltpu.make_async_copy(vals_hbm.at[pl.ds(t0, cap)],
+                                  vbuf.at[p], sems.at[p * 3 + 1]),
+            pltpu.make_async_copy(lidx_hbm.at[pl.ds(t0, cap)],
+                                  ibuf.at[p], sems.at[p * 3 + 2]),
+        )
 
-    for gi in range(_SUB):
-        g = gblk * _SUB + gi
-        wrow = win_row_ref[g]
-        wcp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(wrow, wr)], win_ref, sems.at[2])
-        wcp.start()
+    @pl.when(b == 0)
+    def _():
+        for cp in block_dmas(0, 0):
+            cp.start()
 
-        t0 = group_ptr_ref[g]
-        nt = group_ptr_ref[g + 1] - t0
+    @pl.when(b + 1 < nblocks)
+    def _():
+        for cp in block_dmas(nxt, b + 1):
+            cp.start()
 
-        @pl.when(nt > 0)
-        def _():
-            c0 = tile_dma(0, t0)
-            c0[0].start()
-            c0[1].start()
-        wcp.wait()
+    for cp in block_dmas(par, b):
+        cp.wait()
 
-        def body(i, acc):
-            slot = i % 2
-            nxt = (i + 1) % 2
+    tbase = group_ptr_ref[b * _GPB]
+    win = win2[par]
+    for g in range(_GPB):
+        t0 = group_ptr_ref[b * _GPB + g] - tbase
+        nt = group_ptr_ref[b * _GPB + g + 1] - tbase - t0
 
-            @pl.when(i + 1 < nt)
-            def _():
-                cn = tile_dma(nxt, t0 + i + 1)
-                cn[0].start()
-                cn[1].start()
-
-            cw = tile_dma(slot, t0 + i)
-            cw[0].wait()
-            cw[1].wait()
-
-            li = ibuf[slot]
-            if residue:
-                # sublane == window row by construction: ONE lane-gather.
-                gathered = jnp.take_along_axis(
-                    win_ref[:, :], li, axis=1, mode="promise_in_bounds")
-                return acc + vbuf[slot] * gathered
-            q = li >> 7                    # window row in [0, wr)
-            r = li & 127
-            gathered = jnp.zeros((_SUB, _LANES), win_ref.dtype)
-            for h in range(halves):
-                half = win_ref[h * _SUB:(h + 1) * _SUB, :]
-                qh = q - h * _SUB
-                in_half = (q >> 3) == h
-                jd = (qh - sid + _SUB) & 7
-                for j in range(_SUB):
-                    Wj = (pltpu.roll(half, _SUB - j, 0) if j else half)
-                    Gj = jnp.take_along_axis(Wj, r, axis=1,
-                                             mode="promise_in_bounds")
-                    gathered = jnp.where(in_half & (jd == j), Gj,
-                                         gathered)
-            return acc + vbuf[slot] * gathered
+        def body(t, acc):
+            li = ibuf[par, t0 + t]
+            gathered = _gather_tile(win, li, wr, residue, sid)
+            return acc + vbuf[par, t0 + t] * gathered
 
         acc = lax.fori_loop(0, nt, body,
                             jnp.zeros((_SUB, _LANES), out_ref.dtype))
-        out_ref[gi, :] = jnp.sum(acc, axis=0)
+        out_ref[g, :] = jnp.sum(acc, axis=0)
 
 
 @jax.jit
 def sell_spmv_ref(data: SellData, x):
     """Pure-XLA reference/fallback path: identical math, any platform."""
     n = data.n
-    G = data.win_row.shape[0]
+    G = data.group_ptr.shape[0] - 1
     n_pad = G * _LANES
     T = data.vals.shape[0]
     x_pad = jnp.pad(x, (0, n_pad - n + data.win_rows * _LANES))
     tile_group = jnp.searchsorted(data.group_ptr[1:], jnp.arange(T),
                                   side="right")
-    ws = data.win_row[tile_group] * _LANES               # (T,)
+    tile_group = jnp.minimum(tile_group, G - 1)      # trailing pad tiles
+    ws = data.win_row[jnp.minimum(tile_group // _GPB,
+                                  data.win_row.shape[0] - 1)] * _LANES
     if data.residue:
-        sub_off = (_LANES * np.arange(_SUB, dtype=np.int32))[None, :, None]
-        gidx = data.lidx + ws[:, None, None] + sub_off
+        # element index = ws + (half<<10) + (sublane within half... the
+        # stored li IS the block-window-local index; sublane is only a
+        # placement constraint, so the same formula applies.
+        gidx = data.lidx + ws[:, None, None]
     else:
         gidx = data.lidx + ws[:, None, None]
-    gx = x_pad[gidx]                                     # (T, 8, 128)
-    contrib = jnp.sum(data.vals * gx, axis=1)            # (T, 128)
+    gx = x_pad[gidx]
+    contrib = jnp.sum(data.vals * gx, axis=1)
     y = jax.ops.segment_sum(contrib, tile_group, num_segments=G)
     return y.reshape(-1)[:n]
 
@@ -309,52 +320,48 @@ def sell_spmv_ref(data: SellData, x):
 def sell_spmv(data: SellData, x, *, interpret: bool = False):
     """y = A @ x for a SELL-window packed matrix (see module docstring)."""
     n = data.n
-    G = data.win_row.shape[0]
+    G = data.group_ptr.shape[0] - 1
+    B = data.win_row.shape[0]
     n_pad = G * _LANES
-    T = data.vals.shape[0]
-    # Pad x so every window read is in range (windows are clamped to
-    # start ≥ 0 and extend at most _W beyond any referenced column).
     W = data.win_rows * _LANES
     x_pad = jnp.pad(x, (0, n_pad - n + W))
     x2 = x_pad.reshape(-1, _LANES)
 
-    # 8 groups per grid step (the output tile must be a full (8, 128)
-    # register); padded trailing groups have nt = 0 and write zeros.
-    G8 = -(-G // _SUB)
-    gp = jnp.concatenate([data.group_ptr,
-                          jnp.full((G8 * _SUB - G,), data.group_ptr[-1],
-                                   jnp.int32)])
-    wr = jnp.concatenate([data.win_row,
-                          jnp.zeros((G8 * _SUB - G,), jnp.int32)])
+    G8 = B
+    gp = data.group_ptr
+    need = G8 * _GPB + 1
+    if gp.shape[0] < need:
+        gp = jnp.concatenate([gp, jnp.full((need - gp.shape[0],), gp[-1],
+                                           jnp.int32)])
 
     out = pl.pallas_call(
-        functools.partial(_sell_kernel, wr=data.win_rows,
-                          residue=data.residue),
+        functools.partial(_sell_kernel, wr=data.win_rows, cap=data.cap,
+                          residue=data.residue, nblocks=B),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(G8,),
+            grid=(B,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),   # vals (HBM)
                 pl.BlockSpec(memory_space=pltpu.ANY),   # lidx (HBM)
                 pl.BlockSpec(memory_space=pltpu.ANY),   # x2   (HBM)
             ],
-            out_specs=pl.BlockSpec((_SUB, _LANES), lambda g, *_: (g, 0),
+            out_specs=pl.BlockSpec((_GPB, _LANES), lambda b, *_: (b, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((data.win_rows, _LANES), x.dtype),   # window
-                pltpu.VMEM((2, _SUB, _LANES), data.vals.dtype),
-                pltpu.VMEM((2, _SUB, _LANES), jnp.int32),
+                pltpu.VMEM((2, data.win_rows, _LANES), x.dtype),
+                pltpu.VMEM((2, data.cap, _SUB, _LANES), data.vals.dtype),
+                pltpu.VMEM((2, data.cap, _SUB, _LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA((6,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((G8 * _SUB, _LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * _GPB, _LANES), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * _SUB * _LANES,
+            flops=2 * data.vals.shape[0] * _SUB * _LANES,
             bytes_accessed=(data.vals.size * data.vals.dtype.itemsize
                             + data.lidx.size * 4
                             + 2 * n * x.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(gp, wr, data.vals, data.lidx, x2)
+    )(gp, data.win_row, data.vals, data.lidx, x2)
     return out.reshape(-1)[:n]

@@ -72,7 +72,9 @@ def test_sell_pack_fill_accounting(rng):
     n, d, band = 1024, 8, 200
     rows, cols, vals = banded_random(rng, n, d, band)
     data = sell_pack((rows, cols, vals.astype(np.float32)), n)
-    assert data.nnz == len(vals)
+    # duplicates are summed at pack time: nnz is the deduplicated count
+    ndedup = len(set(zip(rows.tolist(), cols.tolist())))
+    assert data.nnz == ndedup
     assert data.vals.shape[1:] == (8, 128)
     # every stored value appears exactly once
     assert np.isclose(float(jnp.sum(data.vals)), float(np.sum(vals)),
