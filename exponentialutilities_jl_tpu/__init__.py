@@ -9,18 +9,26 @@ row-partitioned distribution over device meshes.
 
 Public API (reference analogue: src/ExponentialUtilities.jl:64-72 exports):
 
-Dense exponentials      expm (higham2005 | generic | diagonalization | native)
-Dense φ functions       phi, phi_scalar, phiv_dense
+Dense exponentials      expm (higham2005 | generic | diagonalization |
+                        native | taylor — the solver-free f64-on-TPU engine)
+Dense φ functions       phi (auto → Al-Mohy–Liu Padé at f64), phi_pade,
+                        phi_taylor, phi_scalar, phiv_dense
 Krylov subspaces        arnoldi, lanczos, KrylovBasis
 Krylov actions          expv, expv_from_basis, phiv, phiv_from_basis
-Taylor action           expv_taylor (Al-Mohy–Higham 2011 expmv)
-Time-stepping drivers   expv_timestep, phiv_timestep, kiops
+Taylor action           expv_taylor / expv_taylor_batched (Al-Mohy–Higham)
+Time-stepping drivers   expv_timestep, phiv_timestep (two_pass for O(n)
+                        memory), phiv_timestep_device (device-resident
+                        adaptivity), kiops
 Operators               LinearOperator, DenseOperator, DiagonalOperator,
-                        MatrixFreeOperator, aslinearoperator
+                        MatrixFreeOperator, aslinearoperator; sparse:
+                        SellOperator (vector-gather SpMV), BlockELL,
+                        Banded, Stencil
+Distributed             parallel/ (shard_map + GSPMD; multi-host meshes)
 """
 
 from .ops.expm import (expm, expm_higham2005, expm_generic,
-                       expm_diagonalization, expm_native, balance_matrix)
+                       expm_diagonalization, expm_native, expm_taylor,
+                       balance_matrix)
 from .ops.phi_dense import (phi, phi_scalar, phi_taylor, phi_with_info,
                             phiv_dense)
 from .ops.phi_almohy import phi_pade, phi_pade_with_info
@@ -48,7 +56,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
-    "expm_native", "balance_matrix",
+    "expm_native", "expm_taylor", "balance_matrix",
     "phi", "phi_scalar", "phi_taylor", "phi_pade", "phi_pade_with_info",
     "phi_with_info", "phiv_dense",
     "KrylovBasis", "arnoldi", "lanczos", "build_subspace",
