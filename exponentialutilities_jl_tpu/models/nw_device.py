@@ -75,12 +75,14 @@ class _St:
     snap_done: jax.Array    # (nt,) bool
     steps: jax.Array
     rejections: jax.Array
+    matvecs: jax.Array
     want_m: jax.Array       # 0 = none; else requested bucketed m
     info: jax.Array
 
     def astuple(self):
         return (self.u, self.t, self.tau, self.U, self.snap_done,
-                self.steps, self.rejections, self.want_m, self.info)
+                self.steps, self.rejections, self.matvecs, self.want_m,
+                self.info)
 
     @classmethod
     def fromtuple(cls, tup):
@@ -88,11 +90,11 @@ class _St:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "p", "m", "iop", "hermitian", "correct", "expm_method", "max_steps",
+    "p", "m", "iop", "hermitian", "expm_method", "max_steps",
     "max_rejects", "nnz"))
 @mxu_full_precision
 def _nw_device(op, B, ts, state_tup, tend, abstol, delta, gamma,
-               p: int, m: int, iop: int, hermitian: bool, correct: bool,
+               p: int, m: int, iop: int, hermitian: bool,
                expm_method: str, max_steps: int, max_rejects: int, nnz: int):
     st0 = _St.fromtuple(state_tup)
     n = B.shape[0]
@@ -207,12 +209,20 @@ def _nw_device(op, B, ts, state_tup, tend, abstol, delta, gamma,
         for i in range(nt):
             hit = (accepted & ~snap_done[i]
                    & (ts[i] <= st.t + tau + 1e-14 * tend))
-            tau_s = jnp.maximum(ts[i] - st.t, 0.0)
-            C2s = reduced_c2(Hm, tau_s)
-            pcol_s = jnp.einsum("m,mn->n", C2s[:, p].astype(Ks.V.dtype),
-                                Ks.V[:m]) * beta.astype(Ks.V.dtype)
-            Ui = _update_u(W, pcol_s, tau_s, p)
-            U = U.at[i].set(jnp.where(hit, Ui, U[i]))
+
+            # The snapshot's reduced exponential + n-sized combination run
+            # only when this snapshot actually lands in the accepted
+            # interval (lax.cond skips the work entirely otherwise).
+            def fill(_):
+                tau_s = jnp.maximum(ts[i] - st.t, 0.0)
+                C2s = reduced_c2(Hm, tau_s)
+                pcol_s = jnp.einsum(
+                    "m,mn->n", C2s[:, p].astype(Ks.V.dtype),
+                    Ks.V[:m]) * beta.astype(Ks.V.dtype)
+                return _update_u(W, pcol_s, tau_s, p)
+
+            Ui = lax.cond(hit, fill, lambda _: U[i], None)
+            U = U.at[i].set(Ui)
             snap_done = snap_done.at[i].set(snap_done[i] | hit)
 
         st = _St(
@@ -222,6 +232,7 @@ def _nw_device(op, B, ts, state_tup, tend, abstol, delta, gamma,
             U=U, snap_done=snap_done,
             steps=st.steps + accepted.astype(jnp.int32),
             rejections=st.rejections + rej,
+            matvecs=st.matvecs + p + m,
             want_m=want_m,
             info=jnp.where(failed, 2, st.info).astype(jnp.int32),
         )
@@ -298,6 +309,7 @@ def phiv_timestep_device(ts, A, B, *, m: int = 10, tol: float = 1e-7,
         U=jnp.zeros((len(ts_sorted), n), B.dtype),
         snap_done=jnp.zeros((len(ts_sorted),), bool),
         steps=jnp.zeros((), jnp.int32), rejections=jnp.zeros((), jnp.int32),
+        matvecs=jnp.zeros((), jnp.int32),
         want_m=jnp.zeros((), jnp.int32), info=jnp.zeros((), jnp.int32),
     )
     ts_dev = jnp.asarray(ts_sorted, rdt)
@@ -306,7 +318,7 @@ def phiv_timestep_device(ts, A, B, *, m: int = 10, tol: float = 1e-7,
         out = _nw_device(op, B, ts_dev, st.astuple(), jnp.asarray(tend, rdt),
                          jnp.asarray(abstol, rdt), delta, gamma,
                          p=p, m=m, iop=iop, hermitian=bool(hermitian),
-                         correct=False, expm_method=expm_method,
+                         expm_method=expm_method,
                          max_steps=max_steps, max_rejects=max_rejects,
                          nnz=nnz)
         st = _St.fromtuple(out)
@@ -318,6 +330,7 @@ def phiv_timestep_device(ts, A, B, *, m: int = 10, tol: float = 1e-7,
 
     stats.steps = int(st.steps)
     stats.rejections = int(st.rejections)
+    stats.matvecs = int(st.matvecs)
     stats.final_m = m
     stats.final_tau = float(st.tau)
     stats.info = int(st.info)

@@ -292,7 +292,7 @@ def _stencil_coeffs_static(op) -> tuple:
     if set(cmap) - need:
         raise ValueError("fused Lanczos supports 7-point stencils only")
     cx = cmap.get((0, 0, 1), 0.0)
-    if (cmap.get((0, 0, -1), cx) != cx
+    if (cmap.get((0, 0, -1), 0.0) != cx
             or cmap.get((0, 1, 0), 0.0) != cmap.get((0, -1, 0), 0.0)
             or cmap.get((1, 0, 0), 0.0) != cmap.get((-1, 0, 0), 0.0)):
         raise ValueError("fused Lanczos requires a symmetric stencil")

@@ -303,13 +303,9 @@ def sell_spmv_ref(data: SellData, x):
     tile_group = jnp.minimum(tile_group, G - 1)      # trailing pad tiles
     ws = data.win_row[jnp.minimum(tile_group // _GPB,
                                   data.win_row.shape[0] - 1)] * _LANES
-    if data.residue:
-        # element index = ws + (half<<10) + (sublane within half... the
-        # stored li IS the block-window-local index; sublane is only a
-        # placement constraint, so the same formula applies.
-        gidx = data.lidx + ws[:, None, None]
-    else:
-        gidx = data.lidx + ws[:, None, None]
+    # lidx is the block-window-local element index in BOTH packings
+    # (residue only constrains WHICH sublane a slot uses).
+    gidx = data.lidx + ws[:, None, None]
     gx = x_pad[gidx]
     contrib = jnp.sum(data.vals * gx, axis=1)
     y = jax.ops.segment_sum(contrib, tile_group, num_segments=G)

@@ -250,7 +250,11 @@ def phi(A, k: int, *, method: str = "auto", max_squarings: int | None = None,
     """
     A = jnp.asarray(A)
     if method == "auto":
-        use_pade = k >= 1 and jnp.finfo(A.dtype).bits >= 64
+        # Padé needs an LU solve: f64 LU does not lower on TPU, so the
+        # solver-free taylor path covers that combination (same gating
+        # as models/nw_device.py expm_method="auto").
+        use_pade = (k >= 1 and jnp.finfo(A.dtype).bits >= 64
+                    and jax.default_backend() != "tpu")
         method = "pade" if use_pade else "taylor"
     if method == "pade":
         from .phi_almohy import phi_pade

@@ -386,18 +386,17 @@ class SellOperator(LinearOperator):
 
     def opnorm_hint(self):
         # inf-norm bound: max row sum of |values| = per-lane sums.
-        from .kernels.sell import _LANES
         a = jnp.sum(jnp.abs(self.data.vals), axis=1)    # (T, 128)
-        G = self.data.win_row.shape[0]
+        G = self.data.group_ptr.shape[0] - 1            # row groups
         tg = jnp.searchsorted(self.data.group_ptr[1:],
                               jnp.arange(a.shape[0]), side="right")
-        import jax.ops
+        tg = jnp.minimum(tg, G - 1)                     # trailing pad tiles
         rowsum = jax.ops.segment_sum(a, tg, num_segments=G)
         return jnp.max(rowsum)
 
     @classmethod
     def from_coo(cls, rows, cols, vals, n, *, dtype=np.float32,
-                 window: int = 1024, residue: bool = False,
+                 window: int = 2048, residue: bool = False,
                  rcm: bool = False, is_hermitian: bool = False):
         from .kernels.sell import sell_pack
         rows = np.asarray(rows)

@@ -55,8 +55,9 @@ def initialize_distributed(coordinator_address: str | None = None,
     already initialized or single-process (returns False without
     touching anything in that case).
     """
-    if jax.process_count() > 1:
-        return False          # already initialized by the launcher
+    # IMPORTANT: do not touch jax.process_count()/devices() first — any
+    # backend query initializes XLA and makes jax.distributed.initialize
+    # unusable for the rest of the process.
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -64,9 +65,14 @@ def initialize_distributed(coordinator_address: str | None = None,
             process_id=process_id,
             local_device_ids=local_device_ids)
         return True
-    except (RuntimeError, ValueError):
-        # Single-process (no coordinator configured): run locally.
-        return False
+    except (RuntimeError, ValueError) as e:
+        if "already" in str(e).lower():
+            return False      # launcher initialized it — fine
+        if coordinator_address is None and num_processes is None:
+            # Single-process (no coordinator configured): run locally.
+            return False
+        raise                 # a REQUESTED multi-host init must not
+                              # silently degrade to N disconnected runs
 
 
 def _device_grid(n_hosts: int | None):

@@ -103,7 +103,7 @@ def test_sell_operator_rcm(rng):
     # RCM permutation makes a shuffled banded matrix window-packable
     import exponentialutilities_jl_tpu as eu
     import scipy.sparse as sp
-    n, d, band = 2000, 6, 300
+    n, d, band = 6000, 6, 300
     rows, cols, vals = banded_random(rng, n, d, band)
     p = rng.permutation(n)               # scramble away the band
     A = sp.coo_matrix((vals, (p[rows], p[cols])), shape=(n, n))
