@@ -23,7 +23,7 @@ from exponentialutilities_jl_tpu.ops.kernels.sell import sell_pack, sell_spmv
 RESIDUE = os.environ.get('SELL_RESIDUE', '0') == '1'
 BAND = int(os.environ.get('SELL_BAND', '700'))
 DEG = int(os.environ.get('SELL_DEG', '8'))
-WINDOW = int(os.environ.get('SELL_WINDOW', '1024'))
+WINDOW = int(os.environ.get('SELL_WINDOW', '2048'))
 
 
 def gen(n, d, band, rng):

@@ -26,7 +26,7 @@ __all__ = [
     "load_native", "native_available",
     "csr_to_ell_arrays", "bsr_to_blockell_arrays", "csr_to_banded_arrays",
     "csr_band_offsets", "rcm_ordering", "balance_partition",
-    "sell_pack_csr",
+    "sell_pack_csr", "sell_rowsel_pack_csr",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -296,4 +296,45 @@ def sell_pack_csr(A, window: int = 1024):
     fill(ctypes.c_int64(n), _ptr(indptr, _i64p), _ptr(indices, _i32p),
          _ptr(data, fp), _ptr(group_ptr, _i32p), _ptr(win_row, _i32p),
          ctypes.c_int64(T), _ptr(vals, fp), _ptr(lidx, _i32p))
+    return vals, lidx, group_ptr, win_row, cap
+
+
+def sell_rowsel_pack_csr(A, window: int = 2048):
+    """Native rowsel SELL pack (per-sublane window-row binding; see
+    ops/kernels/sell.py). Returns (vals, lidx, group_ptr, win_row, cap)
+    or None without the native library."""
+    lib = load_native()
+    if lib is None:
+        return None
+    A = A.tocsr()
+    A.sort_indices()
+    n = A.shape[0]
+    G = (n + 127) // 128
+    B = (G + 7) // 8
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    group_ptr = np.empty(G + 1, np.int32)
+    win_row = np.empty(B, np.int32)
+    lib.sell_rowsel_plan.restype = ctypes.c_int64
+    T = lib.sell_rowsel_plan(ctypes.c_int64(n), ctypes.c_int64(window),
+                             _ptr(indptr, _i64p), _ptr(indices, _i32p),
+                             _ptr(group_ptr, _i32p), _ptr(win_row, _i32p))
+    if T < 0:
+        raise ValueError(
+            f"block {-T - 1}: column span exceeds the {window}-wide "
+            "window; RCM-permute, widen the window, or use another "
+            "container")
+    dt = A.dtype if A.dtype in (np.float32, np.float64) else np.float64
+    data = np.ascontiguousarray(A.data, dtype=dt)
+    gp_blk = group_ptr[np.minimum(np.arange(B + 1) * 8, G)]
+    cap = max(int(np.max(np.diff(gp_blk))) if B else 1, 1)
+    vals = np.zeros((T + cap, 8, 128), dt)
+    lidx = np.zeros((T + cap, 8, 128), np.int32)
+    fill = (lib.sell_rowsel_fill_f32 if dt == np.float32
+            else lib.sell_rowsel_fill_f64)
+    fp = _f32p if dt == np.float32 else _f64p
+    fill(ctypes.c_int64(n), ctypes.c_int64(window), _ptr(indptr, _i64p),
+         _ptr(indices, _i32p), _ptr(data, fp), _ptr(group_ptr, _i32p),
+         _ptr(win_row, _i32p), ctypes.c_int64(T), _ptr(vals, fp),
+         _ptr(lidx, _i32p))
     return vals, lidx, group_ptr, win_row, cap

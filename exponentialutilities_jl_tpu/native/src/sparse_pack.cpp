@@ -354,3 +354,164 @@ void sell_fill_f64(int64_t n, const int64_t* indptr, const int32_t* indices,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------- SELL rowsel pack
+// Per-sublane window-row binding: every (tile, sublane) is assigned ONE
+// window row qrow; slot (s, lane) may hold any nnz of row `lane` whose
+// window row equals qrow_s. The kernel then gathers a tile with TWO
+// dynamic_gather ops (cross-sublane table build + lane gather) — no
+// rolls, no per-j selects. qrow is stored in the index high bits
+// (li = qrow<<7 | r), so no extra metadata stream exists.
+//
+// Greedy multiset choice per tile: repeatedly pick the window row with
+// the largest marginal coverage (#rows whose remaining count in that
+// window row exceeds its current multiplicity in the tile).
+
+#include <array>
+
+namespace {
+
+struct RowselPlan {
+    // per group: tile count; deterministic greedy shared by plan & fill
+};
+
+template <typename T, bool FILL>
+int64_t rowsel_group(int64_t n, int64_t g, const int64_t* indptr,
+                     const int32_t* indices, const T* data, int64_t ws,
+                     int64_t wrows, int64_t tile0, T* vals, int32_t* lidx) {
+    const int64_t r0 = g * 128;
+    const int64_t r1 = std::min(n, r0 + 128);
+    const int64_t L = r1 - r0;
+    // remaining per (local row, window row) as index lists
+    // counts c[l][rho]; positions pos[l][rho] = next unplaced nnz index
+    std::array<std::array<int16_t, 64>, 128> cnt{};
+    std::array<std::array<int32_t, 64>, 128> pos{};
+    int64_t remaining = 0;
+    for (int64_t l = 0; l < L; ++l) {
+        const int64_t r = r0 + l;
+        for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k) {
+            const int64_t rho = (indices[k] - ws) >> 7;
+            if (cnt[l][rho] == 0) pos[l][rho] = (int32_t)k;
+            cnt[l][rho]++;
+            remaining++;
+        }
+    }
+    int64_t t = 0;
+    while (remaining > 0) {
+        // greedy qrow multiset for this tile
+        int16_t mult[64] = {0};
+        int8_t qrow[8];
+        for (int s = 0; s < 8; ++s) {
+            int64_t best_rho = 0, best_cov = -1;
+            for (int64_t rho = 0; rho < wrows; ++rho) {
+                int64_t cov = 0;
+                for (int64_t l = 0; l < L; ++l)
+                    if (cnt[l][rho] > mult[rho]) ++cov;
+                if (cov > best_cov) { best_cov = cov; best_rho = rho; }
+            }
+            qrow[s] = (int8_t)best_rho;
+            mult[best_rho]++;
+        }
+        // Default index for every slot: (qrow_s << 7) | 0 — padded slots
+        // MUST stay on their sublane's bound window row so the two-step
+        // gather's per-sublane row uniformity holds (their value is 0).
+        if (FILL) {
+            for (int s = 0; s < 8; ++s)
+                for (int64_t l = 0; l < 128; ++l)
+                    lidx[((tile0 + t) * 8 + s) * 128 + l] =
+                        (int32_t)((int64_t)qrow[s] << 7);
+        }
+        // place: per row, per sublane, one remaining nnz of that qrow
+        for (int64_t l = 0; l < L; ++l) {
+            for (int s = 0; s < 8; ++s) {
+                const int64_t rho = qrow[s];
+                if (cnt[l][rho] > 0) {
+                    // consume the nnz at pos[l][rho] (CSR is column
+                    // sorted; entries of one window row are contiguous)
+                    const int64_t k = pos[l][rho];
+                    if (FILL) {
+                        const int64_t slot =
+                            ((tile0 + t) * 8 + s) * 128 + l;
+                        vals[slot] = data[k];
+                        lidx[slot] = (int32_t)(((int64_t)rho << 7)
+                                               | ((indices[k] - ws) & 127));
+                    }
+                    pos[l][rho] = (int32_t)(k + 1);
+                    cnt[l][rho]--;
+                    remaining--;
+                }
+            }
+        }
+        ++t;
+    }
+    return t == 0 ? 1 : t;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Plan: group_ptr (G+1), win_row (B,) out; returns T or -(block+1).
+int64_t sell_rowsel_plan(int64_t n, int64_t window, const int64_t* indptr,
+                         const int32_t* indices, int32_t* group_ptr,
+                         int32_t* win_row) {
+    const int64_t G = (n + 127) / 128;
+    const int64_t B = (G + 7) / 8;
+    const int64_t wrows = window / 128;
+    if (wrows > 64) return -1000000;   // qrow field limit
+    group_ptr[0] = 0;
+    for (int64_t b = 0; b < B; ++b) {
+        const int64_t rb0 = b * 8 * 128;
+        const int64_t rb1 = std::min(n, rb0 + 8 * 128);
+        int64_t cmin = INT64_MAX, cmax = -1;
+        for (int64_t k = indptr[rb0]; k < indptr[rb1]; ++k) {
+            cmin = std::min<int64_t>(cmin, indices[k]);
+            cmax = std::max<int64_t>(cmax, indices[k]);
+        }
+        int64_t ws = 0;
+        if (cmax >= 0) {
+            ws = (cmin / 128) * 128;
+            if (cmax >= ws + window) return -(b + 1);
+        }
+        win_row[b] = (int32_t)(ws / 128);
+        for (int64_t g = b * 8; g < std::min(G, (b + 1) * 8); ++g) {
+            const int64_t v = rowsel_group<float, false>(
+                n, g, indptr, indices, nullptr, ws, wrows, 0, nullptr,
+                nullptr);
+            group_ptr[g + 1] = group_ptr[g] + (int32_t)v;
+        }
+    }
+    return group_ptr[G];
+}
+
+void sell_rowsel_fill_f32(int64_t n, int64_t window, const int64_t* indptr,
+                          const int32_t* indices, const float* data,
+                          const int32_t* group_ptr, const int32_t* win_row,
+                          int64_t T_tiles, float* vals, int32_t* lidx) {
+    const int64_t G = (n + 127) / 128;
+    const int64_t wrows = window / 128;
+    std::memset(vals, 0, sizeof(float) * T_tiles * 8 * 128);
+    std::memset(lidx, 0, sizeof(int32_t) * T_tiles * 8 * 128);
+    for (int64_t g = 0; g < G; ++g) {
+        const int64_t ws = (int64_t)win_row[g / 8] * 128;
+        rowsel_group<float, true>(n, g, indptr, indices, data, ws, wrows,
+                                  group_ptr[g], vals, lidx);
+    }
+}
+
+void sell_rowsel_fill_f64(int64_t n, int64_t window, const int64_t* indptr,
+                          const int32_t* indices, const double* data,
+                          const int32_t* group_ptr, const int32_t* win_row,
+                          int64_t T_tiles, double* vals, int32_t* lidx) {
+    const int64_t G = (n + 127) / 128;
+    const int64_t wrows = window / 128;
+    std::memset(vals, 0, sizeof(double) * T_tiles * 8 * 128);
+    std::memset(lidx, 0, sizeof(int32_t) * T_tiles * 8 * 128);
+    for (int64_t g = 0; g < G; ++g) {
+        const int64_t ws = (int64_t)win_row[g / 8] * 128;
+        rowsel_group<double, true>(n, g, indptr, indices, data, ws, wrows,
+                                   group_ptr[g], vals, lidx);
+    }
+}
+
+}  // extern "C"

@@ -71,7 +71,7 @@ class SellData:
     """
 
     def __init__(self, vals, lidx, group_ptr, win_row, n, nnz,
-                 win_rows=_SUB * 2, residue=False, cap=_GPB):
+                 win_rows=_SUB * 2, mode="roll", cap=_GPB):
         self.vals = vals
         self.lidx = lidx
         self.group_ptr = group_ptr
@@ -79,12 +79,16 @@ class SellData:
         self.n = int(n)
         self.nnz = int(nnz)
         self.win_rows = int(win_rows)
-        self.residue = bool(residue)
+        self.mode = str(mode)        # "roll" | "residue" | "rowsel"
         self.cap = int(cap)
+
+    @property
+    def residue(self):
+        return self.mode == "residue"
 
     def tree_flatten(self):
         return ((self.vals, self.lidx, self.group_ptr, self.win_row),
-                (self.n, self.nnz, self.win_rows, self.residue, self.cap))
+                (self.n, self.nnz, self.win_rows, self.mode, self.cap))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -99,7 +103,8 @@ jax.tree_util.register_pytree_node(
 
 
 def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
-              window: int = 2048, residue: bool = False) -> SellData:
+              window: int = 2048, residue: bool = False,
+              mode: str | None = None) -> SellData:
     """Pack COO (rows, cols, vals) into SELL-window form (module doc).
 
     Raises ValueError if any 8-group block's columns exceed its aligned
@@ -109,6 +114,9 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
     """
     if window % _W:
         raise ValueError("window must be a multiple of 1024")
+    if mode is None:
+        mode = "residue" if residue else "roll"
+    residue = mode == "residue"
     rows, cols, vals = rows_cols_vals
     rows = np.asarray(rows)
     cols = np.asarray(cols)
@@ -118,6 +126,17 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
     A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
     A.sort_indices()
     nnz = A.nnz
+    if mode == "rowsel":
+        from ...native import sell_rowsel_pack_csr
+        packed = sell_rowsel_pack_csr(A, window=window)
+        if packed is None:
+            raise RuntimeError(
+                "rowsel packing requires the native library "
+                "(exponentialutilities_jl_tpu/native)")
+        va, lia, gp, wr, cap = packed
+        return SellData(jnp.asarray(va.astype(dtype)), jnp.asarray(lia),
+                        jnp.asarray(gp), jnp.asarray(wr), n, int(nnz),
+                        win_rows=window // _LANES, mode="rowsel", cap=cap)
     if not residue:
         # Native C++ single-pass packer when available.
         try:
@@ -130,7 +149,7 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
             return SellData(jnp.asarray(va.astype(dtype)),
                             jnp.asarray(lia), jnp.asarray(gp),
                             jnp.asarray(wr), n, int(nnz),
-                            win_rows=window // _LANES, residue=False,
+                            win_rows=window // _LANES, mode="roll",
                             cap=cap)
     indptr = A.indptr.astype(np.int64)
     indices = A.indices.astype(np.int64)
@@ -208,13 +227,32 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
                     jnp.asarray(group_ptr),
                     jnp.asarray((wsb // _LANES).astype(np.int32)),
                     n, int(nnz), win_rows=window // _LANES,
-                    residue=residue, cap=cap)
+                    mode="residue" if residue else "roll", cap=cap)
 
 
-def _gather_tile(win, li, wr: int, residue: bool, sid):
+def _gather_tile(win, li, wr: int, mode: str, sid):
     """Gather 1024 x-elements for one (8, 128) tile from the (wr, 128)
     VMEM window (see module doc)."""
-    if residue:
+    if mode == "rowsel":
+        # Two-step gather: (1) build the per-sublane row table
+        # T[s, :] = win[qrow_s, :] with one axis-0 dynamic_gather per
+        # half (qrow = li >> 7 is uniform along lanes by construction);
+        # (2) one lane gather by r. ~9 VPU ops per 1024 slots.
+        qv = li >> 7
+        r = li & 127
+        T8 = None
+        for h in range(wr // _SUB):
+            idxh = jnp.clip(qv - h * _SUB, 0, _SUB - 1)
+            Th = jnp.take_along_axis(win[h * _SUB:(h + 1) * _SUB, :],
+                                     idxh, axis=0,
+                                     mode="promise_in_bounds")
+            if T8 is None:
+                T8 = Th
+            else:
+                T8 = jnp.where((qv >> 3) == h, Th, T8)
+        return jnp.take_along_axis(T8, r, axis=1,
+                                   mode="promise_in_bounds")
+    if mode == "residue":
         r = li & 127
         gathered = None
         for h in range(wr // _SUB):
@@ -244,7 +282,7 @@ def _gather_tile(win, li, wr: int, residue: bool, sid):
 
 def _sell_kernel(group_ptr_ref, win_row_ref, vals_hbm, lidx_hbm, x_hbm,
                  out_ref, win2, vbuf, ibuf, sems, *, wr: int, cap: int,
-                 residue: bool, nblocks: int):
+                 mode: str, nblocks: int):
     b = pl.program_id(0)
     par = b % 2
     nxt = (b + 1) % 2
@@ -282,7 +320,7 @@ def _sell_kernel(group_ptr_ref, win_row_ref, vals_hbm, lidx_hbm, x_hbm,
 
         def body(t, acc):
             li = ibuf[par, t0 + t]
-            gathered = _gather_tile(win, li, wr, residue, sid)
+            gathered = _gather_tile(win, li, wr, mode, sid)
             return acc + vbuf[par, t0 + t] * gathered
 
         acc = lax.fori_loop(0, nt, body,
@@ -332,7 +370,7 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
 
     out = pl.pallas_call(
         functools.partial(_sell_kernel, wr=data.win_rows, cap=data.cap,
-                          residue=data.residue, nblocks=B),
+                          mode=data.mode, nblocks=B),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B,),

@@ -397,7 +397,8 @@ class SellOperator(LinearOperator):
     @classmethod
     def from_coo(cls, rows, cols, vals, n, *, dtype=np.float32,
                  window: int = 2048, residue: bool = False,
-                 rcm: bool = False, is_hermitian: bool = False):
+                 mode: str | None = None, rcm: bool = False,
+                 is_hermitian: bool = False):
         from .kernels.sell import sell_pack
         rows = np.asarray(rows)
         cols = np.asarray(cols)
@@ -412,7 +413,7 @@ class SellOperator(LinearOperator):
             inv[perm] = np.arange(n)
             rows, cols = inv[rows], inv[cols]
         data = sell_pack((rows, cols, vals), n, dtype=dtype, window=window,
-                         residue=residue)
+                         residue=residue, mode=mode)
         return cls(data, is_hermitian=is_hermitian, perm=perm)
 
     @classmethod
