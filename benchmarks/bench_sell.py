@@ -21,6 +21,7 @@ sys.path.insert(0, '/root/repo')
 from exponentialutilities_jl_tpu.ops.kernels.sell import sell_pack, sell_spmv
 
 RESIDUE = os.environ.get('SELL_RESIDUE', '0') == '1'
+MODE = os.environ.get('SELL_MODE', None)
 BAND = int(os.environ.get('SELL_BAND', '700'))
 DEG = int(os.environ.get('SELL_DEG', '8'))
 WINDOW = int(os.environ.get('SELL_WINDOW', '2048'))
@@ -63,7 +64,7 @@ def main():
     import scipy.sparse as sp
     n1 = 1_000_000
     r1, c1, v1 = gen(n1, DEG, BAND, rng)
-    d1 = sell_pack((r1, c1, v1), n1, window=WINDOW, residue=RESIDUE)
+    d1 = sell_pack((r1, c1, v1), n1, window=WINDOW, residue=RESIDUE, mode=MODE)
     x1 = rng.standard_normal(n1).astype(np.float32)
     y1 = np.asarray(sell_spmv(d1, jnp.asarray(x1)))
     want1 = sp.coo_matrix((v1, (r1, c1)), shape=(n1, n1)) @ x1
@@ -74,9 +75,9 @@ def main():
     n, d, band = 10_000_000, DEG, BAND
     rows, cols, vals = gen(n, d, band, rng)
     t0 = time.time()
-    data = sell_pack((rows, cols, vals), n, window=WINDOW, residue=RESIDUE)
+    data = sell_pack((rows, cols, vals), n, window=WINDOW, residue=RESIDUE, mode=MODE)
     print(f"packed in {time.time()-t0:.1f}s tiles={data.vals.shape} "
-          f"fill={data.nnz/data.vals.size:.3f} residue={RESIDUE}", flush=True)
+          f"fill={data.nnz/data.vals.size:.3f} mode={data.mode}", flush=True)
     xj = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     t = chain_time(data, xj)
     nnz = data.nnz

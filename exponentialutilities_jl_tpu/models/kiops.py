@@ -193,12 +193,14 @@ def _kiops_aug_F(H, j, tau_sgn, m: int, reduced: str):
     return F, nrm
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@jax.jit
 @mxu_full_precision
-def _kiops_trial_tp(aug_op, KsL: "_KsLite", tau_sgn, n: int):
-    """Two-pass trial: expand the compact Hessenberg, exponentiate, and
-    regenerate-combine the main components via arnoldi_replay."""
-    from ..ops.krylov import arnoldi_replay, expand_compact_hessenberg
+def _kiops_err_tp(KsL: "_KsLite", tau_sgn):
+    """Two-pass TRIAL: reduced-problem only — the (m+1)² augmented
+    exponential from the expanded compact Hessenberg. A τ rejection costs
+    NO n-sized work at all (the replay runs once, on acceptance).
+    Returns (coeffs (m+1,), err)."""
+    from ..ops.krylov import expand_compact_hessenberg
 
     m = KsL.m
     j = KsL.m_used
@@ -208,9 +210,19 @@ def _kiops_trial_tp(aug_op, KsL: "_KsLite", tau_sgn, n: int):
     err = jnp.abs(KsL.beta.astype(dt) * nrm
                   * F[jnp.maximum(j - 1, 0), j])
     coeffs = KsL.beta.astype(dt) * F[:, 0]
+    return coeffs, err
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+@mxu_full_precision
+def _kiops_accept_tp(aug_op, KsL: "_KsLite", coeffs, n: int):
+    """Accepted-substep replay: regenerate the basis once and combine."""
+    from ..ops.krylov import arnoldi_replay
+
+    m = KsL.m
     w_full = arnoldi_replay(aug_op, KsL.x0, coeffs[:m], KsL.Hc, m, KsL.win,
                             final_coeff=coeffs[m], with_final=True)
-    return w_full[:n], err
+    return w_full[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -234,67 +246,48 @@ def _kiops_phantom_tp(aug_op, KsL: "_KsLite", tau_sgn, n: int):
     return w_full[:n]
 
 
-def _kiops_trial_host(Ks, tau_sgn, n: int):
-    """Host-f64 variant of the augmented-exponential trial: fetch the tiny
-    Hessenberg, exponentiate with scipy, combine on device
-    (ops/host_reduced.py rationale)."""
-    import numpy as _np
-    from ..ops.host_reduced import host_expm
-
-    m = Ks.m
-    j = int(Ks.m_used)
-    H = _np.asarray(Ks.H)
-    dt = H.dtype
-    Haug = _np.zeros((m + 1, m + 1), dtype=dt)
-    Haug[:, :m] = H
-    jm = max(j - 1, 0)
-    nrm = Haug[j, jm]
-    Haug[j, jm] = 0
-    Haug[0, j] = 1
-    block = _np.zeros_like(Haug, dtype=bool)
-    block[:j + 1, :j + 1] = True
-    Haug = _np.where(block, Haug, 0)
-    F = host_expm(float(_np.asarray(tau_sgn)) * Haug, out_dtype=dt)
-    beta = float(Ks.beta)
-    err = jnp.asarray(abs(beta * nrm * F[jm, j]))
-    w_new = _combine_cols(Ks.beta, jnp.asarray(F[:, 0]), Ks.V, n=n)
-    return w_new, err
-
-
-def _kiops_trial(Ks, tau_sgn, n: int, reduced: str = "device"):
+def _kiops_err(Ks, tau_sgn, reduced: str = "device"):
+    """Reduced-only trial: (coeffs (m+1,), err) — no n-sized work."""
     if reduced == "host":
-        return _kiops_trial_host(Ks, tau_sgn, n)
-    return _kiops_trial_device(Ks, tau_sgn, n)
+        import numpy as _np
+        from ..ops.host_reduced import host_expm
+
+        m = Ks.m
+        j = int(Ks.m_used)
+        H = _np.asarray(Ks.H)
+        dt = H.dtype
+        Haug = _np.zeros((m + 1, m + 1), dtype=dt)
+        Haug[:, :m] = H
+        jm = max(j - 1, 0)
+        nrm = Haug[j, jm]
+        Haug[j, jm] = 0
+        Haug[0, j] = 1
+        block = _np.zeros_like(Haug, dtype=bool)
+        block[:j + 1, :j + 1] = True
+        Haug = _np.where(block, Haug, 0)
+        F = host_expm(float(_np.asarray(tau_sgn)) * Haug, out_dtype=dt)
+        beta = float(Ks.beta)
+        err = jnp.asarray(abs(beta * nrm * F[jm, j]))
+        return jnp.asarray(beta * F[:, 0]), err
+    return _kiops_err_device(Ks, tau_sgn)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
 @mxu_full_precision
-def _kiops_trial_device(Ks, tau_sgn, n: int):
-    """Exponential of the (j+1)² augmented Hessenberg with φ₁ coupling, the
-    error estimate, and the accepted-solution update
-    (reference: src/kiops.jl:141-163, 309-311).
+def _kiops_accept(Ks, coeffs, n: int):
+    """Accepted-substep combination (coeffs already include β)."""
+    return coeffs @ Ks.V[:, :n].astype(coeffs.dtype)
 
-    Returns (w_new (n,), err) where w_new = β·V_main^T F e₁.
-    """
+
+@jax.jit
+@mxu_full_precision
+def _kiops_err_device(Ks, tau_sgn):
     m = Ks.m
-    j = Ks.m_used                                  # effective dimension (traced)
+    j = Ks.m_used
     dt = Ks.H.dtype
-    rows = jnp.arange(m + 1)
-
-    Haug = jnp.zeros((m + 1, m + 1), dtype=dt).at[:, :m].set(Ks.H)
-    nrm = Haug[j, jnp.maximum(j - 1, 0)]           # h_{j+1,j} (residual)
-    # Zero h_{j+1,j}, add the φ₁ coupling H[0, j] = 1, mask beyond the block.
-    Haug = Haug.at[j, jnp.maximum(j - 1, 0)].set(0)
-    Haug = Haug.at[0, j].set(1)
-    block = (rows[:, None] <= j) & (rows[None, :] <= j)
-    Haug = jnp.where(block, Haug, 0)
-
-    F = expm_higham2005(tau_sgn.astype(dt) * Haug)
-    # err = |β · h_{j+1,j} · F[j-1, j]| (reference: src/kiops.jl:163).
+    F, nrm = _kiops_aug_F(Ks.H, j, tau_sgn, m, "device")
     err = jnp.abs(Ks.beta.astype(dt) * nrm * F[jnp.maximum(j - 1, 0), j])
-    # Solution update uses only the main (first n) components of the basis.
-    w_new = Ks.beta.astype(dt) * (F[:, 0] @ Ks.V[:, :n])
-    return w_new, err
+    return Ks.beta.astype(dt) * F[:, 0], err
 
 
 def _kiops_phantom(Ks, tau_sgn, n: int, reduced: str = "device"):
@@ -423,11 +416,14 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
         j = int(Ks.m_used)
         happy = bool(Ks.breakdown)
 
+        # TRIALS are reduced-problem-only: the n-sized combination/replay
+        # runs once per ACCEPTED substep (a τ rejection costs an (m+1)²
+        # exponential and nothing else).
         if two_pass:
-            w_trial, err = _kiops_trial_tp(aug, Ks, jnp.asarray(sgn * tau), n)
+            coeffs, err = _kiops_err_tp(Ks, jnp.asarray(sgn * tau))
         else:
-            w_trial, err = _kiops_trial(Ks, jnp.asarray(sgn * tau), n,
-                                        reduced=reduced)
+            coeffs, err = _kiops_err(Ks, jnp.asarray(sgn * tau),
+                                     reduced=reduced)
         stats.exps += 1
         err = float(err)
 
@@ -517,6 +513,10 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
                         Ks, jnp.asarray(sgn * tau_phantom), n,
                         reduced=reduced))
                 l += 1
+            if two_pass:
+                w_trial = _kiops_accept_tp(aug, Ks, coeffs, n)
+            else:
+                w_trial = _kiops_accept(Ks, coeffs, n)
             W[:, l] = np.asarray(w_trial)
             w_cur = jnp.asarray(W[:, l])
             tau_now += tau
