@@ -48,7 +48,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sell_pack", "sell_spmv", "sell_spmv_ref", "SellData"]
+__all__ = ["sell_pack", "sell_spmv", "sell_spmv_ref", "SellData",
+           "pack_index_pairs"]
 
 _W = 1024
 _LANES = 128
@@ -71,24 +72,31 @@ class SellData:
     """
 
     def __init__(self, vals, lidx, group_ptr, win_row, n, nnz,
-                 win_rows=_SUB * 2, mode="roll", cap=_GPB):
+                 win_rows=_SUB * 2, mode="roll", cap=_GPB, pptr=None,
+                 capp=0):
         self.vals = vals
-        self.lidx = lidx
+        self.lidx = lidx             # (T+cap, 8, 128) int32, or pair-packed
         self.group_ptr = group_ptr
         self.win_row = win_row
+        self.pptr = (pptr if pptr is not None
+                     else jnp.zeros((1,), jnp.int32))
         self.n = int(n)
         self.nnz = int(nnz)
         self.win_rows = int(win_rows)
         self.mode = str(mode)        # "roll" | "residue" | "rowsel"
         self.cap = int(cap)
+        self.capp = int(capp)        # 0 = indices unpacked; else packed
+                                     # pair-chunk capacity per block
 
     @property
     def residue(self):
         return self.mode == "residue"
 
     def tree_flatten(self):
-        return ((self.vals, self.lidx, self.group_ptr, self.win_row),
-                (self.n, self.nnz, self.win_rows, self.mode, self.cap))
+        return ((self.vals, self.lidx, self.group_ptr, self.win_row,
+                 self.pptr),
+                (self.n, self.nnz, self.win_rows, self.mode, self.cap,
+                 self.capp))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -98,8 +106,43 @@ class SellData:
 jax.tree_util.register_pytree_node(
     SellData,
     lambda s: s.tree_flatten(),
-    lambda aux, ch: SellData(*ch, *aux),
+    lambda aux, ch: SellData(ch[0], ch[1], ch[2], ch[3], aux[0], aux[1],
+                             win_rows=aux[2], mode=aux[3], cap=aux[4],
+                             pptr=ch[4], capp=aux[5]),
 )
+
+
+def pack_index_pairs(data: SellData) -> SellData:
+    """Halve the index stream: two tiles' 11-bit indices share one int32
+    plane (block-locally paired so the per-block chunk DMA stays one
+    contiguous read). Valid for window ≤ 8192 (indices < 16 bits)."""
+    if data.capp:
+        return data
+    if data.win_rows * _LANES > 8192:
+        raise ValueError("pair packing needs window <= 8192")
+    import numpy as _onp
+    gp = _onp.asarray(data.group_ptr)
+    G = gp.shape[0] - 1
+    B = data.win_row.shape[0]
+    T = int(gp[-1])
+    gp_blk = gp[_onp.minimum(_onp.arange(B + 1) * _GPB, G)]
+    nt_b = _onp.diff(gp_blk)
+    ntp_b = (nt_b + 1) // 2
+    pptr = _onp.concatenate([[0], _onp.cumsum(ntp_b)]).astype(_onp.int32)
+    TP = int(pptr[-1])
+    capp = (data.cap + 1) // 2 + 1
+    li = _onp.asarray(data.lidx[:T])
+    packed = _onp.zeros((TP + capp, _SUB, _LANES), _onp.int32)
+    tb = _onp.searchsorted(gp_blk[1:], _onp.arange(T), side="right")
+    loc = _onp.arange(T) - gp_blk[tb]
+    dest = pptr[tb] + loc // 2
+    even = (loc % 2) == 0
+    packed[dest[even]] += li[even]
+    packed[dest[~even]] += li[~even] << 16
+    return SellData(data.vals, jnp.asarray(packed), data.group_ptr,
+                    data.win_row, data.n, data.nnz,
+                    win_rows=data.win_rows, mode=data.mode, cap=data.cap,
+                    pptr=jnp.asarray(pptr), capp=capp)
 
 
 def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
@@ -280,9 +323,9 @@ def _gather_tile(win, li, wr: int, mode: str, sid):
     return gathered
 
 
-def _sell_kernel(group_ptr_ref, win_row_ref, vals_hbm, lidx_hbm, x_hbm,
-                 out_ref, win2, vbuf, ibuf, sems, *, wr: int, cap: int,
-                 mode: str, nblocks: int):
+def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
+                 x_hbm, out_ref, win2, vbuf, ibuf, sems, *, wr: int,
+                 cap: int, mode: str, nblocks: int, capp: int):
     b = pl.program_id(0)
     par = b % 2
     nxt = (b + 1) % 2
@@ -290,13 +333,19 @@ def _sell_kernel(group_ptr_ref, win_row_ref, vals_hbm, lidx_hbm, x_hbm,
 
     def block_dmas(p, blk):
         t0 = group_ptr_ref[blk * _GPB]
+        if capp:
+            icp = pltpu.make_async_copy(
+                lidx_hbm.at[pl.ds(pptr_ref[blk], capp)], ibuf.at[p],
+                sems.at[p * 3 + 2])
+        else:
+            icp = pltpu.make_async_copy(lidx_hbm.at[pl.ds(t0, cap)],
+                                        ibuf.at[p], sems.at[p * 3 + 2])
         return (
             pltpu.make_async_copy(x_hbm.at[pl.ds(win_row_ref[blk], wr)],
                                   win2.at[p], sems.at[p * 3 + 0]),
             pltpu.make_async_copy(vals_hbm.at[pl.ds(t0, cap)],
                                   vbuf.at[p], sems.at[p * 3 + 1]),
-            pltpu.make_async_copy(lidx_hbm.at[pl.ds(t0, cap)],
-                                  ibuf.at[p], sems.at[p * 3 + 2]),
+            icp,
         )
 
     @pl.when(b == 0)
@@ -319,7 +368,12 @@ def _sell_kernel(group_ptr_ref, win_row_ref, vals_hbm, lidx_hbm, x_hbm,
         nt = group_ptr_ref[b * _GPB + g + 1] - tbase - t0
 
         def body(t, acc):
-            li = ibuf[par, t0 + t]
+            if capp:
+                jloc = t0 + t
+                word = ibuf[par, jloc >> 1]
+                li = (word >> ((jloc & 1) * 16)) & 0xFFFF
+            else:
+                li = ibuf[par, t0 + t]
             gathered = _gather_tile(win, li, wr, mode, sid)
             return acc + vbuf[par, t0 + t] * gathered
 
@@ -330,7 +384,11 @@ def _sell_kernel(group_ptr_ref, win_row_ref, vals_hbm, lidx_hbm, x_hbm,
 
 @jax.jit
 def sell_spmv_ref(data: SellData, x):
-    """Pure-XLA reference/fallback path: identical math, any platform."""
+    """Pure-XLA reference/fallback path: identical math, any platform.
+    Operates on UNPACKED indices (call before ``pack_index_pairs``)."""
+    if data.capp:
+        raise ValueError("sell_spmv_ref needs unpacked indices; keep the "
+                         "pre-pack_index_pairs SellData for reference runs")
     n = data.n
     G = data.group_ptr.shape[0] - 1
     n_pad = G * _LANES
@@ -370,9 +428,9 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
 
     out = pl.pallas_call(
         functools.partial(_sell_kernel, wr=data.win_rows, cap=data.cap,
-                          mode=data.mode, nblocks=B),
+                          mode=data.mode, nblocks=B, capp=data.capp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),   # vals (HBM)
@@ -384,7 +442,8 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
             scratch_shapes=[
                 pltpu.VMEM((2, data.win_rows, _LANES), x.dtype),
                 pltpu.VMEM((2, data.cap, _SUB, _LANES), data.vals.dtype),
-                pltpu.VMEM((2, data.cap, _SUB, _LANES), jnp.int32),
+                pltpu.VMEM((2, data.capp or data.cap, _SUB, _LANES),
+                           jnp.int32),
                 pltpu.SemaphoreType.DMA((6,)),
             ],
         ),
@@ -397,5 +456,5 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(gp, data.win_row, data.vals, data.lidx, x2)
+    )(gp, data.win_row, data.pptr, data.vals, data.lidx, x2)
     return out.reshape(-1)[:n]

@@ -118,3 +118,32 @@ def test_sell_operator_rcm(rng):
     yp = np.asarray(op.matvec(jnp.asarray(xp)))
     want = (A @ x)[perm]
     assert np.max(np.abs(yp - want)) / np.max(np.abs(want)) < 1e-4
+
+
+@pytest.mark.parametrize("mode", ["roll", "rowsel"])
+def test_sell_pair_packed_indices(rng, mode):
+    from exponentialutilities_jl_tpu.ops.kernels.sell import pack_index_pairs
+    n, d, band = 3000, 9, 600
+    rows, cols, vals = banded_random(rng, n, d, band)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    data = pack_index_pairs(
+        sell_pack((rows, cols, vals.astype(np.float32)), n, window=2048,
+                  mode=mode))
+    x = rng.standard_normal(n).astype(np.float32)
+    want = A @ x
+    y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_sell_rowsel_mode(rng):
+    n, d, band = 3000, 9, 600
+    rows, cols, vals = banded_random(rng, n, d, band)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    data = sell_pack((rows, cols, vals.astype(np.float32)), n, window=2048,
+                     mode="rowsel")
+    x = rng.standard_normal(n).astype(np.float32)
+    want = A @ x
+    y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+    y2 = np.asarray(sell_spmv_ref(data, jnp.asarray(x)))
+    assert np.max(np.abs(y2 - want)) / np.max(np.abs(want)) < 1e-5
