@@ -131,7 +131,7 @@ def blockell_spmv(blocks, bcols, x, *, rows_per_tile: int = 128,
     return out.reshape(n)
 
 
-def _banded_kernel(diags_ref, xe_ref, out_ref, xs_ref, sem, *,
+def _banded_kernel(diags_ref, xe_ref, out_ref, xs2_ref, sems, *,
                    offsets, R: int, Hr: int, Wr: int):
     """One grid step: R·128 output rows of a diagonal-storage (stencil) SpMV,
     in the native (rows, 128) lane layout.
@@ -141,16 +141,33 @@ def _banded_kernel(diags_ref, xe_ref, out_ref, xs_ref, sem, *,
     axis — Mosaic-friendly 2-D ops (a flat 1-D formulation compiled into
     per-1024-tile scalar code and never finished compiling).
 
+    The x-window is DOUBLE-BUFFERED across the sequential grid: step i
+    issues step i+1's window DMA before computing, so the transfer hides
+    behind the k-diagonal multiply-accumulate (the r1 version waited on a
+    blocking per-step copy).
+
     diags_ref: (k, R, 128) VMEM tile of diagonal values.
     xe_ref:    (n_rows_pad, 128) padded input in HBM; rows
-               [i·R, i·R + Wr) are DMA'd into xs_ref.
+               [i·R, i·R + Wr) are DMA'd into xs2_ref[i % 2].
     out_ref:   (R, 128) output tile.
     """
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(
-        xe_ref.at[pl.ds(i * R, Wr)], xs_ref, sem)
-    cp.start()
-    cp.wait()
+    nsteps = pl.num_programs(0)
+
+    def win_dma(par, step):
+        return pltpu.make_async_copy(
+            xe_ref.at[pl.ds(step * R, Wr)], xs2_ref.at[par], sems.at[par])
+
+    @pl.when(i == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        win_dma((i + 1) % 2, i + 1).start()
+
+    win_dma(i % 2, i).wait()
+    xs_ref = xs2_ref.at[i % 2]
 
     h0 = Hr * 128
     acc = None
@@ -204,8 +221,8 @@ def banded_spmv(diags, offsets, x, *, tile: int = 131072):
         out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, 128), x.dtype),
-        scratch_shapes=[pltpu.VMEM((Wr, 128), x.dtype),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.VMEM((2, Wr, 128), x.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
         cost_estimate=pl.CostEstimate(
             flops=2 * k * n,
             bytes_accessed=(k * n + 2 * n) * x.dtype.itemsize,
