@@ -133,7 +133,13 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
                   yring, zbuf, vcbuf, vpbuf, stage, wbuf, sems, *,
                   P: int, nz: int, c0: float, cx: float, cy: float,
                   cz: float, accum: bool):
+    """Pipelined plane schedule: input planes for step i+1 prefetch while
+    step i computes (double-buffered zbuf/vcbuf/vpbuf); the Y/Znext writes
+    are fire-and-forget, waited just before their buffer is reused (ring
+    slot i%3 / stage parity) and drained at the final step."""
     i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    par = i % 2
     ca = coef_ref[0]
     cb = coef_ref[1]
     cc = coef_ref[2]
@@ -144,35 +150,56 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
 
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
+    def in_dmas(p, plane):
+        return [pltpu.make_async_copy(src.at[plane], dst.at[p],
+                                      sems.at[p * 3 + k])
+                for src, dst, k in ((Z_hbm, zbuf, 0), (Vc_hbm, vcbuf, 1),
+                                    (Vp_hbm, vpbuf, 2))]
+
+    def ywrite(slot, plane):
+        return pltpu.make_async_copy(yring.at[slot], Y_hbm.at[plane],
+                                     sems.at[6 + slot])
+
+    def zwrite(p, plane):
+        return pltpu.make_async_copy(stage.at[p], Znext_hbm.at[plane],
+                                     sems.at[9 + p])
+
+    @pl.when(i == 0)
+    def _():
+        for cp in in_dmas(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nz)
+    def _():
+        for cp in in_dmas((i + 1) % 2, i + 1):
+            cp.start()
+
     @pl.when(i < nz)
     def _():
-        cps = [pltpu.make_async_copy(src.at[i], dst, sems.at[k])
-               for src, dst, k in ((Z_hbm, zbuf, 0), (Vc_hbm, vcbuf, 1),
-                                   (Vp_hbm, vpbuf, 2))]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
+        for cp in in_dmas(par, i):
             cp.wait()
         # y_i = ca·Z + cb·Vc + cc·Vp (masked so pads stay zero)
-        y = (ca * zbuf[:, :] + cb * vcbuf[:, :] + cc * vpbuf[:, :]) \
+        y = (ca * zbuf[par] + cb * vcbuf[par] + cc * vpbuf[par]) \
             * mask_ref[:, :]
+        # ring slot i%3 may still have step i-3's Y write in flight
+        @pl.when(i >= 3)
+        def _():
+            ywrite(i % 3, i - 3).wait()
         yring[i % 3] = y
         prow = jnp.where(lane2 == 0, jnp.sum(y * y), 0.0)
         part_ref[pl.ds(i % 8, 1), :] = part_ref[pl.ds(i % 8, 1), :] + prow
-        cp = pltpu.make_async_copy(yring.at[i % 3], Y_hbm.at[i], sems.at[3])
-        cp.start()
+        ywrite(i % 3, i).start()
         if accum:
             # w += cw·v_j: accumulate the ALREADY-LOADED Vc plane into the
             # aliased accumulator (the replay pass of two-pass expv/phiv).
             cw = coef_ref[3]
-            cpw = pltpu.make_async_copy(W_hbm.at[i], wbuf, sems.at[5])
+            cpw = pltpu.make_async_copy(W_hbm.at[i], wbuf, sems.at[11])
             cpw.start()
             cpw.wait()
-            wbuf[:, :] = wbuf[:, :] + cw * vcbuf[:, :]
-            cpo = pltpu.make_async_copy(wbuf, W_out.at[i], sems.at[5])
+            wbuf[:, :] = wbuf[:, :] + cw * vcbuf[par]
+            cpo = pltpu.make_async_copy(wbuf, W_out.at[i], sems.at[11])
             cpo.start()
             cpo.wait()
-        cp.wait()
 
     @pl.when(i >= 1)
     def _():
@@ -186,12 +213,30 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
         zm = jnp.where(p >= 1, yring[(p - 1) % 3], 0.0)
         zp = jnp.where(p + 1 < nz, yring[(p + 1) % 3], 0.0)
         zn = (zn + cz * zm + cz * zp) * mask_ref[:, :]
-        stage[:, :] = zn
+        # stage parity: step i-2's Znext write may still be in flight
+        @pl.when(i >= 3)
+        def _():
+            zwrite(par, i - 3).wait()
+        stage[par] = zn
         prow = jnp.where(lane2 == 1, jnp.sum(zn * yc), 0.0)
         part_ref[pl.ds(i % 8, 1), :] = part_ref[pl.ds(i % 8, 1), :] + prow
-        cp = pltpu.make_async_copy(stage, Znext_hbm.at[p], sems.at[4])
-        cp.start()
-        cp.wait()
+        zwrite(par, p).start()
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        # Drain every write that can still be in flight.
+        for d in (2, 1, 0):
+            plane = i - d
+
+            @pl.when((plane >= 0) & (plane < nz))
+            def _():
+                ywrite(plane % 3, plane).wait()
+        for d in (1, 0):
+            step = i - d
+
+            @pl.when(step >= 1)
+            def _():
+                zwrite(step % 2, step - 1).wait()
 
 
 def _kernel_plain(coef, Z, Vc, Vp, mask, Y, Zn, parts,
@@ -234,24 +279,24 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
                  jax.ShapeDtypeStruct((ns8, _LANES), dt)]
     scratch = [
         pltpu.VMEM((3, R, _LANES), dt),             # y ring
-        pltpu.VMEM((R, _LANES), dt),                # z plane
-        pltpu.VMEM((R, _LANES), dt),                # vc plane
-        pltpu.VMEM((R, _LANES), dt),                # vp plane
-        pltpu.VMEM((R, _LANES), dt),                # znext staging
+        pltpu.VMEM((2, R, _LANES), dt),             # z planes (dbl buf)
+        pltpu.VMEM((2, R, _LANES), dt),             # vc planes
+        pltpu.VMEM((2, R, _LANES), dt),             # vp planes
+        pltpu.VMEM((2, R, _LANES), dt),             # znext staging
     ]
     if accum:
         in_specs.append(plane_any)                  # W accumulator
         out_specs.append(plane_any)
         out_shape.append(jax.ShapeDtypeStruct((nz, R, _LANES), dt))
         scratch.append(pltpu.VMEM((R, _LANES), dt))  # w plane
-        scratch.append(pltpu.SemaphoreType.DMA((6,)))
+        scratch.append(pltpu.SemaphoreType.DMA((12,)))
         kern = functools.partial(_fused_kernel, P=P, nz=nz, c0=c0, cx=cx,
                                  cy=cy, cz=cz, accum=True)
         operands = (jnp.asarray(coefs, dt), Zg, Vcg, Vpg,
                     mask.astype(dt), w_accum)
         alias = {5: 3}
     else:
-        scratch.append(pltpu.SemaphoreType.DMA((6,)))
+        scratch.append(pltpu.SemaphoreType.DMA((12,)))
         kern = functools.partial(_kernel_plain, P=P, nz=nz, c0=c0, cx=cx,
                                  cy=cy, cz=cz)
         operands = (jnp.asarray(coefs, dt), Zg, Vcg, Vpg, mask.astype(dt))
