@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["GhostGrid", "fused_lanczos_step", "lanczos_coeffs_fused",
-           "lanczos_replay_fused"]
+           "lanczos_replay_fused", "stencil_matvec_fused"]
 
 _LANES = 128
 
@@ -455,3 +455,21 @@ def lanczos_replay_fused(op, b, coeffs, *, tol: float = 1e-7,
             jnp.asarray(beta0 == 0), W)
     (Y, Z, _, _, _, _, _, W), _ = lax.scan(body, init, coeffs.astype(dt))
     return gg.from_ghost(W)
+
+
+def stencil_matvec_fused(op, x, *, interpret: bool = False):
+    """Plane-pipelined Pallas stencil matvec: ``A @ x`` for a 3-D 7-point
+    ``StencilOperator`` via one fused sweep (the (1,0,0)-coefficient
+    Lanczos sweep emits y = x and Zn = A·x). Traffic: read x planes once,
+    write A·x planes once (+ the pass-through y write) — an alternative
+    to the XLA pad+slice matvec with fully explicit DMA pipelining."""
+    coeffs_static = _stencil_coeffs_static(op)
+    gg = GhostGrid(*op.grid_shape)
+    x = jnp.asarray(x)
+    mask = jnp.asarray(gg.xmask())
+    Xg = gg.to_ghost(x)
+    zeros = jnp.zeros_like(Xg)
+    _, Zn, _, _ = fused_lanczos_step(
+        Xg, zeros, zeros, (1.0, 0.0, 0.0), mask, grid_desc=gg,
+        coeffs_static=coeffs_static, interpret=interpret)
+    return gg.from_ghost(Zn)

@@ -86,3 +86,13 @@ def test_fused_replay_two_pass_expv(rng):
     A = np.asarray(op.to_banded().to_dense())
     want = sla.expm(0.05 * A) @ b
     assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-5
+
+
+def test_stencil_matvec_fused(rng):
+    from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+        stencil_matvec_fused)
+    op = laplacian_nd_stencil(6, 5, 7, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(210).astype(np.float32))
+    y = np.asarray(stencil_matvec_fused(op, x, interpret=True))
+    want = np.asarray(op.matvec(x))
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
