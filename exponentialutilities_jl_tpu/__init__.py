@@ -41,6 +41,7 @@ from .models.timestepping import (expv_timestep, phiv_timestep,
                                   TimestepStats, phiv_timestep_fused,
                                   expv_timestep_fused, make_phiv_timestep)
 from .models.kiops import kiops, KiopsStats, AugmentedOperator
+from .models.kiops_device import kiops_device
 from .models.expv_taylor import expv_taylor, expv_taylor_batched
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
@@ -64,7 +65,7 @@ __all__ = [
     "make_expv", "make_phiv", "expv_batched",
     "expv_timestep", "phiv_timestep", "TimestepStats",
     "phiv_timestep_fused", "expv_timestep_fused", "make_phiv_timestep",
-    "kiops", "KiopsStats", "AugmentedOperator",
+    "kiops", "kiops_device", "KiopsStats", "AugmentedOperator",
     "phiv_timestep_device", "expv_timestep_device", "expv_taylor", "expv_taylor_batched",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",

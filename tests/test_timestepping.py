@@ -476,3 +476,47 @@ def test_expm_taylor_method(rng):
         # forward error scales with u*kappa ~ u*||A||; 1e-12 covers the
         # norm-300 case
         assert rel < 1e-12, (scale, rel)
+
+
+class TestDeviceResidentKiops:
+    """Device-resident KIOPS (models/kiops_device.py): the augmented-
+    subspace adaptive loop as one while_loop program per m bucket."""
+
+    def test_matches_host_kiops(self, rng):
+        n, p = 100, 2
+        A = laplacian_1d(n)
+        B = rng.standard_normal((n, p + 1))
+        w1, s1 = eu.kiops([1.0], A, B, tol=1e-8)
+        w2, s2 = eu.kiops_device([1.0], A, B, tol=1e-8)
+        assert s2.info == 0
+        rel = (np.linalg.norm(np.asarray(w1).ravel() - np.asarray(w2).ravel())
+               / np.linalg.norm(np.asarray(w1).ravel()))
+        assert rel < 1e-7
+
+    def test_snapshots_and_task1(self, rng):
+        n, p = 80, 2
+        A = laplacian_1d(n) + 0.5 * (np.diag(np.ones(n - 1), 1)
+                                     - np.diag(np.ones(n - 1), -1))
+        B = rng.standard_normal((n, p + 1))
+        w1, _ = eu.kiops([0.4, 1.0], A, B, tol=1e-8, task1=True)
+        w2, s2 = eu.kiops_device([0.4, 1.0], A, B, tol=1e-8, task1=True)
+        assert s2.info == 0
+        assert (np.linalg.norm(np.asarray(w1) - np.asarray(w2))
+                / np.linalg.norm(np.asarray(w1)) < 1e-7)
+
+    def test_failure_protocol(self, rng):
+        n = 100
+        A = laplacian_1d(n)
+        Mj = jnp.asarray(A)
+        e0 = jnp.zeros(n).at[0].set(1.0)
+
+        def mv(v):
+            return Mj @ v + jnp.where(jnp.abs(v[3]) > 0, jnp.nan, 0.0) * e0
+
+        op = eu.MatrixFreeOperator(mv, (n, n), dtype=jnp.float64,
+                                   opnorm=4.0)
+        b0 = np.zeros(n)
+        b0[0] = 1.0
+        w, stats = eu.kiops_device([1.0], op, b0[:, None], tol=1e-8)
+        assert stats.info != 0
+        assert not np.all(np.isfinite(np.asarray(w)))
