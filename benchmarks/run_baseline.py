@@ -195,6 +195,19 @@ def config4():
     Wk, stats = kiops([1e-4], op, B, tol=1e-7)
     t_kiops = time.perf_counter() - t0
 
+    # round-2: device-resident drivers (whole adaptive loop in one
+    # compiled program per m bucket — no per-substep dispatch latency)
+    from exponentialutilities_jl_tpu import (kiops_device,
+                                             phiv_timestep_device)
+    Ud = phiv_timestep_device([1e-4], op, B, tol=1e-7, m=20)
+    t0 = time.perf_counter()
+    Ud = phiv_timestep_device([1e-4], op, B, tol=1e-7, m=20)
+    t_nw_dev = time.perf_counter() - t0
+    Wkd, _ = kiops_device([1e-4], op, B, tol=1e-7)
+    t0 = time.perf_counter()
+    Wkd, _ = kiops_device([1e-4], op, B, tol=1e-7)
+    t_kiops_dev = time.perf_counter() - t0
+
     Ad = np.asarray(op.to_dense(), np.float64)
     tt = 1e-4
     E2 = np.zeros((n, 1)); E2[:, 0] = b * 0.1
@@ -204,10 +217,18 @@ def config4():
                    / np.linalg.norm(oracle))
     err_kiops = float(np.linalg.norm(np.asarray(Wk).ravel() - oracle)
                       / np.linalg.norm(oracle))
+    err_nw_dev = float(np.linalg.norm(
+        np.asarray(Ud[:, 0], np.float64) - oracle) / np.linalg.norm(oracle))
+    err_kiops_dev = float(np.linalg.norm(
+        np.asarray(Wkd).ravel() - oracle) / np.linalg.norm(oracle))
     return {"config": 4, "name": "advdiff_stiff_adaptive",
             "nw_ms": round(t_nw * 1e3, 1),
             "kiops_ms": round(t_kiops * 1e3, 1),
+            "nw_device_ms": round(t_nw_dev * 1e3, 1),
+            "kiops_device_ms": round(t_kiops_dev * 1e3, 1),
             "nw_rel_err": err_nw, "kiops_rel_err": err_kiops,
+            "nw_device_rel_err": err_nw_dev,
+            "kiops_device_rel_err": err_kiops_dev,
             "kiops_steps": stats.steps}
 
 
