@@ -143,6 +143,8 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
         herm = op.is_hermitian if hermitian is None else hermitian
         if two_pass:
             if herm:
+                if _fused_two_pass_supported(op):
+                    return _expv_two_pass_fused(op, b, t, m)
                 return _expv_two_pass(op, b, t, m)
             if iop <= 0:
                 raise ValueError(
@@ -278,6 +280,40 @@ def _expv_error_estimate(op, b, t, m: int, atol: float, rtol: float):
     w = ev @ V[:m].astype(ev.dtype)
     out = beta0.astype(w.dtype) * w
     return jnp.where(beta0 > 0, out, jnp.zeros_like(out)), j
+
+
+def _fused_two_pass_supported(op) -> bool:
+    """The fused plane-sweep path applies to symmetric 3-D 7-point
+    StencilOperators on a real TPU backend (the Pallas kernel needs
+    Mosaic; CPU falls back to the XLA two-pass)."""
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        from ..ops.kernels.lanczos_fused import _stencil_coeffs_static
+        _stencil_coeffs_static(op)
+        return True
+    except (ValueError, ImportError):
+        return False
+
+
+def _expv_two_pass_fused(op, b, t, m: int):
+    """Two-pass Hermitian expv with BOTH passes as fused plane sweeps
+    (ops/kernels/lanczos_fused.py): ~5n HBM traffic per coeffs iteration
+    and ~7n per replay iteration instead of ~9n for the XLA recurrence."""
+    from ..ops.kernels.lanczos_fused import (lanczos_coeffs_fused,
+                                             lanczos_replay_fused)
+
+    b = jnp.asarray(b)
+    t = jnp.asarray(t)
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs_fused(op, b, m)
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1))
+    w_eig, Q = jnp.linalg.eigh(T)
+    cdt = jnp.result_type(Q.dtype, t.dtype)
+    coeffs = (Q.astype(cdt) @ (jnp.exp(t * w_eig) * Q[0, :].astype(cdt))
+              * beta0.astype(cdt))
+    out = lanczos_replay_fused(op, b, coeffs)
+    return jnp.where(beta0 > 0, out, jnp.zeros_like(out))
 
 
 @functools.partial(jax.jit, static_argnames=("m", "axis_name"))
