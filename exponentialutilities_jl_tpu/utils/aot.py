@@ -40,6 +40,12 @@ def warmup(n: int = 64, m: int = 30, k: int = 2, dtype=jnp.float32,
         op = DenseOperator(jnp.eye(n, dtype=dtype), is_hermitian=False)
     out["expv"] = expv(0.1, op, b, m=min(m, n))
     out["phiv"] = phiv(0.1, op, b, k, m=min(m, n))
+    # round-2 serving surfaces: device-resident adaptive drivers
+    from .. import kiops_device, phiv_timestep_device
+    out["nw_device"] = phiv_timestep_device(
+        0.1, op, b[:, None], m=min(m, n), hermitian=hermitian)
+    out["kiops_device"], _ = kiops_device(
+        [0.1], op, b[:, None], m=min(max(10, m // 2), n))
     if mesh is not None:
         from ..parallel import make_expv_step, shard_vector
         step, diags = make_expv_step(op, mesh, m=min(m, n))
