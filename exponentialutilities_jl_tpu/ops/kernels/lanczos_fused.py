@@ -104,18 +104,19 @@ class GhostGrid:
 
 def _lane_shift_full(buf, s: int):
     """±1 element shift of the flat (rows, 128) plane; row wraps land in
-    the guaranteed x-pad/ghost zero lanes, so plain slicing with a zero
-    edge row is exact Dirichlet."""
-    R = buf.shape[0]
-    z1 = jnp.zeros((1, 1), buf.dtype)
+    the guaranteed x-pad/ghost zero lanes, so the result is exact
+    Dirichlet. Built from native lane rotates + a sublane-aligned row
+    shift + one lane-mask select (Mosaic rejects lane-offset concats)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     if s == 1:
-        main = jnp.concatenate([buf[:, 1:],
-                                jnp.concatenate([buf[1:, :1],
-                                                 z1], axis=0)], axis=1)
-        return main
-    main = jnp.concatenate([jnp.concatenate([z1, buf[:R - 1, 127:]],
-                                            axis=0), buf[:, :127]], axis=1)
-    return main
+        # S[r, l] = buf[r, l+1] (l < 127); S[r, 127] = buf[r+1, 0]
+        same = pltpu.roll(buf, _LANES - 1, 1)       # [r, l] <- buf[r, l+1]
+        nxt = pltpu.roll(_row_shift_full(buf, 1), _LANES - 1, 1)
+        return jnp.where(lane < _LANES - 1, same, nxt)
+    # S[r, l] = buf[r, l-1] (l > 0); S[r, 0] = buf[r-1, 127]
+    same = pltpu.roll(buf, 1, 1)                    # [r, l] <- buf[r, l-1]
+    prv = pltpu.roll(_row_shift_full(buf, -1), 1, 1)
+    return jnp.where(lane > 0, same, prv)
 
 
 def _row_shift_full(buf, off: int):
