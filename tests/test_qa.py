@@ -32,3 +32,20 @@ def test_public_functions_documented():
 
 def test_version():
     assert eu.__version__
+
+
+def test_profiling_hooks_smoke(tmp_path):
+    # SURVEY §5: optional jax.profiler hooks — must work (or no-op
+    # gracefully) on any backend
+    import numpy as np
+    import jax.numpy as jnp
+    import exponentialutilities_jl_tpu as eu
+    from exponentialutilities_jl_tpu.utils.profiling import annotate, trace
+
+    A = np.diag(-2.0 * np.ones(32)) + np.diag(np.ones(31), 1) \
+        + np.diag(np.ones(31), -1)
+    b = np.ones(32)
+    with trace(str(tmp_path / "trace")):
+        with annotate("expv-smoke"):
+            w = eu.expv(0.1, A, jnp.asarray(b), m=10)
+    assert np.all(np.isfinite(np.asarray(w)))
