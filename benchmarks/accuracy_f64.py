@@ -78,24 +78,29 @@ def config3():
 
 
 def config5():
+    # 10M rows in f64: ONLY the O(n)-memory two-pass path fits — the
+    # (m+1, n) f64 basis (plus the TPU f64-emulation temporaries) blows
+    # the 16 GB HBM (measured: 17.2 GB requested). Oracles: the semigroup
+    # identity (two independent solves at t/2 vs one at t) and
+    # m-convergence (m=30 vs m=40 agree below the target long before
+    # either equals the truth).
     shape = (216, 216, 216)
     n = shape[0] * shape[1] * shape[2]
     op = eu.laplacian_nd_stencil(*shape, dtype=jnp.float64)
     rng = np.random.default_rng(2)
     b = jnp.asarray(rng.standard_normal(n))
     t, m = 5e-2, 30
-    w_basis = np.asarray(eu.expv(t, op, b, m=m, hermitian=True))
     w_tp = np.asarray(eu.expv(t, op, b, m=m, hermitian=True,
                               two_pass=True))
-    rel_paths = float(np.linalg.norm(w_basis - w_tp)
-                      / np.linalg.norm(w_basis))
-    # semigroup identity with the two-pass path
     h1 = eu.expv(t / 2, op, b, m=m, hermitian=True, two_pass=True)
     h2 = np.asarray(eu.expv(t / 2, op, h1, m=m, hermitian=True,
                             two_pass=True))
     rel_semi = float(np.linalg.norm(h2 - w_tp) / np.linalg.norm(w_tp))
-    return {"config": 5, "n": n, "basis_vs_two_pass": rel_paths,
-            "semigroup_residual": rel_semi}
+    w40 = np.asarray(eu.expv(t, op, b, m=40, hermitian=True,
+                             two_pass=True))
+    rel_m = float(np.linalg.norm(w40 - w_tp) / np.linalg.norm(w40))
+    return {"config": 5, "n": n, "semigroup_residual": rel_semi,
+            "m30_vs_m40": rel_m}
 
 
 def main():
