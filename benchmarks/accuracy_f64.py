@@ -11,10 +11,10 @@ harness runs it at the BASELINE sizes:
             n = 1e6, f64; oracle = φ identities
             t·A·φ₁(tA)b = φ₀(tA)b − b (exact in exact
             arithmetic) and the φ-recurrence chain          → target ≤ 1e-10
-  config-5: expv on the 3-D Laplacian, n = 10M (216³), f64;
-            oracles = basis path vs storage-free two-pass
-            (independent code paths) + the semigroup
-            identity exp(tA)b = exp(t/2·A)(exp(t/2·A)b)     → target ≤ 1e-10
+  config-5: expv on the 3-D Laplacian, n = 10M (216³), f64, via the
+            O(n)-memory two-pass path (the f64 basis path exceeds HBM);
+            oracles = semigroup identity
+            exp(tA)b = exp(t/2·A)(exp(t/2·A)b) + m-convergence → ≤ 1e-10
 
 On TPU, f64 elementwise/matvec work runs on-chip (emulated, ~correct) and
 every small reduced problem is host-staged in full f64

@@ -143,7 +143,9 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
         herm = op.is_hermitian if hermitian is None else hermitian
         if two_pass:
             if herm:
-                if _fused_two_pass_supported(op):
+                if _fused_two_pass_supported(op) and b.dtype == jnp.float32:
+                    # the fused Pallas sweep is f32-only (Mosaic f64
+                    # support is partial); f64 uses the XLA two-pass
                     return _expv_two_pass_fused(op, b, t, m)
                 return _expv_two_pass(op, b, t, m)
             if iop <= 0:
