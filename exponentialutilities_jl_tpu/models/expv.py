@@ -147,6 +147,11 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
                     # the fused Pallas sweep is f32-only (Mosaic f64
                     # support is partial); f64 uses the XLA two-pass
                     return _expv_two_pass_fused(op, b, t, m)
+                if reduced == "host":
+                    # f64 on TPU: the device tridiagonal eigh is
+                    # f32-limited (~1e-8); stage the m-sized reduced
+                    # problem on the host like every other path
+                    return _expv_two_pass_host(op, b, t, m)
                 return _expv_two_pass(op, b, t, m)
             if iop <= 0:
                 raise ValueError(
@@ -315,6 +320,27 @@ def _expv_two_pass_fused(op, b, t, m: int):
     coeffs = (Q.astype(cdt) @ (jnp.exp(t * w_eig) * Q[0, :].astype(cdt))
               * beta0.astype(cdt))
     out = lanczos_replay_fused(op, b, coeffs)
+    return jnp.where(beta0 > 0, out, jnp.zeros_like(out))
+
+
+def _expv_two_pass_host(op, b, t, m: int):
+    """Two-pass expv with the reduced tridiagonal eigensolve HOST-STAGED
+    in full f64 between the two jitted passes (ops/host_reduced.py
+    rationale: device f64 eigh is f32-limited on TPU)."""
+    import numpy as np
+    import scipy.linalg as sla
+
+    from ..ops.krylov import lanczos_coeffs, lanczos_replay
+
+    b = jnp.asarray(b)
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs(op, b, m)
+    a_h = np.asarray(alphas, np.float64)
+    b_h = np.asarray(betas, np.float64)[:-1]
+    w_eig, Q = sla.eigh_tridiagonal(a_h, b_h)
+    th = complex(np.asarray(t)) if np.iscomplexobj(np.asarray(t))         else float(np.asarray(t))
+    coeffs = (Q @ (np.exp(th * w_eig) * Q[0, :])) * float(beta0)
+    out = lanczos_replay(op, b, jnp.asarray(coeffs, b.dtype), alphas,
+                         betas, m)
     return jnp.where(beta0 > 0, out, jnp.zeros_like(out))
 
 

@@ -134,12 +134,43 @@ def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
         if not herm:
             raise NotImplementedError(
                 "two_pass phiv requires a Hermitian operator (Lanczos)")
-        w, err = _phiv_two_pass(op, b, t, m, k)
+        if reduced == "host":
+            w, err = _phiv_two_pass_host(op, b, t, m, k)
+        else:
+            w, err = _phiv_two_pass(op, b, t, m, k)
         return (w, err) if errest else w
     Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
                         hermitian=hermitian)
     w, err = phiv_from_basis(t, Ks, k, correct=correct, reduced=reduced)
     return (w, err) if errest else w
+
+
+def _phiv_two_pass_host(op, b, t, m: int, k: int):
+    """Two-pass φ-actions with the reduced augmented exponential
+    host-staged in f64 (device f64 expm/eigh are unavailable/f32-limited
+    on TPU)."""
+    import numpy as np
+
+    from ..ops.host_reduced import host_phiv_e1
+    from ..ops.krylov import lanczos_coeffs, lanczos_replay
+
+    b = jnp.asarray(b)
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs(op, b, m)
+    a_h = np.asarray(alphas, np.float64)
+    b_h = np.asarray(betas, np.float64)
+    T = np.diag(a_h) + np.diag(b_h[:-1], 1) + np.diag(b_h[:-1], -1)
+    C2 = np.asarray(host_phiv_e1(T, t, k))            # (m, k+1) f64→dtype
+    coeffs = jnp.asarray(C2 * float(beta0), b.dtype)
+    w = lanczos_replay(op, b, coeffs, alphas, betas, m)
+    ju = int(m_used)
+    last = max(ju - 1, 0)
+    h_res = float(b_h[min(ju, m - 1)]) if ju < m else float(b_h[m - 1])
+    err = jnp.asarray(abs(float(beta0) * h_res * float(np.asarray(t))
+                          * C2[last, k]))
+    zero = beta0 > 0
+    w = jnp.where(zero, w, jnp.zeros_like(w))
+    err = jnp.where(zero, err, jnp.zeros_like(err))
+    return w, err
 
 
 @functools.partial(jax.jit, static_argnames=("m", "k", "axis_name"))
