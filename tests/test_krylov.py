@@ -499,3 +499,26 @@ def test_expv_taylor_in_trace_search_jit(rng):
     w = np.asarray(f(jnp.asarray(A), jnp.asarray(b)))
     want = sla.expm(A) @ b
     assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-12
+
+
+def test_two_pass_host_reduced_paths(rng):
+    # the host-staged reduced problems for the two-pass forms (f64-on-TPU
+    # correctness path; bench.py's f64 metric regressed without it)
+    n = 300
+    A = np.diag(-2.0 * np.ones(n)) + np.diag(np.ones(n - 1), 1) \
+        + np.diag(np.ones(n - 1), -1)
+    b = rng.standard_normal(n)
+    w = np.asarray(eu.expv(0.7, jnp.asarray(A), jnp.asarray(b), m=40,
+                           hermitian=True, two_pass=True, reduced="host"))
+    want = sla.expm(0.7 * A) @ b
+    assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-12
+    W = np.asarray(eu.phiv(0.7, jnp.asarray(A), jnp.asarray(b), 2, m=40,
+                           hermitian=True, two_pass=True, reduced="host"))
+    k = 2
+    E = np.zeros((n, k * n)); E[:, :n] = np.eye(n)
+    J = np.kron(np.diag(np.ones(k - 1), 1), np.eye(n))
+    P = sla.expm(np.block([[0.7 * A, E], [np.zeros((k * n, n)), J]]))
+    for j in range(1, k + 1):
+        want_j = P[:n, j * n:(j + 1) * n] @ b
+        assert (np.linalg.norm(W[:, j] - want_j)
+                / np.linalg.norm(want_j) < 1e-12), j
