@@ -225,8 +225,12 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
 
     @pl.when(i == nsteps - 1)
     def _():
-        # Drain every write that can still be in flight.
-        for d in (2, 1, 0):
+        # Drain every write that can still be in flight. The last ywrite
+        # was started at step i-1 (plane i-1); the in-loop wait for plane
+        # j-3 is gated on j < nz, so planes i-3..i-1 are all pending here
+        # (an unwaited DMA semaphore at kernel exit faults real hardware
+        # even though interpret mode accepts it).
+        for d in (3, 2, 1):
             plane = i - d
 
             @pl.when((plane >= 0) & (plane < nz))
