@@ -73,20 +73,22 @@ class SellData:
 
     def __init__(self, vals, lidx, group_ptr, win_row, n, nnz,
                  win_rows=_SUB * 2, mode="roll", cap=_GPB, pptr=None,
-                 capp=0):
+                 capp=0, chunks=1):
         self.vals = vals
         self.lidx = lidx             # (T+cap, 8, 128) int32, or pair-packed
         self.group_ptr = group_ptr
-        self.win_row = win_row
+        self.win_row = win_row       # (B,) or (B, chunks) window starts
         self.pptr = (pptr if pptr is not None
                      else jnp.zeros((1,), jnp.int32))
         self.n = int(n)
         self.nnz = int(nnz)
         self.win_rows = int(win_rows)
         self.mode = str(mode)        # "roll" | "residue" | "rowsel"
+                                     # | "chunked"
         self.cap = int(cap)
         self.capp = int(capp)        # 0 = indices unpacked; else packed
                                      # pair-chunk capacity per block
+        self.chunks = int(chunks)    # window slabs per block (chunked)
 
     @property
     def residue(self):
@@ -96,7 +98,7 @@ class SellData:
         return ((self.vals, self.lidx, self.group_ptr, self.win_row,
                  self.pptr),
                 (self.n, self.nnz, self.win_rows, self.mode, self.cap,
-                 self.capp))
+                 self.capp, self.chunks))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -108,7 +110,7 @@ jax.tree_util.register_pytree_node(
     lambda s: s.tree_flatten(),
     lambda aux, ch: SellData(ch[0], ch[1], ch[2], ch[3], aux[0], aux[1],
                              win_rows=aux[2], mode=aux[3], cap=aux[4],
-                             pptr=ch[4], capp=aux[5]),
+                             pptr=ch[4], capp=aux[5], chunks=aux[6]),
 )
 
 
@@ -142,12 +144,111 @@ def pack_index_pairs(data: SellData) -> SellData:
     return SellData(data.vals, jnp.asarray(packed), data.group_ptr,
                     data.win_row, data.n, data.nnz,
                     win_rows=data.win_rows, mode=data.mode, cap=data.cap,
-                    pptr=jnp.asarray(pptr), capp=capp)
+                    pptr=jnp.asarray(pptr), capp=capp, chunks=data.chunks)
+
+
+def _pack_chunked(A, n: int, dtype, window: int, max_chunks: int):
+    """Chunked-window packing: each 8-group block's columns are covered by
+    up to ``max_chunks`` aligned ``window``-wide slabs (greedy cover);
+    every TILE is chunk-pure (all its slots gather from one slab), so the
+    kernel's gather stays one-slab-wide regardless of total column span.
+    The slab id rides the index high bits (li = c·8192 + local), including
+    in padded slots, so the kernel can read a tile's slab from any slot.
+    """
+    if window > 8192:
+        raise ValueError("chunked mode needs window <= 8192 (13-bit "
+                         "local indices)")
+    if not 1 <= max_chunks <= 8:
+        raise ValueError("max_chunks must be in 1..8 (3-bit slab ids)")
+    W = window
+    C = int(max_chunks)
+    indptr = A.indptr.astype(np.int64)
+    indices = A.indices.astype(np.int64)
+    data = A.data
+    nnz = A.nnz
+
+    G = -(-n // _LANES)
+    B = -(-G // _GPB)
+    r_all = np.repeat(np.arange(n), np.diff(indptr))
+    g_of = r_all // _LANES
+    lane = r_all % _LANES
+
+    # Greedy aligned-slab cover per block (loop is over slabs, <= C each).
+    bb = indptr[np.minimum(np.arange(B + 1) * _GPB * _LANES, n)]
+    span_start = np.zeros((B, C), np.int64)
+    c_of = np.zeros(nnz, np.int64)
+    for b in range(B):
+        lo, hi = bb[b], bb[b + 1]
+        if lo == hi:
+            continue
+        u = np.unique(indices[lo:hi])
+        starts = []
+        ptr = 0
+        while ptr < len(u):
+            if len(starts) == C:
+                raise ValueError(
+                    f"block {b}: columns need more than {C} "
+                    f"{W}-wide slabs; raise max_chunks/window, RCM-"
+                    "permute, or use block-ELL instead")
+            s = (u[ptr] // _LANES) * _LANES
+            starts.append(s)
+            ptr = np.searchsorted(u, s + W)
+        st = np.asarray(starts)
+        span_start[b, :len(st)] = st
+        span_start[b, len(st):] = st[-1]
+        c_of[lo:hi] = np.searchsorted(st, indices[lo:hi], side="right") - 1
+
+    # Position of each nnz within its (row, chunk) run. CSR column order
+    # makes chunk ids non-decreasing within a row, so runs are contiguous.
+    key = r_all * C + c_of
+    if nnz:
+        change = np.concatenate([[True], key[1:] != key[:-1]])
+        pos = (np.arange(nnz)
+               - np.maximum.accumulate(np.where(change, np.arange(nnz), 0)))
+    else:
+        pos = np.zeros(0, np.int64)
+
+    # Tiles per (group, chunk): ceil(max per-row run length / 8).
+    md_gc = np.zeros(G * C, np.int64)
+    if nnz:
+        np.maximum.at(md_gc, g_of * C + c_of, pos + 1)
+    md_gc = md_gc.reshape(G, C)
+    v_gc = -(-md_gc // _SUB)
+    v_gc[v_gc.sum(axis=1) == 0, 0] = 1              # every group >= 1 tile
+    off_gc = np.cumsum(v_gc, axis=1) - v_gc         # exclusive, within group
+    v_g = v_gc.sum(axis=1)
+    group_ptr = np.concatenate([[0], np.cumsum(v_g)]).astype(np.int32)
+    T = int(group_ptr[-1])
+
+    tile = group_ptr[g_of] + off_gc[g_of, c_of] + pos // _SUB
+    sub = pos % _SUB
+
+    gp_blk = group_ptr[np.minimum(np.arange(B + 1) * _GPB, G)]
+    cap = max(int(np.max(np.diff(gp_blk))) if B else 1, 1)
+
+    # Every slot of a tile (padded included) carries the tile's slab id.
+    # Tiles are chunk-major within each group, so the per-tile slab id
+    # sequence is repeat(c, v_gc[g, c]) in (g, c) order.
+    tile_chunk = np.concatenate([
+        np.repeat(np.tile(np.arange(C), G), v_gc.reshape(-1)),
+        np.zeros(cap, np.int64)]).astype(np.int32)
+    lidx_all = np.broadcast_to(
+        (tile_chunk << 13)[:, None, None], (T + cap, _SUB, _LANES)).copy()
+    vals_all = np.zeros((T + cap, _SUB, _LANES), dtype)
+    li = (c_of << 13) | (indices - span_start[g_of // _GPB, c_of])
+    vals_all[tile, sub, lane] = data.astype(dtype)
+    lidx_all[tile, sub, lane] = li
+    return SellData(jnp.asarray(vals_all), jnp.asarray(lidx_all.astype(
+                        np.int32)),
+                    jnp.asarray(group_ptr),
+                    jnp.asarray((span_start // _LANES).astype(np.int32)),
+                    n, int(nnz), win_rows=W // _LANES, mode="chunked",
+                    cap=cap, chunks=C)
 
 
 def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
               window: int = 2048, residue: bool = False,
-              mode: str | None = None) -> SellData:
+              mode: str | None = None, max_chunks: int = 4) -> SellData:
     """Pack COO (rows, cols, vals) into SELL-window form (module doc).
 
     Raises ValueError if any 8-group block's columns exceed its aligned
@@ -169,6 +270,8 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
     A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
     A.sort_indices()
     nnz = A.nnz
+    if mode == "chunked":
+        return _pack_chunked(A, n, dtype, window, max_chunks)
     if mode == "rowsel":
         from ...native import sell_rowsel_pack_csr
         packed = sell_rowsel_pack_csr(A, window=window)
@@ -325,26 +428,32 @@ def _gather_tile(win, li, wr: int, mode: str, sid):
 
 def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
                  x_hbm, out_ref, win2, vbuf, ibuf, sems, *, wr: int,
-                 cap: int, mode: str, nblocks: int, capp: int):
+                 cap: int, mode: str, nblocks: int, capp: int, nc: int = 1):
     b = pl.program_id(0)
     par = b % 2
     nxt = (b + 1) % 2
     sid = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
+    nsem = nc + 2                    # per-parity: nc x-slabs + vals + idx
 
     def block_dmas(p, blk):
         t0 = group_ptr_ref[blk * _GPB]
         if capp:
             icp = pltpu.make_async_copy(
                 lidx_hbm.at[pl.ds(pptr_ref[blk], capp)], ibuf.at[p],
-                sems.at[p * 3 + 2])
+                sems.at[p * nsem + nc + 1])
         else:
             icp = pltpu.make_async_copy(lidx_hbm.at[pl.ds(t0, cap)],
-                                        ibuf.at[p], sems.at[p * 3 + 2])
-        return (
-            pltpu.make_async_copy(x_hbm.at[pl.ds(win_row_ref[blk], wr)],
-                                  win2.at[p], sems.at[p * 3 + 0]),
+                                        ibuf.at[p],
+                                        sems.at[p * nsem + nc + 1])
+        return tuple(
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(win_row_ref[blk * nc + c], wr)],
+                win2.at[p] if nc == 1 else win2.at[p, pl.ds(c * wr, wr)],
+                sems.at[p * nsem + c])
+            for c in range(nc)
+        ) + (
             pltpu.make_async_copy(vals_hbm.at[pl.ds(t0, cap)],
-                                  vbuf.at[p], sems.at[p * 3 + 1]),
+                                  vbuf.at[p], sems.at[p * nsem + nc]),
             icp,
         )
 
@@ -362,7 +471,7 @@ def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
         cp.wait()
 
     tbase = group_ptr_ref[b * _GPB]
-    win = win2[par]
+    win = None if mode == "chunked" else win2[par]
     for g in range(_GPB):
         t0 = group_ptr_ref[b * _GPB + g] - tbase
         nt = group_ptr_ref[b * _GPB + g + 1] - tbase - t0
@@ -374,7 +483,16 @@ def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
                 li = (word >> ((jloc & 1) * 16)) & 0xFFFF
             else:
                 li = ibuf[par, t0 + t]
-            gathered = _gather_tile(win, li, wr, mode, sid)
+            if mode == "chunked":
+                # Tiles are chunk-pure: every slot (padded included)
+                # carries the tile's slab id in bits 13+, so any
+                # reduction recovers it; gather from that one slab.
+                cid = jnp.max(li) >> 13
+                slab = win2[par, pl.ds(cid * wr, wr)]
+                gathered = _gather_tile(slab, li & 0x1FFF, wr, "roll",
+                                        sid)
+            else:
+                gathered = _gather_tile(win, li, wr, mode, sid)
             return acc + vbuf[par, t0 + t] * gathered
 
         acc = lax.fori_loop(0, nt, body,
@@ -397,11 +515,18 @@ def sell_spmv_ref(data: SellData, x):
     tile_group = jnp.searchsorted(data.group_ptr[1:], jnp.arange(T),
                                   side="right")
     tile_group = jnp.minimum(tile_group, G - 1)      # trailing pad tiles
-    ws = data.win_row[jnp.minimum(tile_group // _GPB,
-                                  data.win_row.shape[0] - 1)] * _LANES
-    # lidx is the block-window-local element index in BOTH packings
-    # (residue only constrains WHICH sublane a slot uses).
-    gidx = data.lidx + ws[:, None, None]
+    if data.mode == "chunked":
+        # per-slot slab id rides bits 13+; win_row is (B, chunks).
+        wr2 = data.win_row.reshape(-1, data.chunks)
+        blk = jnp.minimum(tile_group // _GPB, wr2.shape[0] - 1)
+        ws = wr2[blk[:, None, None], data.lidx >> 13] * _LANES
+        gidx = (data.lidx & 0x1FFF) + ws
+    else:
+        ws = data.win_row[jnp.minimum(tile_group // _GPB,
+                                      data.win_row.shape[0] - 1)] * _LANES
+        # lidx is the block-window-local element index in BOTH packings
+        # (residue only constrains WHICH sublane a slot uses).
+        gidx = data.lidx + ws[:, None, None]
     gx = x_pad[gidx]
     contrib = jnp.sum(data.vals * gx, axis=1)
     y = jax.ops.segment_sum(contrib, tile_group, num_segments=G)
@@ -426,9 +551,11 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
         gp = jnp.concatenate([gp, jnp.full((need - gp.shape[0],), gp[-1],
                                            jnp.int32)])
 
+    nc = data.chunks
     out = pl.pallas_call(
         functools.partial(_sell_kernel, wr=data.win_rows, cap=data.cap,
-                          mode=data.mode, nblocks=B, capp=data.capp),
+                          mode=data.mode, nblocks=B, capp=data.capp,
+                          nc=nc),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B,),
@@ -440,11 +567,11 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
             out_specs=pl.BlockSpec((_GPB, _LANES), lambda b, *_: (b, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, data.win_rows, _LANES), x.dtype),
+                pltpu.VMEM((2, nc * data.win_rows, _LANES), x.dtype),
                 pltpu.VMEM((2, data.cap, _SUB, _LANES), data.vals.dtype),
                 pltpu.VMEM((2, data.capp or data.cap, _SUB, _LANES),
                            jnp.int32),
-                pltpu.SemaphoreType.DMA((6,)),
+                pltpu.SemaphoreType.DMA((2 * (nc + 2),)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B * _GPB, _LANES), x.dtype),
@@ -456,5 +583,5 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(gp, data.win_row, data.pptr, data.vals, data.lidx, x2)
+    )(gp, data.win_row.reshape(-1), data.pptr, data.vals, data.lidx, x2)
     return out.reshape(-1)[:n]

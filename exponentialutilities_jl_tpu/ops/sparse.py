@@ -398,7 +398,7 @@ class SellOperator(LinearOperator):
     def from_coo(cls, rows, cols, vals, n, *, dtype=np.float32,
                  window: int = 2048, residue: bool = False,
                  mode: str | None = None, rcm: bool = False,
-                 is_hermitian: bool = False):
+                 is_hermitian: bool = False, max_chunks: int = 4):
         from .kernels.sell import sell_pack
         rows = np.asarray(rows)
         cols = np.asarray(cols)
@@ -413,7 +413,7 @@ class SellOperator(LinearOperator):
             inv[perm] = np.arange(n)
             rows, cols = inv[rows], inv[cols]
         data = sell_pack((rows, cols, vals), n, dtype=dtype, window=window,
-                         residue=residue, mode=mode)
+                         residue=residue, mode=mode, max_chunks=max_chunks)
         return cls(data, is_hermitian=is_hermitian, perm=perm)
 
     @classmethod

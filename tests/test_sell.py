@@ -147,3 +147,84 @@ def test_sell_rowsel_mode(rng):
     assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
     y2 = np.asarray(sell_spmv_ref(data, jnp.asarray(x)))
     assert np.max(np.abs(y2 - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def scattered_random(rng, n, d, band, nfar):
+    """Banded bulk plus per-row long-range couplings — the class the
+    single-window packing cannot hold (RCM bandwidth >> window)."""
+    rows, cols, vals = banded_random(rng, n, d, band)
+    frows = rng.integers(0, n, nfar)
+    fcols = rng.integers(0, n, nfar)
+    return (np.concatenate([rows, frows]), np.concatenate([cols, fcols]),
+            np.concatenate([vals, rng.standard_normal(nfar)]))
+
+
+def test_sell_chunked_matches_scipy(rng):
+    n, d, band = 3000, 7, 500
+    rows, cols, vals = scattered_random(rng, n, d, band, nfar=800)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    with pytest.raises(ValueError):
+        sell_pack((rows, cols, vals), n, window=1024)     # span too wide
+    data = sell_pack((rows, cols, vals.astype(np.float32)), n,
+                     window=1024, mode="chunked", max_chunks=4)
+    assert data.mode == "chunked" and data.chunks == 4
+    x = rng.standard_normal(n).astype(np.float32)
+    want = A @ x
+    y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+    y2 = np.asarray(sell_spmv_ref(data, jnp.asarray(x)))
+    assert np.max(np.abs(y2 - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_sell_chunked_pair_packed(rng):
+    from exponentialutilities_jl_tpu.ops.kernels.sell import pack_index_pairs
+    n, d, band = 2000, 6, 400
+    rows, cols, vals = scattered_random(rng, n, d, band, nfar=500)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    base = sell_pack((rows, cols, vals.astype(np.float32)), n,
+                     window=1024, mode="chunked", max_chunks=6)
+    data = pack_index_pairs(base)
+    x = rng.standard_normal(n).astype(np.float32)
+    want = A @ x
+    y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_sell_chunked_too_many_slabs_raises(rng):
+    n = 4000
+    rows = np.arange(32)
+    cols = (rows * 125) % n              # 32 far-flung columns in one block
+    vals = np.ones(32)
+    with pytest.raises(ValueError):
+        sell_pack((rows, cols, vals), n, window=1024, mode="chunked",
+                  max_chunks=2)
+
+
+def test_sell_chunked_duplicates_empty_rows(rng):
+    n = 2000
+    rows = np.array([2, 2, 2, 150, 700])
+    cols = np.array([7, 7, 1900, 160, 1500])   # forces 2+ slabs
+    vals = np.array([1.0, 2.0, 4.0, 8.0, 16.0])
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    data = sell_pack((rows, cols, vals.astype(np.float32)), n,
+                     window=1024, mode="chunked", max_chunks=3)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+    assert np.max(np.abs(y - np.asarray(A @ x))) < 1e-5
+
+
+def test_sell_chunked_operator_in_expv(rng):
+    import exponentialutilities_jl_tpu as eu
+    import scipy.linalg as sla
+    n, d, band = 512, 5, 150
+    rows, cols, vals = scattered_random(rng, n, d, band, nfar=200)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    A = (A + A.T).tocoo()
+    op = eu.SellOperator.from_coo(A.row, A.col, A.data / 10, n,
+                                  dtype=np.float64, is_hermitian=True,
+                                  window=1024, mode="chunked",
+                                  max_chunks=8)
+    b = rng.standard_normal(n)
+    w = np.asarray(eu.expv(0.3, op, jnp.asarray(b), m=40))
+    want = sla.expm(0.3 * np.asarray(A.todense()) / 10) @ b
+    assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-9
