@@ -59,13 +59,23 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, K, body, b))
 
-    K1, K2 = 3, 13
+    # Interleaved best-of slope: tunnel noise (chip re-grabs, compile-
+    # service load) can perturb single samples by milliseconds, enough to
+    # flip a one-shot slope negative. Alternate K1/K2 measurements over
+    # several passes, keep per-K minima, and fall back to the K2 mean
+    # (an upper bound on per-call time) if the slope still degenerates.
+    K1, K2 = 3, 43
     for K in (K1, K2):
         float(chain(coeffs, b, K))       # compile + warm
-    t0 = time.perf_counter(); float(chain(coeffs, b, K1))
-    t1 = time.perf_counter(); float(chain(coeffs, b, K2))
-    t2 = time.perf_counter()
-    dt_s = ((t2 - t1) - (t1 - t0)) / (K2 - K1)
+    best = {K1: float("inf"), K2: float("inf")}
+    for _ in range(5):
+        for K in (K1, K2):
+            t0 = time.perf_counter()
+            float(chain(coeffs, b, K))
+            best[K] = min(best[K], time.perf_counter() - t0)
+    dt_s = (best[K2] - best[K1]) / (K2 - K1)
+    if dt_s <= 0:
+        dt_s = best[K2] / K2
     ms = dt_s * 1e3
 
     # Accuracy + host-baseline timing vs scipy's Krylov expm_multiply.
