@@ -50,8 +50,10 @@ from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
                          banded_from_scipy)
 from .utils.testmatrices import (laplacian_1d, poisson_2d, laplacian_3d,
                                  advection_diffusion_1d)
-from .ops.stencil import (StencilOperator, laplacian_nd_stencil,
-                          advection_diffusion_1d_stencil)
+from .ops.stencil import (StencilOperator, VariableStencilOperator,
+                          laplacian_nd_stencil,
+                          advection_diffusion_1d_stencil,
+                          variable_diffusion_nd_stencil)
 
 __version__ = "0.1.0"
 
@@ -73,6 +75,7 @@ __all__ = [
     "SellOperator",
     "ell_from_scipy", "blockell_from_scipy", "banded_from_scipy",
     "laplacian_1d", "poisson_2d", "laplacian_3d", "advection_diffusion_1d",
-    "StencilOperator", "laplacian_nd_stencil",
-    "advection_diffusion_1d_stencil",
+    "StencilOperator", "VariableStencilOperator",
+    "laplacian_nd_stencil", "advection_diffusion_1d_stencil",
+    "variable_diffusion_nd_stencil",
 ]

@@ -291,13 +291,13 @@ def _expv_error_estimate(op, b, t, m: int, atol: float, rtol: float):
 
 def _fused_two_pass_supported(op) -> bool:
     """The fused plane-sweep path applies to symmetric 3-D 7-point
-    StencilOperators on a real TPU backend (the Pallas kernel needs
-    Mosaic; CPU falls back to the XLA two-pass)."""
+    Stencil/VariableStencil operators on a real TPU backend (the Pallas
+    kernel needs Mosaic; CPU falls back to the XLA two-pass)."""
     if jax.default_backend() != "tpu":
         return False
     try:
-        from ..ops.kernels.lanczos_fused import _stencil_coeffs_static
-        _stencil_coeffs_static(op)
+        from ..ops.kernels.lanczos_fused import _fused_dispatch
+        _fused_dispatch(op)
         return True
     except (ValueError, ImportError):
         return False

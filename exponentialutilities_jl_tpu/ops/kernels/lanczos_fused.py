@@ -129,15 +129,23 @@ def _row_shift_full(buf, off: int):
     return jnp.concatenate([z, buf[:R - o, :]], axis=0)
 
 
-def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
+def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
                   Y_hbm, Znext_hbm, part_ref, W_out,
-                  yring, zbuf, vcbuf, vpbuf, stage, wbuf, sems, *,
+                  yring, zbuf, vcbuf, vpbuf, stage, cbuf, wbuf, sems, *,
                   P: int, nz: int, c0: float, cx: float, cy: float,
-                  cz: float, accum: bool):
+                  cz: float, accum: bool, variable: bool = False):
     """Pipelined plane schedule: input planes for step i+1 prefetch while
     step i computes (double-buffered zbuf/vcbuf/vpbuf); the Y/Znext writes
     are fire-and-forget, waited just before their buffer is reused (ring
-    slot i%3 / stage parity) and drained at the final step."""
+    slot i%3 / stage parity) and drained at the final step.
+
+    ``variable=True``: the stencil coefficients are PER-CELL fields —
+    ``C_hbm`` is (nz, 8, R, 128) holding, for each output plane, the 7
+    ghost-layout coefficient planes (order: c0, cx+, cx−, cy+, cy−,
+    cz+, cz−; slot 7 pad). One (8, R, 128) block DMAs per step,
+    double-buffered one step ahead of its use (plane p = i−1 computes at
+    step i), so the variable-coefficient sweep streams 12n/iteration vs
+    the constant sweep's 5n — still one pass, reductions included."""
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
     par = i % 2
@@ -165,6 +173,10 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
         return pltpu.make_async_copy(stage.at[p], Znext_hbm.at[plane],
                                      sems.at[9 + p])
 
+    def cdma(p, plane):
+        return pltpu.make_async_copy(C_hbm.at[plane], cbuf.at[p],
+                                     sems.at[12 + p])
+
     @pl.when(i == 0)
     def _():
         for cp in in_dmas(0, 0):
@@ -174,6 +186,13 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
     def _():
         for cp in in_dmas((i + 1) % 2, i + 1):
             cp.start()
+
+    if variable:
+        # coefficient planes: plane i prefetches at step i, is consumed
+        # at step i+1 (the z-compute for plane p = i runs one step late)
+        @pl.when(i < nz)
+        def _():
+            cdma(i % 2, i).start()
 
     @pl.when(i < nz)
     def _():
@@ -206,14 +225,25 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
     def _():
         p = i - 1
         yc = yring[p % 3]
-        zn = c0 * yc
-        zn = zn + cx * _lane_shift_full(yc, 1)
-        zn = zn + cx * _lane_shift_full(yc, -1)
-        zn = zn + cy * _row_shift_full(yc, P)
-        zn = zn + cy * _row_shift_full(yc, -P)
         zm = jnp.where(p >= 1, yring[(p - 1) % 3], 0.0)
         zp = jnp.where(p + 1 < nz, yring[(p + 1) % 3], 0.0)
-        zn = (zn + cz * zm + cz * zp) * mask_ref[:, :]
+        if variable:
+            cdma(p % 2, p).wait()
+            cpar = p % 2
+            zn = cbuf[cpar, 0] * yc
+            zn = zn + cbuf[cpar, 1] * _lane_shift_full(yc, 1)
+            zn = zn + cbuf[cpar, 2] * _lane_shift_full(yc, -1)
+            zn = zn + cbuf[cpar, 3] * _row_shift_full(yc, P)
+            zn = zn + cbuf[cpar, 4] * _row_shift_full(yc, -P)
+            zn = (zn + cbuf[cpar, 5] * zp + cbuf[cpar, 6] * zm) \
+                * mask_ref[:, :]
+        else:
+            zn = c0 * yc
+            zn = zn + cx * _lane_shift_full(yc, 1)
+            zn = zn + cx * _lane_shift_full(yc, -1)
+            zn = zn + cy * _row_shift_full(yc, P)
+            zn = zn + cy * _row_shift_full(yc, -P)
+            zn = (zn + cz * zm + cz * zp) * mask_ref[:, :]
         # stage parity: step i-2's Znext write may still be in flight
         @pl.when(i >= 3)
         def _():
@@ -246,25 +276,56 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, W_hbm,
 
 def _kernel_plain(coef, Z, Vc, Vp, mask, Y, Zn, parts,
                   yring, zbuf, vcbuf, vpbuf, stage, sems, **kw):
-    _fused_kernel(coef, Z, Vc, Vp, mask, None, Y, Zn, parts, None,
-                  yring, zbuf, vcbuf, vpbuf, stage, None, sems,
+    _fused_kernel(coef, Z, Vc, Vp, mask, None, None, Y, Zn, parts, None,
+                  yring, zbuf, vcbuf, vpbuf, stage, None, None, sems,
                   accum=False, **kw)
+
+
+def _kernel_accum(coef, Z, Vc, Vp, mask, W, Y, Zn, parts, Wout,
+                  yring, zbuf, vcbuf, vpbuf, stage, wbuf, sems, **kw):
+    _fused_kernel(coef, Z, Vc, Vp, mask, None, W, Y, Zn, parts, Wout,
+                  yring, zbuf, vcbuf, vpbuf, stage, None, wbuf, sems,
+                  accum=True, **kw)
+
+
+def _kernel_var(coef, Z, Vc, Vp, mask, C, Y, Zn, parts,
+                yring, zbuf, vcbuf, vpbuf, stage, cbuf, sems, **kw):
+    _fused_kernel(coef, Z, Vc, Vp, mask, C, None, Y, Zn, parts, None,
+                  yring, zbuf, vcbuf, vpbuf, stage, cbuf, None, sems,
+                  accum=False, variable=True, **kw)
+
+
+def _kernel_var_accum(coef, Z, Vc, Vp, mask, C, W, Y, Zn, parts, Wout,
+                      yring, zbuf, vcbuf, vpbuf, stage, cbuf, wbuf, sems,
+                      **kw):
+    _fused_kernel(coef, Z, Vc, Vp, mask, C, W, Y, Zn, parts, Wout,
+                  yring, zbuf, vcbuf, vpbuf, stage, cbuf, wbuf, sems,
+                  accum=True, variable=True, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_desc", "coeffs_static",
                                              "interpret"))
 def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
-                       coeffs_static, w_accum=None, interpret: bool = False):
+                       coeffs_static, w_accum=None, cfields=None,
+                       interpret: bool = False):
     """One fused sweep. ``coefs`` = (ca, cb, cc[, cw]) scalars (module doc).
 
     Returns (Yg, Zng, ypy, yzy) — plus W_new when ``w_accum`` planes are
     given (the replay accumulator: W_new = w_accum + cw·Vc, updated
     in-place through an input/output alias during the same sweep).
+
+    ``cfields`` = (nz, 8, R, 128) per-cell coefficient planes switches the
+    sweep to the variable-coefficient stencil (``coeffs_static`` must be
+    None); the matvec coefficients stream one block per plane step.
     """
     nz = grid_desc.nz
     R = grid_desc.rows_per_plane
     P = grid_desc.P
-    c0, cx, cy, cz = coeffs_static
+    variable = cfields is not None
+    if variable:
+        c0 = cx = cy = cz = 0.0
+    else:
+        c0, cx, cy, cz = coeffs_static
     nsteps = nz + 1
     ns8 = -(-nsteps // 8) * 8
     dt = Zg.dtype
@@ -289,26 +350,32 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
         pltpu.VMEM((2, R, _LANES), dt),             # vp planes
         pltpu.VMEM((2, R, _LANES), dt),             # znext staging
     ]
+    operands = [jnp.asarray(coefs, dt), Zg, Vcg, Vpg, mask.astype(dt)]
+    kw = dict(P=P, nz=nz, c0=c0, cx=cx, cy=cy, cz=cz)
+    if variable:
+        in_specs.append(plane_any)                  # coefficient planes
+        operands.append(cfields)
     if accum:
         in_specs.append(plane_any)                  # W accumulator
         out_specs.append(plane_any)
         out_shape.append(jax.ShapeDtypeStruct((nz, R, _LANES), dt))
-        scratch.append(pltpu.VMEM((R, _LANES), dt))  # w plane
-        scratch.append(pltpu.SemaphoreType.DMA((12,)))
-        kern = functools.partial(_fused_kernel, P=P, nz=nz, c0=c0, cx=cx,
-                                 cy=cy, cz=cz, accum=True)
-        operands = (jnp.asarray(coefs, dt), Zg, Vcg, Vpg,
-                    mask.astype(dt), w_accum)
-        alias = {5: 3}
+        operands.append(w_accum)
+        # alias the W input (its operand index) onto the W_out output (3)
+        alias = {len(operands) - 1: 3}
     else:
-        scratch.append(pltpu.SemaphoreType.DMA((12,)))
-        kern = functools.partial(_kernel_plain, P=P, nz=nz, c0=c0, cx=cx,
-                                 cy=cy, cz=cz)
-        operands = (jnp.asarray(coefs, dt), Zg, Vcg, Vpg, mask.astype(dt))
         alias = {}
+    if variable:
+        scratch.append(pltpu.VMEM((2, 8, R, _LANES), dt))  # coeff blocks
+    if accum:
+        scratch.append(pltpu.VMEM((R, _LANES), dt))        # w plane
+    scratch.append(pltpu.SemaphoreType.DMA((14,)))
+    kern = {(False, False): _kernel_plain,
+            (False, True): _kernel_accum,
+            (True, False): _kernel_var,
+            (True, True): _kernel_var_accum}[(variable, accum)]
 
     out = pl.pallas_call(
-        kern,
+        functools.partial(kern, **kw),
         grid=(nsteps,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -329,6 +396,10 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     return Yg, Zn, ypy, yzy
 
 
+_SEVEN_POINT = ((0, 0, 0), (0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0),
+                (1, 0, 0), (-1, 0, 0))
+
+
 def _stencil_coeffs_static(op) -> tuple:
     """(c0, cx, cy, cz) from a 3-D 7-point StencilOperator (validated)."""
     from ..stencil import StencilOperator
@@ -337,9 +408,7 @@ def _stencil_coeffs_static(op) -> tuple:
         raise ValueError("fused Lanczos requires a 3-D StencilOperator")
     cmap = {off: float(c) for off, c in
             zip(op.offsets, np.asarray(op.coeffs))}
-    need = {(0, 0, 0), (0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0),
-            (1, 0, 0), (-1, 0, 0)}
-    if set(cmap) - need:
+    if set(cmap) - set(_SEVEN_POINT):
         raise ValueError("fused Lanczos supports 7-point stencils only")
     cx = cmap.get((0, 0, 1), 0.0)
     if (cmap.get((0, 0, -1), 0.0) != cx
@@ -350,24 +419,59 @@ def _stencil_coeffs_static(op) -> tuple:
             cmap.get((1, 0, 0), 0.0))
 
 
+def _fused_dispatch(op):
+    """(coeffs_static, cfields_builder) for a supported operator.
+
+    StencilOperator (constant, symmetric 7-point) → (tuple, None);
+    VariableStencilOperator (Hermitian 7-point) → (None, builder) where
+    builder(gg, dt) packs the (nz, 8, R, 128) coefficient-plane stream
+    (field order: c0, cx+, cx−, cy+, cy−, cz+, cz−, pad).
+    """
+    from ..stencil import VariableStencilOperator
+
+    if isinstance(op, VariableStencilOperator):
+        if len(op.grid_shape) != 3:
+            raise ValueError("fused Lanczos requires a 3-D grid")
+        if set(op.offsets) - set(_SEVEN_POINT):
+            raise ValueError("fused Lanczos supports 7-point stencils only")
+        if not op.is_hermitian:
+            raise ValueError("fused Lanczos (a Lanczos recurrence) "
+                             "requires a Hermitian operator")
+
+        def builder(gg: GhostGrid, dt):
+            cmap = {off: op.coeff_fields[k]
+                    for k, off in enumerate(op.offsets)}
+            zero = jnp.zeros((gg.nz, gg.rows_per_plane, _LANES), dt)
+            planes = [gg.to_ghost(cmap[off].astype(dt))
+                      if off in cmap else zero for off in _SEVEN_POINT]
+            planes.append(zero)                     # pad slot 7
+            return jnp.stack(planes, axis=1)        # (nz, 8, R, 128)
+
+        return None, builder
+    return _stencil_coeffs_static(op), None
+
+
 def lanczos_coeffs_fused(op, b, m: int, *, tol: float = 1e-7,
                          interpret: bool = False):
     """Drop-in twin of ``ops.krylov.lanczos_coeffs`` for 3-D 7-point
-    ``StencilOperator``s: (alphas, betas, beta0, m_used, breakdown) at
-    ~5n HBM traffic per iteration via ``fused_lanczos_step``.
+    ``StencilOperator``s (constant coefficients, ~5n HBM traffic per
+    iteration) and Hermitian ``VariableStencilOperator``s (per-cell
+    coefficient fields streamed as planes, ~12n) via
+    ``fused_lanczos_step``.
     """
-    coeffs_static = _stencil_coeffs_static(op)
+    coeffs_static, cbuilder = _fused_dispatch(op)
     gg = GhostGrid(*op.grid_shape)
     b = jnp.asarray(b)
     dt = b.dtype
     mask = jnp.asarray(gg.xmask())
+    cfields = cbuilder(gg, dt) if cbuilder is not None else None
 
     beta0 = jnp.linalg.norm(b)
     v0 = jnp.where(beta0 > 0, b / jnp.where(beta0 > 0, beta0, 1), 0.0)
     V0g = gg.to_ghost(v0)
 
     step = functools.partial(fused_lanczos_step, grid_desc=gg,
-                             coeffs_static=coeffs_static,
+                             coeffs_static=coeffs_static, cfields=cfields,
                              interpret=interpret)
 
     # Iteration 0: (1,0,0) sweep emits y = v0, Z̃ = A v0, moments.
@@ -412,19 +516,20 @@ def lanczos_replay_fused(op, b, coeffs, *, tol: float = 1e-7,
     SAME fused sweeps (7n traffic each — the extra 2n is the aliased
     in-place accumulator). ``coeffs`` has length m. Numerically identical
     recurrence to ``lanczos_coeffs_fused`` (bitwise same kernel)."""
-    coeffs_static = _stencil_coeffs_static(op)
+    coeffs_static, cbuilder = _fused_dispatch(op)
     gg = GhostGrid(*op.grid_shape)
     b = jnp.asarray(b)
     dt = b.dtype
     mask = jnp.asarray(gg.xmask())
     m = coeffs.shape[0]
+    cfields = cbuilder(gg, dt) if cbuilder is not None else None
 
     beta0 = jnp.linalg.norm(b)
     v0 = jnp.where(beta0 > 0, b / jnp.where(beta0 > 0, beta0, 1), 0.0)
     V0g = gg.to_ghost(v0)
 
     step = functools.partial(fused_lanczos_step, grid_desc=gg,
-                             coeffs_static=coeffs_static,
+                             coeffs_static=coeffs_static, cfields=cfields,
                              interpret=interpret)
 
     W0 = jnp.zeros_like(V0g)
@@ -468,13 +573,14 @@ def stencil_matvec_fused(op, x, *, interpret: bool = False):
     Lanczos sweep emits y = x and Zn = A·x). Traffic: read x planes once,
     write A·x planes once (+ the pass-through y write) — an alternative
     to the XLA pad+slice matvec with fully explicit DMA pipelining."""
-    coeffs_static = _stencil_coeffs_static(op)
+    coeffs_static, cbuilder = _fused_dispatch(op)
     gg = GhostGrid(*op.grid_shape)
     x = jnp.asarray(x)
     mask = jnp.asarray(gg.xmask())
+    cfields = cbuilder(gg, x.dtype) if cbuilder is not None else None
     Xg = gg.to_ghost(x)
     zeros = jnp.zeros_like(Xg)
     _, Zn, _, _ = fused_lanczos_step(
         Xg, zeros, zeros, (1.0, 0.0, 0.0), mask, grid_desc=gg,
-        coeffs_static=coeffs_static, interpret=interpret)
+        coeffs_static=coeffs_static, cfields=cfields, interpret=interpret)
     return gg.from_ghost(Zn)

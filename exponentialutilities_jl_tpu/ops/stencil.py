@@ -28,8 +28,9 @@ import numpy as np
 from ..utils.linop import LinearOperator
 from .sparse import BandedOperator
 
-__all__ = ["StencilOperator", "laplacian_nd_stencil",
-           "advection_diffusion_1d_stencil"]
+__all__ = ["StencilOperator", "VariableStencilOperator",
+           "laplacian_nd_stencil", "advection_diffusion_1d_stencil",
+           "variable_diffusion_nd_stencil"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -113,6 +114,145 @@ class StencilOperator(LinearOperator):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(aux[0], aux[1], children[0], is_hermitian=aux[2])
+
+
+@jax.tree_util.register_pytree_node_class
+class VariableStencilOperator(LinearOperator):
+    """Variable-coefficient stencil on a d-dimensional grid.
+
+    The sparsity pattern is a fixed stencil (one column offset set per
+    row) but each stencil point carries a PER-CELL coefficient field —
+    the ∇·(a(x)∇u) discretization class the reference exercises through
+    generic SparseMatrixCSC operators (src/arnoldi.jl:182). Storage is
+    (k, n): the same footprint as diagonal (DIA) storage, but organized
+    on the grid so matvec is k fused shifted elementwise multiplies
+    (XLA pad+slice — no gather), and the 3-D 7-point case feeds the
+    fused Lanczos plane sweep (ops/kernels/lanczos_fused.py).
+
+    coeff_fields[k][cell] multiplies the neighbor at ``cell + offsets[k]``
+    when forming row ``cell`` (out-of-grid neighbors read zero —
+    Dirichlet truncation). Hermitian iff
+    ``coeff_fields[k][i] == coeff_fields[k'][i + offsets[k]]`` for the
+    paired offset k' = -k; the builders guarantee it and set
+    ``is_hermitian``.
+    """
+
+    def __init__(self, grid_shape, offsets, coeff_fields,
+                 is_hermitian=False):
+        self.grid_shape = tuple(int(s) for s in grid_shape)
+        self.offsets = tuple(tuple(int(o) for o in off) for off in offsets)
+        n = math.prod(self.grid_shape)
+        C = jnp.asarray(coeff_fields)
+        if C.ndim != 2 or C.shape != (len(self.offsets), n):
+            C = C.reshape(len(self.offsets), n)
+        self.coeff_fields = C
+        self.is_hermitian = bool(is_hermitian)
+        d = len(self.grid_shape)
+        if any(len(off) != d for off in self.offsets):
+            raise ValueError("each offset must have one entry per grid axis")
+
+    @property
+    def shape(self):
+        n = math.prod(self.grid_shape)
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.coeff_fields.dtype
+
+    @property
+    def nnz(self) -> int:
+        return len(self.offsets) * math.prod(self.grid_shape)
+
+    def matvec(self, x):
+        shape = self.grid_shape
+        X = x.reshape(shape)
+        h = [max(abs(off[a]) for off in self.offsets)
+             for a in range(len(shape))]
+        Xp = jnp.pad(X, [(hh, hh) for hh in h])
+        y = None
+        for k, off in enumerate(self.offsets):
+            sl = tuple(slice(h[a] + off[a], h[a] + off[a] + shape[a])
+                       for a in range(len(shape)))
+            term = self.coeff_fields[k].reshape(shape) * Xp[sl]
+            y = term if y is None else y + term
+        return y.reshape(-1).astype(
+            jnp.result_type(self.dtype, x.dtype))
+
+    def opnorm_hint(self):
+        return jnp.max(jnp.sum(jnp.abs(self.coeff_fields), axis=0))
+
+    def to_banded(self) -> BandedOperator:
+        """Equivalent diagonal-storage operator (for oracles/conversion)."""
+        shape = self.grid_shape
+        n = math.prod(shape)
+        strides = np.cumprod((1,) + shape[:0:-1])[::-1]
+        idx = np.arange(n)
+        coords = [(idx // strides[a]) % shape[a] for a in range(len(shape))]
+        lin_offsets = []
+        diags = []
+        cnp = np.asarray(self.coeff_fields)
+        for k, off in enumerate(self.offsets):
+            o = int(sum(off[a] * strides[a] for a in range(len(shape))))
+            valid = np.ones(n, dtype=bool)
+            for a in range(len(shape)):
+                ca = coords[a] + off[a]
+                valid &= (ca >= 0) & (ca < shape[a])
+            lin_offsets.append(o)
+            diags.append(np.where(valid, cnp[k], 0))
+        order = np.argsort(lin_offsets)
+        return BandedOperator(
+            jnp.asarray(np.stack([diags[i] for i in order])),
+            [lin_offsets[i] for i in order],
+            is_hermitian=self.is_hermitian)
+
+    def tree_flatten(self):
+        return (self.coeff_fields,), (self.grid_shape, self.offsets,
+                                      self.is_hermitian)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], children[0], is_hermitian=aux[2])
+
+
+def variable_diffusion_nd_stencil(a, dtype=None) -> VariableStencilOperator:
+    """Cell-centered finite-volume ∇·(a∇u) on a d-D grid (Dirichlet).
+
+    ``a`` is the (s_0, …, s_{d-1}) per-cell diffusivity field. Face
+    coefficients are arithmetic means of the adjacent cells, so the
+    off-diagonal field at cell i toward +e_a equals the field at cell
+    i+e_a toward −e_a — the operator is symmetric by construction
+    (``is_hermitian=True``). Boundary faces use the cell's own value
+    (a Dirichlet ghost with matching diffusivity).
+    """
+    a = np.asarray(a)
+    if dtype is not None:
+        a = a.astype(dtype)
+    shape = a.shape
+    d = a.ndim
+    offsets = [tuple([0] * d)]
+    fields = [np.zeros_like(a)]
+    diag = np.zeros_like(a)
+    for ax in range(d):
+        pad = [(0, 0)] * d
+        pad[ax] = (1, 1)
+        ap = np.pad(a, pad, mode="edge")
+        lo = tuple(slice(0, shape[x]) if x != ax else slice(0, shape[ax])
+                   for x in range(d))
+        hi = tuple(slice(0, shape[x]) if x != ax else slice(2, shape[ax] + 2)
+                   for x in range(d))
+        w_minus = 0.5 * (a + ap[lo])     # face toward -e_ax
+        w_plus = 0.5 * (a + ap[hi])      # face toward +e_ax
+        diag -= w_minus + w_plus
+        for s, w in ((-1, w_minus), (1, w_plus)):
+            off = [0] * d
+            off[ax] = s
+            offsets.append(tuple(off))
+            fields.append(w)
+    fields[0] = diag
+    C = np.stack([f.reshape(-1) for f in fields])
+    return VariableStencilOperator(shape, offsets, jnp.asarray(C),
+                                   is_hermitian=True)
 
 
 def laplacian_nd_stencil(*shape, dtype=jnp.float64,
