@@ -43,6 +43,9 @@ from .models.timestepping import (expv_timestep, phiv_timestep,
 from .models.kiops import kiops, KiopsStats, AugmentedOperator
 from .models.kiops_device import kiops_device
 from .models.expv_taylor import expv_taylor, expv_taylor_batched
+from .models.chebyshev import (expv_chebyshev, phiv_chebyshev,
+                               funm_chebyshev, chebyshev_apply,
+                               spectral_bounds)
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
 from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
@@ -69,6 +72,8 @@ __all__ = [
     "phiv_timestep_fused", "expv_timestep_fused", "make_phiv_timestep",
     "kiops", "kiops_device", "KiopsStats", "AugmentedOperator",
     "phiv_timestep_device", "expv_timestep_device", "expv_taylor", "expv_taylor_batched",
+    "expv_chebyshev", "phiv_chebyshev", "funm_chebyshev", "chebyshev_apply",
+    "spectral_bounds",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
