@@ -32,6 +32,7 @@ from .ops.expm import (expm, expm_higham2005, expm_generic,
 from .ops.phi_dense import (phi, phi_scalar, phi_taylor, phi_with_info,
                             phiv_dense)
 from .ops.phi_almohy import phi_pade, phi_pade_with_info
+from .ops.expm_dd import expm_dd, DD
 from .ops.krylov import KrylovBasis, arnoldi, lanczos
 from .models.expv import (expv, expv_from_basis, build_subspace, make_expv,
                           expv_batched)
@@ -73,7 +74,7 @@ __all__ = [
     "kiops", "kiops_device", "KiopsStats", "AugmentedOperator",
     "phiv_timestep_device", "expv_timestep_device", "expv_taylor", "expv_taylor_batched",
     "expv_chebyshev", "phiv_chebyshev", "funm_chebyshev", "chebyshev_apply",
-    "spectral_bounds",
+    "spectral_bounds", "expm_dd", "DD",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
