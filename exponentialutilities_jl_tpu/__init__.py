@@ -46,7 +46,7 @@ from .models.kiops_device import kiops_device
 from .models.expv_taylor import expv_taylor, expv_taylor_batched
 from .models.chebyshev import (expv_chebyshev, phiv_chebyshev,
                                funm_chebyshev, chebyshev_apply,
-                               spectral_bounds)
+                               spectral_bounds, phiv_timestep_chebyshev)
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
 from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
@@ -74,7 +74,7 @@ __all__ = [
     "kiops", "kiops_device", "KiopsStats", "AugmentedOperator",
     "phiv_timestep_device", "expv_timestep_device", "expv_taylor", "expv_taylor_batched",
     "expv_chebyshev", "phiv_chebyshev", "funm_chebyshev", "chebyshev_apply",
-    "spectral_bounds", "expm_dd", "DD",
+    "spectral_bounds", "phiv_timestep_chebyshev", "expm_dd", "DD",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",

@@ -233,3 +233,48 @@ class TestChebyshevApply:
         op = laplacian_1d(10)
         with pytest.raises(ValueError, match="interval"):
             chebyshev_apply(op, jnp.ones(10), jnp.ones(3), (1.0, 1.0))
+
+
+class TestPhivTimestepChebyshev:
+    def test_vs_nw_driver(self, rng):
+        """One-pass Chebyshev combination vs the NW substepped driver."""
+        from exponentialutilities_jl_tpu import phiv_timestep
+        from exponentialutilities_jl_tpu.models.chebyshev import (
+            phiv_timestep_chebyshev)
+        op = laplacian_1d(200)
+        B = jnp.asarray(rng.standard_normal((200, 4)))
+        ts = [0.3, 0.7, 1.0]
+        U_ch = phiv_timestep_chebyshev(ts, op, B, tol=1e-10)
+        U_nw = phiv_timestep(ts, op, B, adaptive=True, tol=1e-10, m=40)
+        assert U_ch.shape == (200, 3)
+        err = np.linalg.norm(np.asarray(U_ch) - np.asarray(U_nw)) \
+            / np.linalg.norm(np.asarray(U_nw))
+        assert err < 1e-8
+
+    def test_vs_dense_oracle_stiff(self, rng):
+        """Stiff decay: t·||A|| ≈ 800 without substepping."""
+        from exponentialutilities_jl_tpu.models.chebyshev import (
+            phiv_timestep_chebyshev)
+        import math
+        n = 120
+        op = laplacian_1d(n, scale=200.0)    # spectrum ~ [-800, 0]
+        A = np.asarray(op.to_dense())
+        B = rng.standard_normal((n, 3))
+        t = 1.0
+        u = phiv_timestep_chebyshev(t, op, jnp.asarray(B), tol=1e-11)
+        wA, Q = np.linalg.eigh(A)
+        from exponentialutilities_jl_tpu.models.chebyshev import _phi_scalar_np
+        ref = np.zeros(n)
+        for j in range(3):
+            phij = _phi_scalar_np(t * wA, j)[j]
+            ref += (t ** j) * (Q @ (phij * (Q.T @ B[:, j])))
+        err = np.linalg.norm(np.asarray(u) - ref) / np.linalg.norm(ref)
+        assert err < 1e-9
+
+    def test_scalar_ts_shape(self, rng):
+        from exponentialutilities_jl_tpu.models.chebyshev import (
+            phiv_timestep_chebyshev)
+        op = laplacian_1d(50)
+        B = jnp.asarray(rng.standard_normal((50, 2)))
+        u = phiv_timestep_chebyshev(0.5, op, B)
+        assert u.shape == (50,)
