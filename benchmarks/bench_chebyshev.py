@@ -120,6 +120,77 @@ def main():
         cs, _ = _exp_ucoeffs(t * h, tol)
         print(f"  tol={tol:g}: degree {len(cs)}")
 
+    # ---- variable-coefficient operator: fused sweep territory ----
+    from exponentialutilities_jl_tpu.ops.stencil import (
+        variable_diffusion_nd_stencil)
+    from exponentialutilities_jl_tpu.ops.krylov import (lanczos_coeffs,
+                                                        lanczos_replay)
+
+    print("\nvariable-coefficient 216^3 .(a.u):")
+    a = (0.5 + np.random.default_rng(1).random((nz, ny, nx))).astype(
+        np.float32)
+    vop = variable_diffusion_nd_stencil(a, dtype=np.float32)
+    lo_v, hi_v = vop.spectral_bounds_hint()
+    c_v = 0.5 * (hi_v + lo_v)
+    h_v = 0.5 * (hi_v - lo_v)
+    coeffs_v, scale_v = _exp_ucoeffs(t * h_v, 1e-7)
+    full_v = jnp.asarray(coeffs_v * np.exp(t * c_v + scale_v), dt)
+    m_v = len(coeffs_v)
+    print(f"gershgorin=({lo_v:.2f},{hi_v:.2f}), degree={m_v}")
+
+    # The operator must ride as a jit ARG: its (7, n) coefficient fields
+    # are ~283 MB — closed over, they become HLO literals and overflow
+    # the remote-compile transport (HTTP 413). Same pattern as
+    # benchmarks/bench_var.py.
+    def _chain_arg(step, op_arg, x0, K1=2, K2=6, reps=3):
+        @functools.partial(jax.jit, static_argnames=("K",))
+        def chain(op_arg, x, K):
+            y = jax.lax.fori_loop(0, K, lambda i, y: step(op_arg, y), x)
+            return jnp.real(jnp.sum(y))
+
+        best = {}
+        for K in (K1, K2):
+            float(chain(op_arg, x0, K))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(chain(op_arg, x0, K))
+                ts.append(time.perf_counter() - t0)
+            best[K] = min(ts)
+        return max(best[K2] - best[K1], 1e-9) / (K2 - K1)
+
+    def step_two_pass(op_arg, v):
+        al, be, b0, mu, br = lanczos_coeffs(op_arg, v, 20)
+        T = jnp.diag(al) + jnp.diag(be[:-1], 1) + jnp.diag(be[:-1], -1)
+        w_eig, Q = jnp.linalg.eigh(T)
+        cf = (Q @ (jnp.exp(t * w_eig) * Q[0, :])) * b0
+        w = lanczos_replay(op_arg, v, cf, al, be, 20)
+        return w / jnp.linalg.norm(w)
+
+    def step_cheb_v(op_arg, v):
+        w = _chebyshev_apply_scan(op_arg, v, full_v, c_v, 1.0 / h_v, m_v)
+        return w / jnp.linalg.norm(w)
+
+    def step_cheb_vf(op_arg, v):
+        w = _chebyshev_apply_fused(op_arg, v, full_v, c_v, h_v)
+        return w / jnp.linalg.norm(w)
+
+    t_tp = _chain_arg(step_two_pass, vop, bj)
+    t_cv = _chain_arg(step_cheb_v, vop, bj)
+    print(f"two-pass lanczos (XLA) : {t_tp*1e3:8.2f} ms")
+    print(f"chebyshev XLA scan     : {t_cv*1e3:8.2f} ms  "
+          f"({t_tp/t_cv:.1f}x)")
+    try:
+        t_cf = _chain_arg(step_cheb_vf, vop, bj)
+        print(f"chebyshev fused sweep  : {t_cf*1e3:8.2f} ms  "
+              f"({t_tp/t_cf:.1f}x)")
+        w_s = np.asarray(step_cheb_v(vop, bj), np.float64)
+        w_f = np.asarray(step_cheb_vf(vop, bj), np.float64)
+        print(f"fused-vs-scan rel err: "
+              f"{np.linalg.norm(w_f-w_s)/np.linalg.norm(w_s):.2e}")
+    except Exception as e:  # pragma: no cover
+        print(f"fused unavailable: {e}")
+
 
 if __name__ == "__main__":
     main()
