@@ -303,6 +303,27 @@ class BandedOperator(LinearOperator):
     def opnorm_hint(self):
         return jnp.max(jnp.sum(jnp.abs(self.diags), axis=0))
 
+    def spectral_bounds_hint(self):
+        """Per-row Gershgorin enclosure over the diagonal storage
+        (diags[k][i] = A[i, i+offset_k], so rows are direct): used by
+        the Chebyshev actions (models/chebyshev.py). One device
+        reduction, fetched once."""
+        if not self.is_hermitian:
+            return None
+        n = self.shape[0]
+        d = jnp.zeros((n,), self.dtype)
+        r = jnp.zeros((n,), jnp.finfo(self.dtype).dtype)
+        i = np.arange(n)
+        for k, o in enumerate(self.offsets):
+            valid = jnp.asarray((i + o >= 0) & (i + o < n))
+            row = jnp.where(valid, self.diags[k], 0)
+            if o == 0:
+                d = d + row
+            else:
+                r = r + jnp.abs(row)
+        return (float(jnp.min(jnp.real(d) - r)),
+                float(jnp.max(jnp.real(d) + r)))
+
     def to_dense(self):
         n = self.shape[0]
         A = jnp.zeros((n, n), dtype=self.dtype)

@@ -28,7 +28,8 @@ from ..ops.stencil import StencilOperator
 from .ops import shard_banded, shard_vector
 from .stencil import shard_stencil
 
-__all__ = ["expv_sharded", "phiv_sharded", "make_expv_step"]
+__all__ = ["expv_sharded", "phiv_sharded", "make_expv_step",
+           "expv_chebyshev_sharded"]
 
 
 def _shard_op(op, mesh: Mesh, axis: str):
@@ -118,6 +119,64 @@ def phiv_sharded(t, op, b, k: int, mesh: Mesh, *,
         w, err = phiv_from_basis(t, Ks, k, correct=correct)
         return w, err
 
+    return run(params, shard_vector(b, mesh, axis))
+
+
+def expv_chebyshev_sharded(t, op, b, mesh: Mesh, *, bounds=None,
+                           tol: float = 1e-7, m: int | None = None,
+                           axis_name: str | None = None):
+    """Row-partitioned Chebyshev ``exp(tA) b`` (models/chebyshev.py) —
+    the ideal sharded action: the recurrence has NO inner products, so
+    the per-iteration communication is exactly the operator's halo
+    exchange (one ``ppermute`` for banded/stencil) and nothing else.
+    The Krylov paths pay one ``psum`` latency per iteration on top;
+    here the collective count per iteration is the matvec's alone.
+
+    ``bounds`` defaults to the GLOBAL operator's Gershgorin hint
+    (exact for stencil/banded containers — no probe run needed).
+    Hermitian only; b may be global or sharded; result is row-sharded.
+    """
+    import numpy as np
+
+    from ..models.chebyshev import (_chebyshev_apply_scan, _exp_ucoeffs)
+
+    if not op.is_hermitian:
+        raise ValueError("expv_chebyshev_sharded requires a Hermitian "
+                         "operator")
+    axis = axis_name or mesh.axis_names[0]
+    if bounds is None:
+        hint = getattr(op, "spectral_bounds_hint", None)
+        bounds = hint() if callable(hint) else None
+        if bounds is None:
+            raise ValueError(
+                "no spectral_bounds_hint on this operator — pass "
+                "bounds=(lo, hi) explicitly (e.g. from "
+                "models.chebyshev.spectral_bounds on the global operator)")
+    lo, hi = float(bounds[0]), float(bounds[1])
+    c = 0.5 * (hi + lo)
+    h = 0.5 * (hi - lo)
+    tc = complex(t) if np.iscomplexobj(np.asarray(t)) else float(t)
+    if h <= 0:
+        raise ValueError(f"empty spectral interval {bounds}")
+    coeffs_np, scale = _exp_ucoeffs(tc * h, tol)
+    if m is not None:
+        coeffs_np = (coeffs_np[:m] if len(coeffs_np) >= m
+                     else np.pad(coeffs_np, (0, m - len(coeffs_np))))
+    amp = np.exp(np.real(tc) * c + scale)
+    phase = (np.exp(1j * np.imag(tc) * c)
+             if np.iscomplexobj(np.asarray(tc)) else 1.0)
+    b = jnp.asarray(b)
+    cdt = jnp.result_type(
+        b.dtype, jnp.complex64 if np.iscomplexobj(np.asarray(tc))
+        else b.dtype)
+    coeffs = jnp.asarray(coeffs_np * amp * phase, cdt)
+    m_deg = coeffs.shape[0]
+
+    def body(lop, b_local):
+        return _chebyshev_apply_scan(lop, b_local, coeffs, c, 1.0 / h,
+                                     m_deg)
+
+    run, params = _sharded_call(op, mesh, axis, body)
     return run(params, shard_vector(b, mesh, axis))
 
 

@@ -309,3 +309,40 @@ class TestMultiHost:
                 ids = [int(x) for x in grp.split(",")]
                 rows = {i // 4 for i in ids}
                 assert len(rows) == 1, f"collective crosses data axis: {ids}"
+
+
+class TestShardedChebyshev:
+    def test_vs_single_device_and_oracle(self, mesh, rng):
+        from exponentialutilities_jl_tpu.parallel import (
+            expv_chebyshev_sharded)
+        from exponentialutilities_jl_tpu import expv_chebyshev
+        op = laplacian_1d(256)
+        b = jnp.asarray(rng.standard_normal(256))
+        w_sh = expv_chebyshev_sharded(0.5, op, b, mesh, tol=1e-12)
+        w_1 = expv_chebyshev(0.5, op, b, tol=1e-12,
+                             bounds=op.spectral_bounds_hint())
+        np.testing.assert_allclose(np.asarray(w_sh), np.asarray(w_1),
+                                   rtol=1e-10, atol=1e-12)
+        oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ np.asarray(b)
+        np.testing.assert_allclose(np.asarray(w_sh), oracle, rtol=1e-9,
+                                   atol=1e-10)
+
+    def test_stencil_sharded(self, mesh, rng):
+        from exponentialutilities_jl_tpu.parallel import (
+            expv_chebyshev_sharded)
+        from exponentialutilities_jl_tpu.ops.stencil import (
+            laplacian_nd_stencil)
+        op = laplacian_nd_stencil(256, dtype=jnp.float64)
+        b = jnp.asarray(rng.standard_normal(256))
+        w = expv_chebyshev_sharded(0.4, op, b, mesh, tol=1e-12)
+        bop = op.to_banded()
+        oracle = sla.expm(0.4 * np.asarray(bop.to_dense())) @ np.asarray(b)
+        np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-9,
+                                   atol=1e-10)
+
+    def test_banded_gershgorin_hint(self):
+        op = laplacian_1d(64)
+        lo, hi = op.spectral_bounds_hint()
+        w = np.linalg.eigvalsh(np.asarray(op.to_dense()))
+        assert lo <= w[0] and hi >= w[-1]
+        assert lo == pytest.approx(-4.0) and hi == pytest.approx(0.0)
