@@ -1,0 +1,235 @@
+"""Real-Leja-point Newton interpolation for NON-Hermitian exp actions.
+
+The Chebyshev module (models/chebyshev.py) gives single-pass,
+inner-product-free ``exp(tA) b`` for Hermitian A. This module extends
+the same execution shape — one matvec + axpy per degree, coefficients
+known before the run — to non-Hermitian operators whose field of values
+lies in a thin horizontal ellipse around a real interval [a, b]
+(advection–diffusion and friends: the reference exercises this class
+through ``expv_timestep`` on operators like
+``test/basictests.jl``'s advection–diffusion; cf. config 4):
+
+    p_m(A) b = Σ_k d_k ω_k,   ω_0 = b,  ω_{k+1} = (Â − ξ_k I) ω_k,
+
+with Â = (A − cI)/s the interval mapped to [−2, 2] (capacity 1, so the
+ω_k stay O(‖b‖)), ξ_k **Leja points** of [−2, 2] (maximal-product
+ordering — the ordering is what makes Newton interpolation stable), and
+d_k the divided differences of x ↦ exp(t(c + s·x)) at the ξ_k.
+
+Divided differences are NOT computed by the recursive formula (it is
+catastrophically unstable); they come from the exact identity
+
+    d_k = [exp(Z)]_{k,0},   Z bidiagonal: Z_ii = t(c + s·ξ_i),
+                            Z_{i+1,i} = t·s
+
+(Opitz 1964: f of the Newton "shift" matrix carries the divided
+differences of f in its first column), evaluated with scipy's f64 expm
+on the host — an (m+1)² problem.
+
+Large |t|·s is handled by exact substepping: exp(tA) = (exp(τA))^q with
+τ = t/q chosen so the per-substep degree stays in the stable range; all
+q substeps share one divided-difference table and run as a
+``lax.scan`` over a scan — still zero inner products end-to-end.
+
+Reference context: the reference has no polynomial-interpolation
+action (its non-Hermitian path is Arnoldi, src/arnoldi.jl); this is the
+"beyond" layer — on TPU the absence of per-step reductions is worth
+more than the Krylov basis' optimality.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..utils.linop import LinearOperator, aslinearoperator
+from ..utils.precision import mxu_full_precision
+
+__all__ = ["expv_leja", "leja_points", "real_interval"]
+
+_MAX_DEGREE = 256          # per substep; z = |t|·s per substep kept ≲ 40
+
+
+@functools.lru_cache(maxsize=8)
+def _leja_points_sup(m: int, lo: float = -2.0, hi: float = 2.0,
+                     grid: int = 20001):
+    """First ``m`` Leja points of [lo, hi] plus the sup-norms
+    S_k = max_x Π_{i<k}|x − ξ_i| of the Newton factor polynomials
+    (needed for a sound truncation criterion: the uniform remainder is
+    Σ_{k≥m}|d_k|·S_k, and S_k grows polynomially even at capacity 1).
+
+    ξ_0 = hi, then greedily ξ_{k+1} = argmax Π|x − ξ_i| over a fine
+    grid (log-sum form so the product never over/underflows).
+    Deterministic, host-side, cached."""
+    x = np.linspace(lo, hi, grid)
+    pts = np.empty(m)
+    logsup = np.empty(m)
+    pts[0] = hi
+    logsup[0] = 0.0                  # Π over empty set == 1
+    logprod = np.log(np.abs(x - hi) + 1e-300)
+    for k in range(1, m):
+        j = int(np.argmax(logprod))
+        pts[k] = x[j]
+        logsup[k] = logprod[j]
+        logprod += np.log(np.abs(x - x[j]) + 1e-300)
+    return pts, np.exp(logsup)
+
+
+def leja_points(m: int, lo: float = -2.0, hi: float = 2.0,
+                grid: int = 20001):
+    """First ``m`` Leja points of [lo, hi] (see ``_leja_points_sup``)."""
+    return _leja_points_sup(m, lo, hi, grid)[0]
+
+
+def real_interval(A) -> tuple[float, float]:
+    """Gershgorin enclosure of the REAL parts of A's spectrum (every
+    eigenvalue has Re λ ∈ [min(Re a_ii − r_i), max(Re a_ii + r_i)]).
+    Supports dense operators and the banded/stencil containers (their
+    Hermitian-only ``spectral_bounds_hint`` generalizes: the same row
+    sums bound the real parts for non-Hermitian matrices)."""
+    from ..ops.sparse import BandedOperator
+    from ..ops.stencil import StencilOperator, VariableStencilOperator
+    from ..utils.linop import DenseOperator
+
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    if isinstance(op, DenseOperator):
+        # Field-of-values real extent: eigvalsh of the Hermitian part.
+        # Always encloses the spectrum's real parts, is the quantity
+        # interpolation convergence actually depends on, and is far
+        # tighter than Gershgorin for non-normal dense matrices
+        # (measured: triangular test matrix ±11.7 Gershgorin vs ±1.4).
+        M = np.asarray(op.A)
+        H = (M + M.conj().T) / 2
+        w = np.linalg.eigvalsh(H)
+        pad = 1e-3 * max(w[-1] - w[0], 1e-300)
+        return float(w[0] - pad), float(w[-1] + pad)
+    if isinstance(op, BandedOperator):
+        n = op.shape[0]
+        i = np.arange(n)
+        dn = np.asarray(op.diags)
+        d = np.zeros(n)
+        r = np.zeros(n)
+        for k, o in enumerate(op.offsets):
+            valid = (i + o >= 0) & (i + o < n)
+            row = np.where(valid, dn[k], 0)
+            if o == 0:
+                d += np.real(row)
+            else:
+                r += np.abs(row)
+        return float(np.min(d - r)), float(np.max(d + r))
+    if isinstance(op, StencilOperator):
+        cmap = np.asarray(op.coeffs)
+        d = r = 0.0
+        for k, off in enumerate(op.offsets):
+            if all(o == 0 for o in off):
+                d += float(np.real(cmap[k]))
+            else:
+                r += float(np.abs(cmap[k]))
+        return d - r, d + r
+    if isinstance(op, VariableStencilOperator):
+        C = np.asarray(op.coeff_fields)
+        diag_k = [k for k, off in enumerate(op.offsets)
+                  if all(o == 0 for o in off)]
+        off_k = [k for k in range(len(op.offsets)) if k not in diag_k]
+        d = C[diag_k].real.sum(0) if diag_k else np.zeros(C.shape[1])
+        r = np.abs(C[off_k]).sum(0) if off_k else np.zeros_like(d)
+        return float(np.min(d - r)), float(np.max(d + r))
+    raise TypeError(
+        f"no real_interval rule for {type(op).__name__}; pass "
+        "interval=(a, b) explicitly")
+
+
+def _divided_differences(t, c, s, xi):
+    """d_k = dd's of x ↦ exp(t(c + s·x)) at the Leja points xi, via the
+    Opitz bidiagonal identity (module docstring), host f64."""
+    import scipy.linalg as sla
+
+    m = len(xi)
+    Z = np.diag(t * (c + s * xi))
+    Z += np.diag(np.full(m - 1, t * s), -1)
+    return sla.expm(Z)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "q"))
+@mxu_full_precision
+def _leja_apply(op, b, d, xi, center, inv_s, m: int, q: int):
+    """q substeps of the degree-(m−1) Newton form, all coefficients
+    precomputed — matvec + axpy only."""
+    b = jnp.asarray(b)
+    rdt = jnp.finfo(b.dtype).dtype
+    center = jnp.asarray(center, rdt)
+    inv_s = jnp.asarray(inv_s, rdt)
+    cdt = d.dtype
+
+    def substep(v, _):
+        def term(carry, k):
+            om, w = carry
+            w = w + d[k] * om.astype(cdt)
+            om = inv_s * (op.matvec(om) - center * om) - xi[k] * om
+            return (om, w), None
+
+        w0 = (v * 0).astype(cdt)
+        (_, w), _ = lax.scan(term, (v, w0), jnp.arange(m))
+        return w.astype(v.dtype), None
+
+    out, _ = lax.scan(substep, b, None, length=q)
+    return out
+
+
+def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
+              m: int | None = None, max_z: float = 40.0):
+    """``exp(tA) b`` by Newton interpolation at real Leja points —
+    single pass per substep, NO inner products, non-Hermitian allowed
+    (module docstring; for Hermitian operators prefer
+    ``expv_chebyshev``, whose interval is two-sided-tight).
+
+    Args:
+      interval: (a, b) enclosure of the spectrum's REAL parts; None →
+        Gershgorin via ``real_interval`` (dense/banded/stencil).
+      tol: divided-difference tail cutoff (per substep).
+      m: fixed degree override.
+      max_z: per-substep |t|·s budget; larger t substeps exactly
+        (exp(tA) = exp(t/q·A)^q).
+    """
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    b = jnp.asarray(b)
+    if interval is None:
+        interval = real_interval(op)
+    a_lo, b_hi = float(interval[0]), float(interval[1])
+    tf = float(t)
+    c = 0.5 * (b_hi + a_lo)
+    s = 0.25 * (b_hi - a_lo)           # capacity of [a, b]
+    if s <= 0:                          # A ≈ cI (real-shift only)
+        return (jnp.exp(jnp.asarray(tf * c, b.dtype)) * b)
+
+    q = max(1, int(np.ceil(abs(tf) * s / max_z)))
+    tau = tf / q
+    z = abs(tau) * s
+
+    # Degree from the divided-difference tail: compute a generous table
+    # and truncate where the trailing |d_k| stay below tol·max|d|.
+    m_probe = min(_MAX_DEGREE, int(np.ceil(3.2 * z + 2.5 * np.sqrt(
+        max(z, 1.0) * np.log(1.0 / tol)) + 12)))
+    xi, sup = _leja_points_sup(m_probe)
+    d = _divided_differences(tau, c, s, xi)
+    # uniform-remainder magnitudes: |d_k| · sup|Π_{i<k}(x − ξ_i)|
+    mag = np.abs(d) * sup
+    thresh = tol * mag.max()
+    # last index whose magnitude (or any later one) exceeds the cutoff
+    keep = np.nonzero(np.maximum.accumulate(mag[::-1])[::-1] > thresh)[0]
+    m_used = int(keep[-1]) + 1 if keep.size else 1
+    if m is not None:
+        m_used = min(m, m_probe)
+    if m is None and m_used == m_probe and m_probe == _MAX_DEGREE:
+        raise ValueError(
+            f"Leja degree did not converge at {_MAX_DEGREE} "
+            f"(z = {z:.1f} per substep) — widen max_z substepping or "
+            "check the interval encloses the spectrum")
+
+    dj = jnp.asarray(d[:m_used], jnp.result_type(b.dtype))
+    xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
+    return _leja_apply(op, b, dj, xj, c, 1.0 / s, m_used, q)

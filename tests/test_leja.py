@@ -1,0 +1,114 @@
+"""Real-Leja-point expv (models/leja.py). Oracles: scipy dense expm,
+the Krylov expv path (no shared code), semigroup identity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.linalg as sla
+
+from exponentialutilities_jl_tpu import (advection_diffusion_1d, expv,
+                                         laplacian_1d, DenseOperator)
+from exponentialutilities_jl_tpu.models.leja import (expv_leja,
+                                                     leja_points,
+                                                     real_interval,
+                                                     _divided_differences)
+
+
+class TestLejaMachinery:
+    def test_leja_points_shape_and_spread(self):
+        xi = leja_points(40)
+        assert xi[0] == 2.0
+        assert np.min(xi) >= -2.0 and np.max(xi) <= 2.0
+        # first few alternate across the interval (standard Leja order)
+        assert xi[1] == pytest.approx(-2.0)
+        assert abs(xi[2]) < 0.5
+
+    def test_divided_differences_vs_recursive_small(self):
+        """At tiny degree the recursive formula is still stable."""
+        xi = leja_points(6)
+        t, c, s = 0.7, -1.0, 0.5
+        d = _divided_differences(t, c, s, xi)
+        f = lambda x: np.exp(t * (c + s * x))
+        # recursive table
+        tab = [f(x) for x in xi]
+        dd = [tab[0]]
+        for k in range(1, len(xi)):
+            tab = [(tab[i + 1] - tab[i]) / (xi[i + k] - xi[i])
+                   for i in range(len(tab) - 1)]
+            dd.append(tab[0])
+        assert np.allclose(d, dd, rtol=1e-9)
+
+    def test_real_interval_encloses(self, rng):
+        op = advection_diffusion_1d(100, peclet=5.0)
+        lo, hi = real_interval(op)
+        ev = np.linalg.eigvals(np.asarray(op.to_dense()))
+        assert lo <= ev.real.min() and hi >= ev.real.max()
+
+
+class TestExpvLeja:
+    def test_advection_diffusion_vs_dense(self, rng):
+        n = 300
+        op = advection_diffusion_1d(n, peclet=10.0)
+        b = jnp.asarray(rng.standard_normal(n))
+        t = 2e-5                      # moderate z for the stiff operator
+        w = expv_leja(t, op, b, tol=1e-10)
+        ref = sla.expm(t * np.asarray(op.to_dense())) @ np.asarray(b)
+        assert np.linalg.norm(np.asarray(w) - ref) / np.linalg.norm(ref) \
+            < 1e-8
+
+    def test_substepped_large_t(self, rng):
+        """|t|·s beyond one substep: exact substepping engages."""
+        n = 200
+        op = advection_diffusion_1d(n, peclet=2.0)
+        b = jnp.asarray(rng.standard_normal(n))
+        t = 3e-4                      # z = t*s ~ 120 -> q >= 3
+        w = expv_leja(t, op, b, tol=1e-10)
+        ref = sla.expm(t * np.asarray(op.to_dense())) @ np.asarray(b)
+        assert np.linalg.norm(np.asarray(w) - ref) / np.linalg.norm(ref) \
+            < 1e-7
+
+    def test_vs_krylov_larger_n(self, rng):
+        n = 2000
+        op = advection_diffusion_1d(n, peclet=5.0)
+        b = jnp.asarray(rng.standard_normal(n))
+        t = 5e-7
+        w_leja = expv_leja(t, op, b, tol=1e-11)
+        w_kry = expv(t, op, b, m=40)
+        assert (np.linalg.norm(np.asarray(w_leja) - np.asarray(w_kry))
+                / np.linalg.norm(np.asarray(w_kry))) < 1e-8
+
+    def test_hermitian_matches_chebyshev(self, rng):
+        from exponentialutilities_jl_tpu import expv_chebyshev
+        op = laplacian_1d(300)
+        b = jnp.asarray(rng.standard_normal(300))
+        w_l = expv_leja(0.6, op, b, tol=1e-11)
+        w_c = expv_chebyshev(0.6, op, b, tol=1e-11)
+        assert (np.linalg.norm(np.asarray(w_l) - np.asarray(w_c))
+                / np.linalg.norm(np.asarray(w_c))) < 1e-9
+
+    def test_dense_nonnormal_real_spectrum(self, rng):
+        """Dense nonnormal matrix with real spectrum (upper triangular
+        plus small perturbation) — the method's dense use case. A
+        circular-law random matrix (disk-shaped spectrum, imaginary
+        extent ~‖A‖) is OUT of the real-Leja domain by design; use the
+        Krylov expv there."""
+        n = 80
+        A = np.triu(rng.standard_normal((n, n))) / 6
+        np.fill_diagonal(A, rng.uniform(-1.0, 0.2, n))
+        b = rng.standard_normal(n)
+        w = expv_leja(1.0, DenseOperator(A), b, tol=1e-11)
+        ref = sla.expm(A) @ b
+        assert np.linalg.norm(np.asarray(w) - ref) / np.linalg.norm(ref) \
+            < 1e-8
+
+    def test_semigroup_identity(self, rng):
+        n = 400
+        op = advection_diffusion_1d(n, peclet=8.0)
+        b = jnp.asarray(rng.standard_normal(n))
+        t = 4e-5
+        w_full = np.asarray(expv_leja(t, op, b, tol=1e-11), np.float64)
+        w_half = expv_leja(t / 2, op, b, tol=1e-11)
+        w_two = np.asarray(expv_leja(t / 2, op, w_half, tol=1e-11),
+                           np.float64)
+        assert (np.linalg.norm(w_full - w_two)
+                / np.linalg.norm(w_two)) < 1e-7
