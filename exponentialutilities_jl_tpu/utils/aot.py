@@ -46,6 +46,12 @@ def warmup(n: int = 64, m: int = 30, k: int = 2, dtype=jnp.float32,
         0.1, op, b[:, None], m=min(m, n), hermitian=hermitian)
     out["kiops_device"], _ = kiops_device(
         [0.1], op, b[:, None], m=min(max(10, m // 2), n))
+    # polynomial (reduction-free) actions — Chebyshev (Hermitian path)
+    if hermitian:
+        from .. import expv_chebyshev, phiv_timestep_chebyshev
+        out["expv_chebyshev"] = expv_chebyshev(0.1, op, b, tol=1e-6)
+        out["phiv_timestep_chebyshev"] = phiv_timestep_chebyshev(
+            0.1, op, jnp.ones((n, k + 1), dtype=dtype), tol=1e-6)
     if mesh is not None:
         from ..parallel import make_expv_step, shard_vector
         step, diags = make_expv_step(op, mesh, m=min(m, n))
