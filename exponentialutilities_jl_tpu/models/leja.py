@@ -49,7 +49,7 @@ from jax import lax
 from ..utils.linop import LinearOperator, aslinearoperator
 from ..utils.precision import mxu_full_precision
 
-__all__ = ["expv_leja", "leja_points", "real_interval"]
+__all__ = ["expv_leja", "phiv_leja", "leja_points", "real_interval"]
 
 _MAX_DEGREE = 256          # per substep; z = |t|·s per substep kept ≲ 40
 
@@ -158,26 +158,38 @@ def _divided_differences(t, c, s, xi):
 @mxu_full_precision
 def _leja_apply(op, b, d, xi, center, inv_s, m: int, q: int):
     """q substeps of the degree-(m−1) Newton form, all coefficients
-    precomputed — matvec + axpy only."""
+    precomputed — matvec + axpy only. ``d`` may be (m,) → (n,), or
+    (m, p) → (n, p) (all p combinations accumulated in the single
+    Newton pass; q must be 1 for matrix d)."""
     b = jnp.asarray(b)
     rdt = jnp.finfo(b.dtype).dtype
     center = jnp.asarray(center, rdt)
     inv_s = jnp.asarray(inv_s, rdt)
     cdt = d.dtype
 
+    def accum(w, om, dk):
+        if d.ndim == 1:
+            return w + dk * om.astype(cdt)
+        return w + om.astype(cdt)[:, None] * dk[None, :]
+
     def substep(v, _):
         def term(carry, k):
             om, w = carry
-            w = w + d[k] * om.astype(cdt)
+            w = accum(w, om, d[k])
             om = inv_s * (op.matvec(om) - center * om) - xi[k] * om
             return (om, w), None
 
-        w0 = (v * 0).astype(cdt)
+        z = (v * 0).astype(cdt)
+        w0 = z if d.ndim == 1 else jnp.broadcast_to(
+            z[:, None], v.shape + d.shape[1:])
         (_, w), _ = lax.scan(term, (v, w0), jnp.arange(m))
-        return w.astype(v.dtype), None
+        return (w.astype(v.dtype) if d.ndim == 1 else v), w
 
-    out, _ = lax.scan(substep, b, None, length=q)
-    return out
+    if d.ndim == 1:
+        out, _ = lax.scan(substep, b, None, length=q)
+        return out
+    _, ws = lax.scan(substep, b, None, length=1)
+    return ws[0]
 
 
 def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
@@ -233,3 +245,67 @@ def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
     dj = jnp.asarray(d[:m_used], jnp.result_type(b.dtype))
     xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
     return _leja_apply(op, b, dj, xj, c, 1.0 / s, m_used, q)
+
+
+def _phi_divided_differences(t, c, s, xi, k: int):
+    """dd's of x ↦ φ_j(t(c + s·x)) for ALL j=0..k at once: Opitz says
+    they are the first column of φ_j(M), M the bidiagonal shift matrix
+    with the mapped points — and [φ_0(M)e₁ … φ_k(M)e₁] is exactly the
+    Sidje augmented-matrix exponential (ops/phi_dense.phiv_dense,
+    reference src/phi.jl:63-94), here in host f64 via scipy."""
+    import scipy.linalg as sla
+
+    mm = len(xi)
+    M = np.diag(t * (c + s * xi)) + np.diag(np.full(mm - 1, t * s), -1)
+    if k == 0:
+        return sla.expm(M)[:, :1]
+    Aug = np.zeros((mm + k, mm + k))
+    Aug[:mm, :mm] = M
+    Aug[0, mm] = 1.0                     # v = e₁ column
+    for j in range(k - 1):
+        Aug[mm + j, mm + j + 1] = 1.0
+    P = sla.expm(Aug)
+    cols = [P[:mm, :mm][:, 0]] + [P[:mm, mm + j] for j in range(k)]
+    return np.stack(cols, axis=1)        # (mm, k+1)
+
+
+def phiv_leja(t, A, b, k: int, *, interval=None, tol: float = 1e-7,
+              m: int | None = None, max_z: float = 40.0):
+    """``[φ_0(tA)b … φ_k(tA)b]`` (n, k+1) by Newton interpolation at
+    real Leja points — ALL orders in one inner-product-free pass,
+    non-Hermitian allowed (cf. ``phiv_chebyshev`` for the Hermitian
+    case). Unlike exp, φ actions do not substep exactly; |t|·s beyond
+    ``max_z`` raises (use ``phiv_timestep``/``kiops`` there — their
+    W-recurrence IS the correct φ substepping)."""
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    b = jnp.asarray(b)
+    if interval is None:
+        interval = real_interval(op)
+    a_lo, b_hi = float(interval[0]), float(interval[1])
+    tf = float(t)
+    c = 0.5 * (b_hi + a_lo)
+    s = 0.25 * (b_hi - a_lo)
+    if s <= 0:
+        from .chebyshev import _phi_scalar_np
+        vals = _phi_scalar_np(np.asarray([tf * c]), k)[:, 0]
+        return jnp.stack([jnp.asarray(v, b.dtype) * b for v in vals],
+                         axis=-1)
+    z = abs(tf) * s
+    if z > max_z:
+        raise ValueError(
+            f"|t|·s = {z:.1f} exceeds max_z = {max_z}: φ actions have "
+            "no exact substepping — use phiv_timestep/kiops for stiff "
+            "horizons")
+    m_probe = min(_MAX_DEGREE, int(np.ceil(3.2 * z + 2.5 * np.sqrt(
+        max(z, 1.0) * np.log(1.0 / tol)) + 12)))
+    xi, sup = _leja_points_sup(m_probe)
+    D = _phi_divided_differences(tf, c, s, xi, k)       # (m, k+1)
+    mag = np.abs(D).max(axis=1) * sup
+    thresh = tol * mag.max()
+    keep = np.nonzero(np.maximum.accumulate(mag[::-1])[::-1] > thresh)[0]
+    m_used = int(keep[-1]) + 1 if keep.size else 1
+    if m is not None:
+        m_used = min(m, m_probe)
+    Dj = jnp.asarray(D[:m_used], jnp.result_type(b.dtype))
+    xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
+    return _leja_apply(op, b, Dj, xj, c, 1.0 / s, m_used, 1)

@@ -112,3 +112,40 @@ class TestExpvLeja:
                            np.float64)
         assert (np.linalg.norm(w_full - w_two)
                 / np.linalg.norm(w_two)) < 1e-7
+
+
+class TestPhivLeja:
+    def test_vs_phiv_krylov(self, rng):
+        from exponentialutilities_jl_tpu.models.leja import phiv_leja
+        from exponentialutilities_jl_tpu import phiv
+        n = 300
+        op = advection_diffusion_1d(n, peclet=6.0)
+        b = jnp.asarray(rng.standard_normal(n))
+        t = 2e-5
+        P_l = phiv_leja(t, op, b, 3, tol=1e-11)
+        P_k = phiv(t, op, b, 3, m=50)
+        assert P_l.shape == (n, 4)
+        err = (np.linalg.norm(np.asarray(P_l) - np.asarray(P_k))
+               / np.linalg.norm(np.asarray(P_k)))
+        assert err < 1e-8
+
+    def test_phi_identity(self, rng):
+        import math
+        from exponentialutilities_jl_tpu.models.leja import phiv_leja
+        n = 200
+        op = advection_diffusion_1d(n, peclet=4.0)
+        A = np.asarray(op.to_dense())
+        b = rng.standard_normal(n)
+        t = 1e-5
+        P = np.asarray(phiv_leja(t, op, jnp.asarray(b), 2, tol=1e-12))
+        for j in range(2):
+            lhs = t * (A @ P[:, j + 1])
+            rhs = P[:, j] - b / math.factorial(j)
+            assert np.linalg.norm(lhs - rhs) < 1e-9 * max(
+                np.linalg.norm(P[:, j]), 1.0)
+
+    def test_stiff_raises(self, rng):
+        from exponentialutilities_jl_tpu.models.leja import phiv_leja
+        op = advection_diffusion_1d(500, peclet=2.0)
+        with pytest.raises(ValueError, match="substepping"):
+            phiv_leja(1.0, op, jnp.ones(500), 2)
