@@ -133,10 +133,30 @@ def config2():
     from exponentialutilities_jl_tpu import expv
     w = np.asarray(expv(t, op, bj, m=m, two_pass=True), np.float64)
     err = float(np.linalg.norm(w - ref) / np.linalg.norm(ref))
+
+    # Chebyshev action (the library's fastest Hermitian path — the
+    # bench.py headline method): exact Gershgorin interval [-4, 0].
+    from exponentialutilities_jl_tpu.models.chebyshev import (
+        _chebyshev_apply_scan, _exp_ucoeffs)
+    cnp, csc = _exp_ucoeffs(t * 2.0, 1e-7)
+    cj = jnp.asarray(cnp * np.exp(t * (-2.0) + csc), dt)
+    mc = len(cnp)
+
+    def step_ch(v):
+        w = _chebyshev_apply_scan(op, v, cj, -2.0, 0.5, mc)
+        return w / jnp.linalg.norm(w)
+
+    t_cheb = _chain_time(step_ch, bj)
+    w_ch = np.asarray(_chebyshev_apply_scan(op, bj, cj, -2.0, 0.5, mc),
+                      np.float64)
+    err_ch = float(np.linalg.norm(w_ch - ref) / np.linalg.norm(ref))
     return {"config": 2, "name": "laplacian1d_1e5_expv",
             "expv_ms": round(t_expv * 1e3, 3),
             "vs_scipy_expm_multiply": round(scipy_ms / (t_expv * 1e3), 1),
-            "rel_err": err}
+            "rel_err": err,
+            "chebyshev_ms": round(t_cheb * 1e3, 3),
+            "chebyshev_vs_scipy": round(scipy_ms / (t_cheb * 1e3), 1),
+            "chebyshev_rel_err": err_ch, "chebyshev_degree": mc}
 
 
 def config3():
@@ -261,10 +281,36 @@ def config5():
     w2 = np.asarray(expv(0.025, op, wh, m=20, reduced="device"), np.float64)
     err = float(np.linalg.norm(w - w2) / np.linalg.norm(w2))
     bytes_per_mv = 2 * n * 4   # stencil traffic: x read + y write
-    return {"config": 5, "name": "laplacian3d_10M_expv",
-            "n": n, "expv_ms": round(t_expv * 1e3, 2),
-            "semigroup_rel_err": err,
-            "effective_spmv_gbs": round(21 * bytes_per_mv / t_expv / 1e9, 1)}
+
+    # Chebyshev paths (XLA scan + fused plane sweep when on TPU) — the
+    # round-2 fastest methods for this operator (BENCHMARKS.md).
+    from exponentialutilities_jl_tpu.models.chebyshev import (
+        _chebyshev_apply_scan, _chebyshev_apply_fused, _exp_ucoeffs)
+    lo, hi = op.spectral_bounds_hint()
+    c5, h5 = 0.5 * (hi + lo), 0.5 * (hi - lo)
+    cnp, csc = _exp_ucoeffs(0.05 * h5, 1e-7)
+    cj = jnp.asarray(cnp * np.exp(0.05 * c5 + csc), dt)
+    mc = len(cnp)
+
+    def step_ch(v):
+        w = _chebyshev_apply_scan(op, v, cj, c5, 1.0 / h5, mc)
+        return w / jnp.linalg.norm(w)
+
+    t_cheb = _chain_time(step_ch, bj, K1=2, K2=6)
+    out = {"config": 5, "name": "laplacian3d_10M_expv",
+           "n": n, "expv_ms": round(t_expv * 1e3, 2),
+           "semigroup_rel_err": err,
+           "effective_spmv_gbs": round(21 * bytes_per_mv / t_expv / 1e9, 1),
+           "chebyshev_ms": round(t_cheb * 1e3, 2),
+           "chebyshev_degree": mc}
+    if jax.default_backend() == "tpu":
+        def step_chf(v):
+            w = _chebyshev_apply_fused(op, v, cj, c5, h5)
+            return w / jnp.linalg.norm(w)
+
+        out["chebyshev_fused_ms"] = round(
+            _chain_time(step_chf, bj, K1=2, K2=6) * 1e3, 2)
+    return out
 
 
 def main():
