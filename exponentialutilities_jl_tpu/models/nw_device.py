@@ -101,7 +101,10 @@ def _nw_device(op, B, ts, state_tup, tend, abstol, delta, gamma,
     rdt = jnp.finfo(jnp.result_type(B.dtype, jnp.float32)).dtype
     kk = p + 1
     buckets = jnp.asarray(_BUCKETS_NP)
-    nnz_eff = nnz if nnz > 0 else n * n
+    # floats: the dense default n² at n = 10M is ~1e14, which overflows
+    # the int32 argument parse when x64 is off (measured at the 216³
+    # stiff bench); the cost model is a float estimate anyway.
+    nnz_eff = float(nnz) if nnz > 0 else float(n) * float(n)
 
     def reduced_c2(Hm, tau):
         e1 = jnp.zeros((m,), Hm.dtype).at[0].set(1)
@@ -268,6 +271,10 @@ def phiv_timestep_device(ts, A, B, *, m: int = 10, tol: float = 1e-7,
     import numpy as np
 
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    if nnz == 0 and hasattr(op, "nnz"):
+        # sparse containers expose their true matvec cost; the dense n²
+        # default misprices (m, τ) adaptation by ~n/nnz_per_row at scale
+        nnz = int(op.nnz)
     scalar_ts = np.ndim(ts) == 0
     ts_arr = np.atleast_1d(np.asarray(ts, dtype=np.float64))
     order = np.argsort(ts_arr, kind="stable")

@@ -293,6 +293,8 @@ def phiv_timestep(ts, A, B, *, tau: float = 0.0, m: int = 10, tol: float = 1e-7,
     seed_arnoldi_tau = abstol is None and tau == 0.0
     if seed_arnoldi_tau:
         tau = tend
+    if nnz == 0 and hasattr(op, "nnz"):
+        nnz = int(op.nnz)          # sparse containers know their cost
     nnz_eff = nnz if nnz > 0 else n * n
     if hermitian is None:
         hermitian = op.is_hermitian
