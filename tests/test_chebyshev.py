@@ -278,3 +278,43 @@ class TestPhivTimestepChebyshev:
         B = jnp.asarray(rng.standard_normal((50, 2)))
         u = phiv_timestep_chebyshev(0.5, op, B)
         assert u.shape == (50,)
+
+
+class TestFusedChebyshev:
+    def test_fused_matches_scan_interpret(self, rng):
+        """Pallas fused plane-sweep Chebyshev (interpret mode on CPU)
+        vs the XLA scan — bitwise-same recurrence, one kernel."""
+        from exponentialutilities_jl_tpu.models.chebyshev import (
+            _chebyshev_apply_fused, _chebyshev_apply_scan, _exp_ucoeffs)
+        op = laplacian_nd_stencil(6, 6, 6, dtype=jnp.float32)
+        b = jnp.asarray(rng.standard_normal(216), jnp.float32)
+        lo, hi = op.spectral_bounds_hint()
+        c, h = 0.5 * (hi + lo), 0.5 * (hi - lo)
+        t = 0.3
+        cnp, sc = _exp_ucoeffs(t * h, 1e-7)
+        coeffs = jnp.asarray(cnp * np.exp(t * c + sc), jnp.float32)
+        w_scan = _chebyshev_apply_scan(op, b, coeffs, c, 1.0 / h,
+                                       len(cnp))
+        w_fused = _chebyshev_apply_fused(op, b, coeffs, c, h,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(w_fused),
+                                   np.asarray(w_scan), rtol=2e-5,
+                                   atol=1e-6)
+
+    def test_fused_variable_interpret(self, rng):
+        from exponentialutilities_jl_tpu.models.chebyshev import (
+            _chebyshev_apply_fused, _chebyshev_apply_scan, _exp_ucoeffs)
+        a = (0.5 + rng.random((6, 6, 6))).astype(np.float32)
+        op = variable_diffusion_nd_stencil(a, dtype=np.float32)
+        b = jnp.asarray(rng.standard_normal(216), jnp.float32)
+        lo, hi = op.spectral_bounds_hint()
+        c, h = 0.5 * (hi + lo), 0.5 * (hi - lo)
+        cnp, sc = _exp_ucoeffs(0.2 * h, 1e-7)
+        coeffs = jnp.asarray(cnp * np.exp(0.2 * c + sc), jnp.float32)
+        w_scan = _chebyshev_apply_scan(op, b, coeffs, c, 1.0 / h,
+                                       len(cnp))
+        w_fused = _chebyshev_apply_fused(op, b, coeffs, c, h,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(w_fused),
+                                   np.asarray(w_scan), rtol=2e-5,
+                                   atol=1e-6)
