@@ -67,6 +67,44 @@ def census_expv_step(n_per_dev: int = 64, m: int = 10, n_devices: int = 8):
     return collective_census(hlo)
 
 
+def census_chebyshev(n_per_dev: int = 64, n_devices: int = 8):
+    """Census of the sharded Chebyshev action: the recurrence has NO
+    inner products, so the only collective should be the banded matvec's
+    halo exchange (collective-permute) — zero all-reduces. This is the
+    structurally-best-scaling action in the library (the Krylov step
+    pays one all-reduce latency per iteration on top)."""
+    import functools as ft
+
+    from jax.sharding import PartitionSpec as P
+    from exponentialutilities_jl_tpu import laplacian_1d
+    from exponentialutilities_jl_tpu.models.chebyshev import (
+        _chebyshev_apply_scan, _exp_ucoeffs)
+    from exponentialutilities_jl_tpu.parallel import make_global_mesh
+    from exponentialutilities_jl_tpu.parallel.krylov import _shard_op
+    from exponentialutilities_jl_tpu.parallel.ops import shard_vector
+
+    mesh = make_global_mesh()
+    axis = mesh.axis_names[0]
+    n = n_per_dev * n_devices
+    op = laplacian_1d(n, dtype=jnp.float32)
+    lo, hi = op.spectral_bounds_hint()
+    c, h = 0.5 * (hi + lo), 0.5 * (hi - lo)
+    cnp, sc = _exp_ucoeffs(0.5 * h, 1e-7)
+    coeffs = jnp.asarray(cnp * np.exp(0.5 * c + sc), jnp.float32)
+    params, make_local, pspec = _shard_op(op, mesh, axis)
+
+    @jax.jit
+    @ft.partial(jax.shard_map, mesh=mesh, in_specs=(pspec, P(axis)),
+                out_specs=P(axis))
+    def run(params_local, b_local):
+        return _chebyshev_apply_scan(make_local(params_local), b_local,
+                                     coeffs, c, 1.0 / h, len(cnp))
+
+    b = shard_vector(jnp.ones((n,), jnp.float32), mesh)
+    hlo = jax.jit(run).lower(params, b).compile().as_text()
+    return collective_census(hlo)
+
+
 def census_data_mesh(n_per_dev: int = 64, m: int = 10):
     """Census for the hosts×chips data×rows layout: the Krylov body must
     show ZERO collectives on the data (DCN) axis — data-parallel RHS."""
@@ -133,6 +171,9 @@ def main():
     print("== collective census: data x rows layout (make_host_data_mesh) ==")
     c2 = census_data_mesh()
     print(c2)
+    print("== collective census: sharded Chebyshev action ==")
+    c3 = census_chebyshev()
+    print(c3, "(zero all-reduce: no inner products in the recurrence)")
 
     m = 10
     print("\n== modeled scaling efficiency, n = 10M rows, m =", m, "==")
