@@ -70,8 +70,7 @@ def main():
         lop = make_op(c)
 
         def body(i, b):
-            w = _chebyshev_apply_scan(lop, b, cheb, c_ctr, 1.0 / h_half,
-                                      m_cheb)
+            w = _chebyshev_apply_scan(lop, b, cheb, c_ctr, 1.0 / h_half)
             return w / jnp.linalg.norm(w)
 
         return jnp.sum(jax.lax.fori_loop(0, K, body, b))
@@ -117,7 +116,7 @@ def main():
     @jax.jit
     def single(c, b):
         return _chebyshev_apply_scan(make_op(c), b, cheb, c_ctr,
-                                     1.0 / h_half, m_cheb)
+                                     1.0 / h_half)
 
     w = np.asarray(single(coeffs, b), np.float64)
     A = sp.diags([np.ones(n - 1), -2 * np.ones(n), np.ones(n - 1)],

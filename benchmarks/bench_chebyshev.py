@@ -78,7 +78,7 @@ def main():
     inv_h = 1.0 / h
 
     def step_cheb(v):
-        w = _chebyshev_apply_scan(op, v, full, c, inv_h, m_cheb)
+        w = _chebyshev_apply_scan(op, v, full, c, inv_h)
         return w / jnp.linalg.norm(w)
 
     t_lan = _chain_time(step_lanczos, bj)
@@ -168,7 +168,7 @@ def main():
         return w / jnp.linalg.norm(w)
 
     def step_cheb_v(op_arg, v):
-        w = _chebyshev_apply_scan(op_arg, v, full_v, c_v, 1.0 / h_v, m_v)
+        w = _chebyshev_apply_scan(op_arg, v, full_v, c_v, 1.0 / h_v)
         return w / jnp.linalg.norm(w)
 
     def step_cheb_vf(op_arg, v):

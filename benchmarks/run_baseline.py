@@ -143,11 +143,11 @@ def config2():
     mc = len(cnp)
 
     def step_ch(v):
-        w = _chebyshev_apply_scan(op, v, cj, -2.0, 0.5, mc)
+        w = _chebyshev_apply_scan(op, v, cj, -2.0, 0.5)
         return w / jnp.linalg.norm(w)
 
     t_cheb = _chain_time(step_ch, bj)
-    w_ch = np.asarray(_chebyshev_apply_scan(op, bj, cj, -2.0, 0.5, mc),
+    w_ch = np.asarray(_chebyshev_apply_scan(op, bj, cj, -2.0, 0.5),
                       np.float64)
     err_ch = float(np.linalg.norm(w_ch - ref) / np.linalg.norm(ref))
     return {"config": 2, "name": "laplacian1d_1e5_expv",
@@ -293,7 +293,7 @@ def config5():
     mc = len(cnp)
 
     def step_ch(v):
-        w = _chebyshev_apply_scan(op, v, cj, c5, 1.0 / h5, mc)
+        w = _chebyshev_apply_scan(op, v, cj, c5, 1.0 / h5)
         return w / jnp.linalg.norm(w)
 
     t_cheb = _chain_time(step_ch, bj, K1=2, K2=6)

@@ -98,7 +98,7 @@ def census_chebyshev(n_per_dev: int = 64, n_devices: int = 8):
                 out_specs=P(axis))
     def run(params_local, b_local):
         return _chebyshev_apply_scan(make_local(params_local), b_local,
-                                     coeffs, c, 1.0 / h, len(cnp))
+                                     coeffs, c, 1.0 / h)
 
     b = shard_vector(jnp.ones((n,), jnp.float32), mesh)
     hlo = jax.jit(run).lower(params, b).compile().as_text()

@@ -439,13 +439,25 @@ def _fused_dispatch(op):
                              "requires a Hermitian operator")
 
         def builder(gg: GhostGrid, dt):
+            # The packed (nz, 8, R, 128) stream is ~8 full-grid passes
+            # (~450 MB of traffic at 216³ f32); cache it on the operator
+            # instance so repeated fused calls (two-pass expv runs two)
+            # pay it once. Never cache tracers: when the operator rides
+            # as a jit argument the build is part of the traced program.
+            key = (gg, jnp.dtype(dt).name)
+            cached = getattr(op, "_ghost_planes_cache", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
             cmap = {off: op.coeff_fields[k]
                     for k, off in enumerate(op.offsets)}
             zero = jnp.zeros((gg.nz, gg.rows_per_plane, _LANES), dt)
             planes = [gg.to_ghost(cmap[off].astype(dt))
                       if off in cmap else zero for off in _SEVEN_POINT]
             planes.append(zero)                     # pad slot 7
-            return jnp.stack(planes, axis=1)        # (nz, 8, R, 128)
+            stacked = jnp.stack(planes, axis=1)     # (nz, 8, R, 128)
+            if not isinstance(stacked, jax.core.Tracer):
+                op._ghost_planes_cache = (key, stacked)
+            return stacked
 
         return None, builder
     return _stencil_coeffs_static(op), None

@@ -303,13 +303,12 @@ class BandedOperator(LinearOperator):
     def opnorm_hint(self):
         return jnp.max(jnp.sum(jnp.abs(self.diags), axis=0))
 
-    def spectral_bounds_hint(self):
-        """Per-row Gershgorin enclosure over the diagonal storage
-        (diags[k][i] = A[i, i+offset_k], so rows are direct): used by
-        the Chebyshev actions (models/chebyshev.py). One device
-        reduction, fetched once."""
-        if not self.is_hermitian:
-            return None
+    def _gershgorin_real(self):
+        """Per-row Gershgorin enclosure of the spectrum's REAL parts
+        over the diagonal storage (diags[k][i] = A[i, i+offset_k], so
+        rows are direct). One device reduction, fetched once. Shared by
+        ``spectral_bounds_hint`` (Hermitian: the spectrum itself) and
+        ``models/leja.real_interval`` (non-Hermitian real extent)."""
         n = self.shape[0]
         d = jnp.zeros((n,), self.dtype)
         r = jnp.zeros((n,), jnp.finfo(self.dtype).dtype)
@@ -323,6 +322,12 @@ class BandedOperator(LinearOperator):
                 r = r + jnp.abs(row)
         return (float(jnp.min(jnp.real(d) - r)),
                 float(jnp.max(jnp.real(d) + r)))
+
+    def spectral_bounds_hint(self):
+        """Gershgorin spectrum enclosure — Chebyshev actions
+        (models/chebyshev.py); Hermitian only (else see
+        ``models/leja.real_interval``)."""
+        return self._gershgorin_real() if self.is_hermitian else None
 
     def to_dense(self):
         n = self.shape[0]

@@ -83,23 +83,26 @@ class StencilOperator(LinearOperator):
     def opnorm_hint(self):
         return jnp.sum(jnp.abs(self.coeffs))
 
-    def spectral_bounds_hint(self):
-        """Gershgorin enclosure [c₀−r, c₀+r] of the (Hermitian) spectrum:
-        the diagonal is the zero-offset coefficient everywhere and every
-        row's off-diagonal 1-norm is ≤ Σ|c_k| (boundary rows are smaller).
-        Used by the Chebyshev actions (models/chebyshev.py) — exact-class
-        bounds with zero matvecs."""
-        if not self.is_hermitian:
-            return None
-        c = np.asarray(self.coeffs, np.float64)
+    def _gershgorin_real(self):
+        """[c₀−r, c₀+r] Gershgorin enclosure of the spectrum's real
+        parts: the diagonal is the zero-offset coefficient everywhere
+        and every row's off-diagonal 1-norm is ≤ Σ|c_k| (boundary rows
+        are smaller). Zero matvecs; shared by ``spectral_bounds_hint``
+        and ``models/leja.real_interval``."""
+        c = np.asarray(self.coeffs)
         diag = 0.0
         r = 0.0
         for k, off in enumerate(self.offsets):
             if all(o == 0 for o in off):
-                diag += c[k]
+                diag += float(np.real(c[k]))
             else:
-                r += abs(c[k])
+                r += float(abs(c[k]))
         return (diag - r, diag + r)
+
+    def spectral_bounds_hint(self):
+        """Gershgorin spectrum enclosure — Chebyshev actions
+        (models/chebyshev.py); Hermitian only."""
+        return self._gershgorin_real() if self.is_hermitian else None
 
     def to_banded(self) -> BandedOperator:
         """Equivalent diagonal-storage operator (for oracles/conversion)."""
@@ -200,23 +203,26 @@ class VariableStencilOperator(LinearOperator):
     def opnorm_hint(self):
         return jnp.max(jnp.sum(jnp.abs(self.coeff_fields), axis=0))
 
-    def spectral_bounds_hint(self):
+    def _gershgorin_real(self):
         """Per-row Gershgorin enclosure min_i(d_i−r_i), max_i(d_i+r_i)
-        over the per-cell fields (one device reduction, fetched once —
-        the interval is a static parameter of the Chebyshev apply)."""
-        if not self.is_hermitian:
-            return None
+        of the spectrum's real parts over the per-cell fields (one
+        device reduction, fetched once). Shared by
+        ``spectral_bounds_hint`` and ``models/leja.real_interval``."""
         diag_k = [k for k, off in enumerate(self.offsets)
                   if all(o == 0 for o in off)]
-        d = (jnp.sum(self.coeff_fields[jnp.asarray(diag_k)], axis=0)
+        d = (jnp.sum(jnp.real(self.coeff_fields[jnp.asarray(diag_k)]),
+                     axis=0)
              if diag_k else jnp.zeros(self.coeff_fields.shape[1],
-                                      self.dtype))
+                                      jnp.finfo(self.dtype).dtype))
         off_k = [k for k in range(len(self.offsets)) if k not in diag_k]
         r = (jnp.sum(jnp.abs(self.coeff_fields[jnp.asarray(off_k)]), axis=0)
              if off_k else jnp.zeros_like(d))
-        lo = float(jnp.min(d - r))
-        hi = float(jnp.max(d + r))
-        return (lo, hi)
+        return (float(jnp.min(d - r)), float(jnp.max(d + r)))
+
+    def spectral_bounds_hint(self):
+        """Gershgorin spectrum enclosure — Chebyshev actions
+        (models/chebyshev.py); Hermitian only."""
+        return self._gershgorin_real() if self.is_hermitian else None
 
     def to_banded(self) -> BandedOperator:
         """Equivalent diagonal-storage operator (for oracles/conversion)."""

@@ -138,7 +138,7 @@ def expv_chebyshev_sharded(t, op, b, mesh: Mesh, *, bounds=None,
     """
     import numpy as np
 
-    from ..models.chebyshev import (_chebyshev_apply_scan, _exp_ucoeffs)
+    from ..models.chebyshev import _chebyshev_apply_scan, _full_exp_coeffs
 
     if not op.is_hermitian:
         raise ValueError("expv_chebyshev_sharded requires a Hermitian "
@@ -153,28 +153,16 @@ def expv_chebyshev_sharded(t, op, b, mesh: Mesh, *, bounds=None,
                 "bounds=(lo, hi) explicitly (e.g. from "
                 "models.chebyshev.spectral_bounds on the global operator)")
     lo, hi = float(bounds[0]), float(bounds[1])
-    c = 0.5 * (hi + lo)
-    h = 0.5 * (hi - lo)
-    tc = complex(t) if np.iscomplexobj(np.asarray(t)) else float(t)
-    if h <= 0:
+    if hi - lo <= 0:
         raise ValueError(f"empty spectral interval {bounds}")
-    coeffs_np, scale = _exp_ucoeffs(tc * h, tol)
-    if m is not None:
-        coeffs_np = (coeffs_np[:m] if len(coeffs_np) >= m
-                     else np.pad(coeffs_np, (0, m - len(coeffs_np))))
-    amp = np.exp(np.real(tc) * c + scale)
-    phase = (np.exp(1j * np.imag(tc) * c)
-             if np.iscomplexobj(np.asarray(tc)) else 1.0)
+    full, c, h = _full_exp_coeffs(t, lo, hi, tol, m)
     b = jnp.asarray(b)
     cdt = jnp.result_type(
-        b.dtype, jnp.complex64 if np.iscomplexobj(np.asarray(tc))
-        else b.dtype)
-    coeffs = jnp.asarray(coeffs_np * amp * phase, cdt)
-    m_deg = coeffs.shape[0]
+        b.dtype, jnp.complex64 if np.iscomplexobj(full) else b.dtype)
+    coeffs = jnp.asarray(full, cdt)
 
     def body(lop, b_local):
-        return _chebyshev_apply_scan(lop, b_local, coeffs, c, 1.0 / h,
-                                     m_deg)
+        return _chebyshev_apply_scan(lop, b_local, coeffs, c, 1.0 / h)
 
     run, params = _sharded_call(op, mesh, axis, body)
     return run(params, shard_vector(b, mesh, axis))

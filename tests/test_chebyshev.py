@@ -293,8 +293,7 @@ class TestFusedChebyshev:
         t = 0.3
         cnp, sc = _exp_ucoeffs(t * h, 1e-7)
         coeffs = jnp.asarray(cnp * np.exp(t * c + sc), jnp.float32)
-        w_scan = _chebyshev_apply_scan(op, b, coeffs, c, 1.0 / h,
-                                       len(cnp))
+        w_scan = _chebyshev_apply_scan(op, b, coeffs, c, 1.0 / h)
         w_fused = _chebyshev_apply_fused(op, b, coeffs, c, h,
                                          interpret=True)
         np.testing.assert_allclose(np.asarray(w_fused),
@@ -311,10 +310,46 @@ class TestFusedChebyshev:
         c, h = 0.5 * (hi + lo), 0.5 * (hi - lo)
         cnp, sc = _exp_ucoeffs(0.2 * h, 1e-7)
         coeffs = jnp.asarray(cnp * np.exp(0.2 * c + sc), jnp.float32)
-        w_scan = _chebyshev_apply_scan(op, b, coeffs, c, 1.0 / h,
-                                       len(cnp))
+        w_scan = _chebyshev_apply_scan(op, b, coeffs, c, 1.0 / h)
         w_fused = _chebyshev_apply_fused(op, b, coeffs, c, h,
                                          interpret=True)
         np.testing.assert_allclose(np.asarray(w_fused),
                                    np.asarray(w_scan), rtol=2e-5,
                                    atol=1e-6)
+
+
+class TestConvergenceGuards:
+    def test_exp_degree_cap_raises(self):
+        """Degree beyond the cap (√(2z·ln 1/tol) > 4096 needs
+        z ≳ 4e5) must raise, not silently truncate (silent truncation
+        returned rel err 4e79 on a scale-3e5 Laplacian in review)."""
+        with pytest.raises(ValueError, match="did not converge"):
+            _exp_ucoeffs(6e5, 1e-9)
+
+    def test_expv_chebyshev_stiff_raises(self):
+        op = laplacian_1d(64, scale=3e5)      # half-width h = 6e5
+        with pytest.raises(ValueError, match="did not converge"):
+            expv_chebyshev(1.0, op, jnp.ones(64), tol=1e-9)
+
+    def test_fun_ucoeffs_aliasing_resamples(self):
+        """A function whose coefficient tail stays significant past the
+        initial sample count must auto-resample (not alias): cos(300·x)
+        has O(1) coefficients up to k ≈ 300 with only 256 samples."""
+        b = _fun_ucoeffs(lambda x: np.cos(300.0 * x), 1e-10, 256)
+        bb = np.asarray(b)[:, 0] if np.asarray(b).ndim == 2 \
+            else np.asarray(b)
+        assert len(bb) > 290           # resampled past the first 256
+        xs = 0.37
+        theta = np.arccos(xs)
+        k = np.arange(len(bb))
+        U = np.sin((k + 1) * theta) / np.sin(theta)
+        val = (bb * U).sum()
+        assert abs(val - np.cos(300 * xs)) < 1e-8
+
+    def test_phiv_timestep_chebyshev_unconvergible_raises(self):
+        from exponentialutilities_jl_tpu.models.chebyshev import (
+            phiv_timestep_chebyshev)
+        op = laplacian_1d(64, scale=1e7)
+        B = jnp.ones((64, 2))
+        with pytest.raises(ValueError, match="did not converge"):
+            phiv_timestep_chebyshev(1.0, op, B, tol=1e-9)
