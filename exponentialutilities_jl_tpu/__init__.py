@@ -47,7 +47,8 @@ from .models.expv_taylor import expv_taylor, expv_taylor_batched
 from .models.chebyshev import (expv_chebyshev, phiv_chebyshev,
                                funm_chebyshev, chebyshev_apply,
                                spectral_bounds, phiv_timestep_chebyshev)
-from .models.leja import (expv_leja, phiv_leja, leja_points,
+from .models.leja import (expv_leja, phiv_leja,
+                          phiv_timestep_leja, leja_points,
                           real_interval)
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
@@ -77,7 +78,8 @@ __all__ = [
     "phiv_timestep_device", "expv_timestep_device", "expv_taylor", "expv_taylor_batched",
     "expv_chebyshev", "phiv_chebyshev", "funm_chebyshev", "chebyshev_apply",
     "spectral_bounds", "phiv_timestep_chebyshev", "expm_dd", "DD",
-    "expv_leja", "phiv_leja", "leja_points", "real_interval",
+    "expv_leja", "phiv_leja", "phiv_timestep_leja", "leja_points",
+    "real_interval",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",

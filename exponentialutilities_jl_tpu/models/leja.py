@@ -49,7 +49,8 @@ from jax import lax
 from ..utils.linop import LinearOperator, aslinearoperator
 from ..utils.precision import mxu_full_precision
 
-__all__ = ["expv_leja", "phiv_leja", "leja_points", "real_interval"]
+__all__ = ["expv_leja", "phiv_leja", "phiv_timestep_leja", "leja_points",
+           "real_interval"]
 
 _MAX_DEGREE = 256          # per substep; z = |t|·s per substep kept ≲ 40
 
@@ -279,3 +280,117 @@ def phiv_leja(t, A, b, k: int, *, interval=None, tol: float = 1e-7,
     Dj = jnp.asarray(D[:m_used], jnp.result_type(b.dtype))
     xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
     return _leja_apply(op, b, Dj, xj, c, 1.0 / s, m_used, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "m", "q"))
+@mxu_full_precision
+def _nw_leja_scan(op, u0, B, d, xi, center, inv_s, t0, tau,
+                  p: int, m: int, q: int):
+    """q Niesen–Wright substeps with the φ_p inner action as a Newton
+    pass — one compiled ``lax.scan`` (no host dispatch per substep, no
+    inner products anywhere)."""
+    from .timestepping import _compute_W, _update_u
+
+    rdt = jnp.finfo(u0.dtype).dtype
+    center = jnp.asarray(center, rdt)
+    inv_s = jnp.asarray(inv_s, rdt)
+    cdt = d.dtype
+
+    def substep(carry, k):
+        u, tcur = carry
+        W = _compute_W(op, u, B, tcur, p)
+        wp = W[:, p]
+
+        def term(inner, j):
+            om, w = inner
+            w = w + d[j] * om.astype(cdt)
+            om = inv_s * (op.matvec(om) - center * om) - xi[j] * om
+            return (om, w), None
+
+        (_, pcol), _ = lax.scan(term, (wp, (wp * 0).astype(cdt)),
+                                jnp.arange(m))
+        u = _update_u(W, pcol.astype(u.dtype), tau, p)
+        return (u, tcur + tau), None
+
+    (u, _), _ = lax.scan(substep, (u0, jnp.asarray(t0, rdt)),
+                         jnp.arange(q))
+    return u
+
+
+def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
+                       max_z: float = 40.0, max_degree: int | None = None):
+    """u(t) = Σ_j t^j φ_j(tA) b_j at snapshot times ``ts`` for
+    NON-Hermitian A (real-interval field-of-values class) — the
+    Niesen–Wright substepped combination with the φ_p inner action as a
+    Leja Newton pass instead of an Arnoldi build:
+
+      * no orthogonalization, no inner products, no rejection loops —
+        each snapshot interval runs as ONE compiled ``lax.scan`` over
+        uniform substeps with τ·s ≤ ``max_z`` (a-priori
+        divided-difference error control);
+      * the reference's adaptive driver (src/krylov_phiv_adaptive.jl)
+        remains the tool for spectra the real interval cannot describe
+        or when no interval is available.
+
+    Hermitian operators: prefer ``phiv_timestep_chebyshev`` (one pass,
+    no substepping at all). Returns U (n, len(ts)) / (n,), matching
+    ``phiv_timestep``.
+    """
+    op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    p = B.shape[1] - 1
+    scalar_ts = np.ndim(ts) == 0
+    ts_arr = np.sort(np.atleast_1d(np.asarray(ts, np.float64)))
+    if interval is None:
+        interval = real_interval(op)
+    a_lo, b_hi = float(interval[0]), float(interval[1])
+    c = 0.5 * (b_hi + a_lo)
+    s = 0.25 * (b_hi - a_lo)
+    if s <= 0:
+        from .chebyshev import _phi_scalar_np
+        cols = []
+        for t in ts_arr:
+            vals = _phi_scalar_np(np.asarray([t * c]), p)[:, 0]
+            cols.append(sum((t ** j) * float(vals[j]) * B[:, j]
+                            for j in range(p + 1)))
+        U = jnp.stack(cols, axis=-1)
+        return U[:, 0] if scalar_ts else U
+
+    u = B[:, 0]
+    outs = []
+    t_prev = 0.0
+    for t_snap in ts_arr:
+        dt_int = float(t_snap) - t_prev
+        if dt_int <= 0:
+            outs.append(u)
+            continue
+        q = max(1, int(np.ceil(abs(dt_int) * s / max_z)))
+        tau = dt_int / q
+        z = abs(tau) * s
+        m_probe = min(_MAX_DEGREE, int(np.ceil(
+            3.2 * z + 2.5 * np.sqrt(max(z, 1.0) * np.log(1.0 / tol))
+            + 12)))
+        xi, sup = _leja_points_sup(m_probe)
+        if p == 0:
+            D = _divided_differences(tau, c, s, xi)[:, None]
+        else:
+            D = _phi_divided_differences(tau, c, s, xi, p)
+        dp = D[:, p]                       # φ_p dd's — the inner action
+        mag = np.abs(dp) * sup
+        thresh = tol * max(mag.max(), 1e-300)
+        keep = np.nonzero(
+            np.maximum.accumulate(mag[::-1])[::-1] > thresh)[0]
+        m_used = int(keep[-1]) + 1 if keep.size else 1
+        if max_degree is not None:
+            m_used = min(m_used, max_degree)
+        dj = jnp.asarray(dp[:m_used], jnp.result_type(u.dtype))
+        xj = jnp.asarray(xi[:m_used], jnp.finfo(u.dtype).dtype)
+        u = _nw_leja_scan(op, u, B, dj, xj, c, 1.0 / s,
+                          jnp.asarray(t_prev), jnp.asarray(tau),
+                          p=p, m=m_used, q=q)
+        outs.append(u)
+        t_prev = float(t_snap)
+    U = jnp.stack(outs, axis=-1)
+    return U[:, 0] if scalar_ts else U

@@ -149,3 +149,57 @@ class TestPhivLeja:
         op = advection_diffusion_1d(500, peclet=2.0)
         with pytest.raises(ValueError, match="substepping"):
             phiv_leja(1.0, op, jnp.ones(500), 2)
+
+
+class TestPhivTimestepLeja:
+    def test_vs_nw_adaptive(self, rng):
+        from exponentialutilities_jl_tpu.models.leja import (
+            phiv_timestep_leja)
+        from exponentialutilities_jl_tpu import phiv_timestep
+        n = 300
+        op = advection_diffusion_1d(n, peclet=6.0)
+        B = jnp.asarray(rng.standard_normal((n, 3)))
+        ts = [2e-5, 5e-5]
+        U_l = phiv_timestep_leja(ts, op, B, tol=1e-10)
+        U_nw = phiv_timestep(ts, op, B, adaptive=True, tol=1e-10, m=40)
+        assert U_l.shape == (n, 2)
+        err = (np.linalg.norm(np.asarray(U_l) - np.asarray(U_nw))
+               / np.linalg.norm(np.asarray(U_nw)))
+        assert err < 1e-7
+
+    def test_stiff_substepped_vs_dense(self, rng):
+        """t·s far beyond one substep: the uniform-τ scan engages
+        (q > 25) and matches a dense oracle."""
+        from exponentialutilities_jl_tpu.models.leja import (
+            phiv_timestep_leja, real_interval)
+        n = 120
+        op = advection_diffusion_1d(n, peclet=3.0)
+        lo, hi = real_interval(op)
+        s = (hi - lo) / 4
+        t_end = 1000.0 * 40.0 / s / 25     # q ≈ 40 substeps
+        B = rng.standard_normal((n, 2))
+        u = phiv_timestep_leja(t_end, op, jnp.asarray(B), tol=1e-10)
+        A = np.asarray(op.to_dense())
+        # Sidje block oracle: exp([[tA, t·b1],[0,0]]) column n holds
+        # φ1(tA)·(t·b1); u(t) = φ0(tA)b0 + t·φ1(tA)b1.
+        import scipy.linalg as sla
+        Aug = np.zeros((n + 1, n + 1))
+        Aug[:n, :n] = t_end * A
+        Aug[:n, n] = t_end * B[:, 1]
+        P = sla.expm(Aug)
+        ref = P[:n, :n] @ B[:, 0] + P[:n, n]
+        err = np.linalg.norm(np.asarray(u) - ref) / np.linalg.norm(ref)
+        assert err < 1e-7
+
+    def test_scalar_ts_and_p0(self, rng):
+        from exponentialutilities_jl_tpu.models.leja import (
+            phiv_timestep_leja, expv_leja)
+        n = 150
+        op = advection_diffusion_1d(n, peclet=4.0)
+        b = jnp.asarray(rng.standard_normal(n))
+        t = 3e-5
+        u = phiv_timestep_leja(t, op, b, tol=1e-11)
+        w = expv_leja(t, op, b, tol=1e-11)
+        assert u.shape == (n,)
+        assert (np.linalg.norm(np.asarray(u) - np.asarray(w))
+                / np.linalg.norm(np.asarray(w))) < 1e-8
