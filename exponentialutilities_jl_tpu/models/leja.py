@@ -390,6 +390,18 @@ def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
         u = _nw_leja_scan(op, u, B, dj, xj, c, 1.0 / s,
                           jnp.asarray(t_prev), jnp.asarray(tau),
                           p=p, m=m_used, q=q)
+        # No-throw-NaN contract (the NW drivers' failure protocol,
+        # reference src/phi_almohy.jl:110-142): real-Leja interpolation
+        # DIVERGES when the field of values has imaginary extent
+        # comparable to the interval (advection-dominated operators) —
+        # surface it, never return NaN silently.
+        if not bool(jnp.all(jnp.isfinite(u))):
+            raise FloatingPointError(
+                "phiv_timestep_leja diverged (non-finite substep "
+                "result): the operator's field of values likely has "
+                "imaginary extent comparable to its real interval "
+                "(advection-dominated). Use phiv_timestep / "
+                "phiv_timestep_device (Krylov) for this operator class.")
         outs.append(u)
         t_prev = float(t_snap)
     U = jnp.stack(outs, axis=-1)

@@ -203,3 +203,19 @@ class TestPhivTimestepLeja:
         assert u.shape == (n,)
         assert (np.linalg.norm(np.asarray(u) - np.asarray(w))
                 / np.linalg.norm(np.asarray(w))) < 1e-8
+
+    def test_advection_dominated_raises_not_nan(self, rng):
+        """Fat-ellipse FoV (advection-dominated) must raise, never
+        return NaN silently (the drivers' no-throw-NaN contract)."""
+        from exponentialutilities_jl_tpu.models.leja import (
+            phiv_timestep_leja)
+        from exponentialutilities_jl_tpu import StencilOperator
+        n = 2000
+        d_c, a_c = 1.0, 40.0          # |Im FoV| ~ a >> real width ~ 4d
+        op = StencilOperator((n,), ((-1,), (0,), (1,)),
+                             jnp.asarray([d_c + a_c, -2 * d_c - a_c,
+                                          d_c], jnp.float32),
+                             is_hermitian=False)
+        B = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+        with pytest.raises(FloatingPointError, match="diverged"):
+            phiv_timestep_leja(50.0, op, B, tol=1e-7)
