@@ -495,6 +495,11 @@ def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
                 gathered = _gather_tile(win, li, wr, mode, sid)
             return acc + vbuf[par, t0 + t] * gathered
 
+        # (A 2× manual unroll with a clamped+masked odd tail was
+        # measured at 13.3 ms vs this loop's 10.6 ms at 10M rows —
+        # the pair's extra masked tile and select outweigh the loop
+        # bookkeeping; the fixed per-tile cost is in the gather
+        # sequence itself, not the back-edge.)
         acc = lax.fori_loop(0, nt, body,
                             jnp.zeros((_SUB, _LANES), out_ref.dtype))
         out_ref[g, :] = jnp.sum(acc, axis=0)
