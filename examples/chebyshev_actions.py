@@ -64,6 +64,22 @@ def main():
     print(f"[3] advection–diffusion expv: leja vs arnoldi rel diff "
           f"{rel:.2e}")
 
+    # 4. Stiff non-Hermitian φ-combination: the Leja driver -----------
+    from exponentialutilities_jl_tpu import (StencilOperator,
+                                             phiv_timestep,
+                                             phiv_timestep_leja)
+    n4 = 2000
+    d_c, a_c = 1e3, 2e2     # diffusion-dominated (thin-ellipse FoV)
+    op4 = StencilOperator((n4,), ((-1,), (0,), (1,)),
+                          jnp.asarray([d_c + a_c, -2 * d_c - a_c, d_c]),
+                          is_hermitian=False)
+    B4 = jnp.asarray(rng.standard_normal((n4, 3)))
+    u_l = phiv_timestep_leja(1.0, op4, B4, tol=1e-9)
+    u_nw = phiv_timestep(1.0, op4, B4, adaptive=True, tol=1e-9, m=60)
+    rel = float(jnp.linalg.norm(u_l - u_nw) / jnp.linalg.norm(u_nw))
+    print(f"[4] stiff φ-combination (t·s=1100): leja driver vs "
+          f"adaptive NW rel diff {rel:.2e}")
+
 
 if __name__ == "__main__":
     main()
