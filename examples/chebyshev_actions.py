@@ -66,7 +66,6 @@ def main():
 
     # 4. Stiff non-Hermitian φ-combination: the Leja driver -----------
     from exponentialutilities_jl_tpu import (StencilOperator,
-                                             phiv_timestep,
                                              phiv_timestep_leja)
     n4 = 2000
     d_c, a_c = 1e3, 2e2     # diffusion-dominated (thin-ellipse FoV)
