@@ -1,9 +1,10 @@
 """Non-Hermitian stiff φ-combination at scale: the Leja NW driver vs
 the device-resident adaptive NW driver.
 
-Operator: 1-D advection–diffusion, n = 1e6, scaled so t·s ≈ 4000 over
-the horizon (q ≈ 100 substeps at max_z = 40). Both drivers are
-device-resident (one/few dispatches); timing = best-of warm calls.
+Operator: 1-D advection–diffusion, n = 1e6, Gershgorin interval
+(−4400, 0) → t·s = 1100 over the t = 1 horizon (q = 28 substeps at
+max_z = 40). Both drivers are device-resident (one/few dispatches);
+timing = best-of warm calls.
 """
 
 import time

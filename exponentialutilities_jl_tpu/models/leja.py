@@ -114,6 +114,29 @@ def real_interval(A) -> tuple[float, float]:
         "interval=(a, b) explicitly")
 
 
+def _truncate_dd(mag, tol: float, m_probe: int, m_override, what: str):
+    """Shared sup-norm-weighted tail truncation for divided-difference
+    tables: smallest m whose dropped tail stays below ``tol`` relative
+    to the largest term. Raises on non-convergence at the probe degree
+    (never silently truncates) unless the caller fixed the degree
+    explicitly."""
+    thresh = tol * max(float(mag.max()), 1e-300)
+    keep = np.nonzero(np.maximum.accumulate(mag[::-1])[::-1] > thresh)[0]
+    m_used = int(keep[-1]) + 1 if keep.size else 1
+    if m_override is not None:
+        return min(int(m_override), m_probe)
+    if m_used >= m_probe:
+        # the tail never fell below tol within the probe table (the
+        # probe formula carries margin, so this means non-convergence,
+        # not under-probing) — never silently truncate
+        raise ValueError(
+            f"{what}: Leja degree did not converge within the probe "
+            f"degree {m_probe} — widen substepping (smaller max_z), "
+            "check the interval encloses the spectrum, or use the "
+            "Krylov path")
+    return m_used
+
+
 def _divided_differences(t, c, s, xi):
     """d_k = dd's of x ↦ exp(t(c + s·x)) at the Leja points xi, via the
     Opitz bidiagonal identity (module docstring), host f64."""
@@ -200,19 +223,8 @@ def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
     xi, sup = _leja_points_sup(m_probe)
     d = _divided_differences(tau, c, s, xi)
     # uniform-remainder magnitudes: |d_k| · sup|Π_{i<k}(x − ξ_i)|
-    mag = np.abs(d) * sup
-    thresh = tol * mag.max()
-    # last index whose magnitude (or any later one) exceeds the cutoff
-    keep = np.nonzero(np.maximum.accumulate(mag[::-1])[::-1] > thresh)[0]
-    m_used = int(keep[-1]) + 1 if keep.size else 1
-    if m is not None:
-        m_used = min(m, m_probe)
-    if m is None and m_used == m_probe and m_probe == _MAX_DEGREE:
-        raise ValueError(
-            f"Leja degree did not converge at {_MAX_DEGREE} "
-            f"(z = {z:.1f} per substep) — widen max_z substepping or "
-            "check the interval encloses the spectrum")
-
+    m_used = _truncate_dd(np.abs(d) * sup, tol, m_probe, m,
+                          f"expv_leja (z = {z:.1f} per substep)")
     dj = jnp.asarray(d[:m_used], jnp.result_type(b.dtype))
     xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
     return _leja_apply(op, b, dj, xj, c, 1.0 / s, m_used, q)
@@ -271,12 +283,8 @@ def phiv_leja(t, A, b, k: int, *, interval=None, tol: float = 1e-7,
         max(z, 1.0) * np.log(1.0 / tol)) + 12)))
     xi, sup = _leja_points_sup(m_probe)
     D = _phi_divided_differences(tf, c, s, xi, k)       # (m, k+1)
-    mag = np.abs(D).max(axis=1) * sup
-    thresh = tol * mag.max()
-    keep = np.nonzero(np.maximum.accumulate(mag[::-1])[::-1] > thresh)[0]
-    m_used = int(keep[-1]) + 1 if keep.size else 1
-    if m is not None:
-        m_used = min(m, m_probe)
+    m_used = _truncate_dd(np.abs(D).max(axis=1) * sup, tol, m_probe, m,
+                          f"phiv_leja (z = {z:.1f})")
     Dj = jnp.asarray(D[:m_used], jnp.result_type(b.dtype))
     xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
     return _leja_apply(op, b, Dj, xj, c, 1.0 / s, m_used, 1)
@@ -359,7 +367,8 @@ def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
         B = B[:, None]
     p = B.shape[1] - 1
     scalar_ts = np.ndim(ts) == 0
-    ts_arr = np.sort(np.atleast_1d(np.asarray(ts, np.float64)))
+    ts_in = np.atleast_1d(np.asarray(ts, np.float64))
+    order = np.argsort(ts_in, kind="stable")
     if interval is None:
         interval = real_interval(op)
     a_lo, b_hi = float(interval[0]), float(interval[1])
@@ -368,58 +377,79 @@ def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
     if s <= 0:
         from .chebyshev import _phi_scalar_np
         cols = []
-        for t in ts_arr:
+        for t in ts_in:
             vals = _phi_scalar_np(np.asarray([t * c]), p)[:, 0]
             cols.append(sum((t ** j) * float(vals[j]) * B[:, j]
                             for j in range(p + 1)))
         U = jnp.stack(cols, axis=-1)
         return U[:, 0] if scalar_ts else U
 
-    u = B[:, 0]
-    outs = []
-    t_prev = 0.0
-    for t_snap in ts_arr:
-        dt_int = float(t_snap) - t_prev
-        if dt_int <= 0:
+    def march(snaps, u0):
+        """Evolve from t = 0 through the (monotone-away-from-zero)
+        snapshot list; returns the per-snapshot states."""
+        u = u0
+        outs = []
+        t_prev = 0.0
+        for t_snap in snaps:
+            dt_int = float(t_snap) - t_prev
+            if dt_int == 0.0:
+                outs.append(u)
+                continue
+            q = max(1, int(np.ceil(abs(dt_int) * s / max_z)))
+            tau = dt_int / q
+            z = abs(tau) * s
+            m_probe = min(_MAX_DEGREE, int(np.ceil(
+                3.2 * z + 2.5 * np.sqrt(max(z, 1.0) * np.log(1.0 / tol))
+                + 12)))
+            xi, sup = _leja_points_sup(m_probe)
+            if p == 0:
+                D = _divided_differences(tau, c, s, xi)[:, None]
+            else:
+                D = _phi_divided_differences(tau, c, s, xi, p)
+            D = D * (tau ** np.arange(p + 1))[None, :]  # fold τ^j
+            # max_degree is a CAP the caller opts into (accepting
+            # truncation), not a fixed degree — the convergence raise
+            # still fires when no cap was given.
+            try:
+                m_used = _truncate_dd(
+                    np.abs(D).max(axis=1) * sup, tol, m_probe, None,
+                    f"phiv_timestep_leja (z = {z:.1f} per substep)")
+            except ValueError:
+                if max_degree is None:
+                    raise
+                m_used = m_probe
+            if max_degree is not None:
+                m_used = min(m_used, max_degree)
+            Dj = jnp.asarray(D[:m_used], jnp.result_type(u.dtype))
+            xj = jnp.asarray(xi[:m_used], jnp.finfo(u.dtype).dtype)
+            u = _nw_leja_scan(op, u, B, Dj, xj, c, 1.0 / s,
+                              jnp.asarray(t_prev), jnp.asarray(tau),
+                              p=p, m=m_used, q=q)
             outs.append(u)
-            continue
-        q = max(1, int(np.ceil(abs(dt_int) * s / max_z)))
-        tau = dt_int / q
-        z = abs(tau) * s
-        m_probe = min(_MAX_DEGREE, int(np.ceil(
-            3.2 * z + 2.5 * np.sqrt(max(z, 1.0) * np.log(1.0 / tol))
-            + 12)))
-        xi, sup = _leja_points_sup(m_probe)
-        if p == 0:
-            D = _divided_differences(tau, c, s, xi)[:, None]
-        else:
-            D = _phi_divided_differences(tau, c, s, xi, p)
-        D = D * (tau ** np.arange(p + 1))[None, :]   # fold τ^j weights
-        mag = np.abs(D).max(axis=1) * sup
-        thresh = tol * max(mag.max(), 1e-300)
-        keep = np.nonzero(
-            np.maximum.accumulate(mag[::-1])[::-1] > thresh)[0]
-        m_used = int(keep[-1]) + 1 if keep.size else 1
-        if max_degree is not None:
-            m_used = min(m_used, max_degree)
-        Dj = jnp.asarray(D[:m_used], jnp.result_type(u.dtype))
-        xj = jnp.asarray(xi[:m_used], jnp.finfo(u.dtype).dtype)
-        u = _nw_leja_scan(op, u, B, Dj, xj, c, 1.0 / s,
-                          jnp.asarray(t_prev), jnp.asarray(tau),
-                          p=p, m=m_used, q=q)
-        # No-throw-NaN contract (the NW drivers' failure protocol,
-        # reference src/phi_almohy.jl:110-142): real-Leja interpolation
-        # DIVERGES when the field of values has imaginary extent
-        # comparable to the interval (advection-dominated operators) —
-        # surface it, never return NaN silently.
-        if not bool(jnp.all(jnp.isfinite(u))):
-            raise FloatingPointError(
-                "phiv_timestep_leja diverged (non-finite substep "
-                "result): the operator's field of values likely has "
-                "imaginary extent comparable to its real interval "
-                "(advection-dominated). Use phiv_timestep / "
-                "phiv_timestep_device (Krylov) for this operator class.")
-        outs.append(u)
-        t_prev = float(t_snap)
-    U = jnp.stack(outs, axis=-1)
+            t_prev = float(t_snap)
+        return outs
+
+    # march positives forward and negatives backward, both from t = 0
+    ts_sorted = ts_in[order]
+    pos_idx = order[ts_sorted >= 0]
+    neg_idx = order[ts_sorted < 0][::-1]       # toward −∞ from 0
+    u0 = B[:, 0]
+    cols = [None] * len(ts_in)
+    for idx_list in (pos_idx, neg_idx):
+        if len(idx_list):
+            for i, u in zip(idx_list, march(ts_in[idx_list], u0)):
+                cols[int(i)] = u
+    U = jnp.stack(cols, axis=-1)
+    # No-throw-NaN contract (the NW drivers' failure protocol,
+    # reference src/phi_almohy.jl:110-142): real-Leja interpolation
+    # DIVERGES when the field of values has imaginary extent comparable
+    # to the interval (advection-dominated operators) — surface it,
+    # never return NaN silently. One host sync for the whole solve.
+    if not bool(jnp.all(jnp.isfinite(U))):
+        raise FloatingPointError(
+            "phiv_timestep_leja diverged (non-finite result): the "
+            "operator's field of values likely has imaginary extent "
+            "comparable to its real interval (advection-dominated). "
+            "Use phiv_timestep / phiv_timestep_device (Krylov) for "
+            "this operator class.")
     return U[:, 0] if scalar_ts else U

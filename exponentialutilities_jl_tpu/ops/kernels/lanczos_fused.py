@@ -446,7 +446,11 @@ def _fused_dispatch(op):
             # as a jit argument the build is part of the traced program.
             key = (gg, jnp.dtype(dt).name)
             cached = getattr(op, "_ghost_planes_cache", None)
-            if cached is not None and cached[0] == key:
+            # identity check on the source array: a reassigned
+            # op.coeff_fields must not serve stale planes (the strong
+            # ref also pins the id against reuse after GC)
+            if (cached is not None and cached[0] == key
+                    and cached[2] is op.coeff_fields):
                 return cached[1]
             cmap = {off: op.coeff_fields[k]
                     for k, off in enumerate(op.offsets)}
@@ -456,7 +460,7 @@ def _fused_dispatch(op):
             planes.append(zero)                     # pad slot 7
             stacked = jnp.stack(planes, axis=1)     # (nz, 8, R, 128)
             if not isinstance(stacked, jax.core.Tracer):
-                op._ghost_planes_cache = (key, stacked)
+                op._ghost_planes_cache = (key, stacked, op.coeff_fields)
             return stacked
 
         return None, builder

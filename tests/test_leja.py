@@ -219,3 +219,37 @@ class TestPhivTimestepLeja:
         B = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
         with pytest.raises(FloatingPointError, match="diverged"):
             phiv_timestep_leja(50.0, op, B, tol=1e-7)
+
+    def test_unsorted_ts_preserves_caller_order(self, rng):
+        """Output columns must follow the CALLER's ts order (the NW
+        driver restores its sort; review found this one didn't)."""
+        from exponentialutilities_jl_tpu.models.leja import (
+            phiv_timestep_leja)
+        n = 150
+        op = advection_diffusion_1d(n, peclet=4.0)
+        B = jnp.asarray(rng.standard_normal((n, 2)))
+        ts = [5e-5, 2e-5]              # deliberately descending
+        U = phiv_timestep_leja(ts, op, B, tol=1e-10)
+        U0 = phiv_timestep_leja(5e-5, op, B, tol=1e-10)
+        U1 = phiv_timestep_leja(2e-5, op, B, tol=1e-10)
+        # the multi-snapshot march passes through the intermediate
+        # time with its own substep grid — agreement is at the tol
+        # class, not bitwise
+        np.testing.assert_allclose(np.asarray(U[:, 0]), np.asarray(U0),
+                                   rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(U[:, 1]), np.asarray(U1),
+                                   rtol=1e-7, atol=1e-10)
+
+    def test_negative_t_backward_evolution(self, rng):
+        """t < 0 must evolve backward, not silently return b_0."""
+        from exponentialutilities_jl_tpu.models.leja import (
+            phiv_timestep_leja)
+        import scipy.linalg as sla
+        n = 100
+        op = advection_diffusion_1d(n, peclet=2.0)
+        b = jnp.asarray(rng.standard_normal(n))
+        t = -2e-5
+        u = phiv_timestep_leja(t, op, b, tol=1e-10)
+        ref = sla.expm(t * np.asarray(op.to_dense())) @ np.asarray(b)
+        assert np.linalg.norm(np.asarray(u) - ref) / np.linalg.norm(ref) \
+            < 1e-7
