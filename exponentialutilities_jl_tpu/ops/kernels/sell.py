@@ -104,6 +104,30 @@ class SellData:
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
+    def save(self, path: str) -> None:
+        """Persist the packed layout (npz). Packing 10M rows takes tens
+        of seconds of host work — production serving should pack once
+        and ``SellData.load`` on every restart."""
+        np.savez(path, vals=np.asarray(self.vals),
+                 lidx=np.asarray(self.lidx),
+                 group_ptr=np.asarray(self.group_ptr),
+                 win_row=np.asarray(self.win_row),
+                 pptr=np.asarray(self.pptr),
+                 meta=np.asarray([self.n, self.nnz, self.win_rows,
+                                  self.cap, self.capp, self.chunks],
+                                 np.int64),
+                 mode=np.asarray(self.mode))
+
+    @classmethod
+    def load(cls, path: str) -> "SellData":
+        z = np.load(path, allow_pickle=False)
+        n, nnz, win_rows, cap, capp, chunks = (int(v) for v in z["meta"])
+        return cls(jnp.asarray(z["vals"]), jnp.asarray(z["lidx"]),
+                   jnp.asarray(z["group_ptr"]), jnp.asarray(z["win_row"]),
+                   n, nnz, win_rows=win_rows, mode=str(z["mode"]),
+                   cap=cap, pptr=jnp.asarray(z["pptr"]), capp=capp,
+                   chunks=chunks)
+
 
 jax.tree_util.register_pytree_node(
     SellData,

@@ -228,3 +228,24 @@ def test_sell_chunked_operator_in_expv(rng):
     w = np.asarray(eu.expv(0.3, op, jnp.asarray(b), m=40))
     want = sla.expm(0.3 * np.asarray(A.todense()) / 10) @ b
     assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-9
+
+
+def test_sell_save_load_roundtrip(tmp_path, rng):
+    """Pack persistence: production serving packs once, loads on
+    restart (packing 10M rows costs tens of host seconds)."""
+    from exponentialutilities_jl_tpu.ops.kernels.sell import (
+        SellData, sell_pack, sell_spmv_ref)
+    n = 600
+    d = 5
+    rows = np.repeat(np.arange(n), d)
+    cols = np.clip(rows + rng.integers(-40, 40, n * d), 0, n - 1)
+    vals = rng.standard_normal(n * d).astype(np.float32)
+    data = sell_pack((rows, cols, vals), n, window=1024)
+    path = str(tmp_path / "pack.npz")
+    data.save(path)
+    back = SellData.load(path)
+    assert back.mode == data.mode and back.n == data.n \
+        and back.nnz == data.nnz and back.cap == data.cap
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(sell_spmv_ref(back, x)),
+                                  np.asarray(sell_spmv_ref(data, x)))
