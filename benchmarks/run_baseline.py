@@ -23,9 +23,15 @@ import numpy as np
 
 
 def _setup():
+    import sys
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # tracing the Pallas fused kernel nested in scan-in-fori chains is
+    # ~marginal against CPython's default 1000-frame recursion limit
+    # (config 5 tripped it only when run after configs 1-4)
+    sys.setrecursionlimit(10_000)
     return jax
 
 
@@ -146,7 +152,9 @@ def config2():
         w = _chebyshev_apply_scan(op, v, cj, -2.0, 0.5)
         return w / jnp.linalg.norm(w)
 
-    t_cheb = _chain_time(step_ch, bj)
+    # the chebyshev step is ~20 µs — long chains so the slope clears
+    # tunnel noise (a K2−K1=10 chain differs by only ~0.2 ms)
+    t_cheb = _chain_time(step_ch, bj, K1=8, K2=108)
     w_ch = np.asarray(_chebyshev_apply_scan(op, bj, cj, -2.0, 0.5),
                       np.float64)
     err_ch = float(np.linalg.norm(w_ch - ref) / np.linalg.norm(ref))
@@ -316,15 +324,47 @@ def config5():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--no-isolate", action="store_true",
+                    help="run all configs in this process")
     args = ap.parse_args()
+    cfgs = [int(x) for x in args.configs.split(",")]
+
+    if len(cfgs) > 1 and not args.no_isolate:
+        # SEQUENTIAL subprocess per config: in-process accumulation
+        # across configs eventually blows Python's recursion limit while
+        # tracing the Pallas fused kernel (config 5 failed only after
+        # configs 1-4; a 10k limit did not save it). The parent never
+        # imports jax, so the single-chip tunnel is held by exactly one
+        # process at a time; the persistent compile cache keeps the
+        # per-child warmup cheap.
+        import subprocess
+        import sys
+        for i, c in enumerate(cfgs):
+            r = subprocess.run(
+                [sys.executable, __file__, "--configs", str(c)],
+                capture_output=True, text=True)
+            for line in r.stdout.splitlines():
+                if not line.startswith("{"):
+                    continue
+                if '"backend"' in line and i > 0:
+                    continue                      # print backend once
+                print(line, flush=True)
+            if r.returncode != 0:
+                print(json.dumps({"config": c,
+                                  "error": r.stderr.strip()[-400:]}),
+                      flush=True)
+        return
+
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     jax = _setup()
     print(json.dumps({"backend": jax.default_backend(),
                       "n_devices": len(jax.devices())}), flush=True)
-    for c in [int(x) for x in args.configs.split(",")]:
+    for c in cfgs:
         try:
             print(json.dumps(fns[c]()), flush=True)
         except Exception as e:  # keep going; record the failure
+            import traceback
+            traceback.print_exc()
             print(json.dumps({"config": c,
                               "error": f"{type(e).__name__}: {e}"}),
                   flush=True)
