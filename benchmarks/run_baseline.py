@@ -343,12 +343,19 @@ def main():
             r = subprocess.run(
                 [sys.executable, __file__, "--configs", str(c)],
                 capture_output=True, text=True)
+            failed = r.returncode != 0
             for line in r.stdout.splitlines():
                 if not line.startswith("{"):
                     continue
                 if '"backend"' in line and i > 0:
                     continue                      # print backend once
+                if '"error"' in line:
+                    failed = True
                 print(line, flush=True)
+            if failed:
+                # surface the child's traceback, not just the JSON line
+                sys.stderr.write(r.stderr[-3000:] + "\n")
+                sys.stderr.flush()
             if r.returncode != 0:
                 print(json.dumps({"config": c,
                                   "error": r.stderr.strip()[-400:]}),

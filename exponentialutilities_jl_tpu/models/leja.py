@@ -114,6 +114,13 @@ def real_interval(A) -> tuple[float, float]:
         "interval=(a, b) explicitly")
 
 
+def _probe_degree(z: float, tol: float) -> int:
+    """Generous dd-table probe degree for per-substep parameter z (one
+    place for the 3.2/2.5/12 margin constants)."""
+    return min(_MAX_DEGREE, int(np.ceil(
+        3.2 * z + 2.5 * np.sqrt(max(z, 1.0) * np.log(1.0 / tol)) + 12)))
+
+
 def _truncate_dd(mag, tol: float, m_probe: int, m_override, what: str):
     """Shared sup-norm-weighted tail truncation for divided-difference
     tables: smallest m whose dropped tail stays below ``tol`` relative
@@ -218,8 +225,7 @@ def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
 
     # Degree from the divided-difference tail: compute a generous table
     # and truncate where the trailing |d_k| stay below tol·max|d|.
-    m_probe = min(_MAX_DEGREE, int(np.ceil(3.2 * z + 2.5 * np.sqrt(
-        max(z, 1.0) * np.log(1.0 / tol)) + 12)))
+    m_probe = _probe_degree(z, tol)
     xi, sup = _leja_points_sup(m_probe)
     d = _divided_differences(tau, c, s, xi)
     # uniform-remainder magnitudes: |d_k| · sup|Π_{i<k}(x − ξ_i)|
@@ -279,8 +285,7 @@ def phiv_leja(t, A, b, k: int, *, interval=None, tol: float = 1e-7,
             f"|t|·s = {z:.1f} exceeds max_z = {max_z}: φ actions have "
             "no exact substepping — use phiv_timestep/kiops for stiff "
             "horizons")
-    m_probe = min(_MAX_DEGREE, int(np.ceil(3.2 * z + 2.5 * np.sqrt(
-        max(z, 1.0) * np.log(1.0 / tol)) + 12)))
+    m_probe = _probe_degree(z, tol)
     xi, sup = _leja_points_sup(m_probe)
     D = _phi_divided_differences(tf, c, s, xi, k)       # (m, k+1)
     m_used = _truncate_dd(np.abs(D).max(axis=1) * sup, tol, m_probe, m,
@@ -398,6 +403,7 @@ def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
         u = u0
         outs = []
         t_prev = 0.0
+        dd_memo = {}
         for t_snap in snaps:
             dt_int = float(t_snap) - t_prev
             if dt_int == 0.0:
@@ -406,15 +412,20 @@ def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
             q = max(1, int(np.ceil(abs(dt_int) * s / max_z)))
             tau = dt_int / q
             z = abs(tau) * s
-            m_probe = min(_MAX_DEGREE, int(np.ceil(
-                3.2 * z + 2.5 * np.sqrt(max(z, 1.0) * np.log(1.0 / tol))
-                + 12)))
-            xi, sup = _leja_points_sup(m_probe)
-            if p == 0:
-                D = _divided_differences(tau, c, s, xi)[:, None]
+            m_probe = _probe_degree(z, tol)
+            # per-call dd memo: equally spaced snapshots share one table
+            # (scipy expm of a ~(m_probe+p)^2 bidiagonal per DISTINCT τ)
+            memo_key = (round(tau, 15), m_probe)
+            if memo_key in dd_memo:
+                xi, sup, D = dd_memo[memo_key]
             else:
-                D = _phi_divided_differences(tau, c, s, xi, p)
-            D = D * (tau ** np.arange(p + 1))[None, :]  # fold τ^j
+                xi, sup = _leja_points_sup(m_probe)
+                if p == 0:
+                    D = _divided_differences(tau, c, s, xi)[:, None]
+                else:
+                    D = _phi_divided_differences(tau, c, s, xi, p)
+                D = D * (tau ** np.arange(p + 1))[None, :]  # fold τ^j
+                dd_memo[memo_key] = (xi, sup, D)
             # max_degree is a CAP the caller opts into (accepting
             # truncation), not a fixed degree — the convergence raise
             # still fires when no cap was given.

@@ -120,6 +120,9 @@ class SellData:
 
     @classmethod
     def load(cls, path: str) -> "SellData":
+        import os
+        if not os.path.exists(path) and not path.endswith(".npz"):
+            path = path + ".npz"       # np.savez auto-appends .npz
         z = np.load(path, allow_pickle=False)
         n, nnz, win_rows, cap, capp, chunks = (int(v) for v in z["meta"])
         return cls(jnp.asarray(z["vals"]), jnp.asarray(z["lidx"]),
