@@ -127,6 +127,20 @@ def _truncate_dd(mag, tol: float, m_probe: int, m_override, what: str):
     to the largest term. Raises on non-convergence at the probe degree
     (never silently truncates) unless the caller fixed the degree
     explicitly."""
+    if not np.isfinite(mag).all():
+        # an overflowed divided-difference table (scipy expm of the
+        # bidiagonal shift matrix overflows past exp(709) entries —
+        # reachable on growth spectra with a raised max_z) must never
+        # pass as converged: every comparison below would be False and
+        # the fallback m_used=1 would return a finite but wrong
+        # degree-0 interpolation. FloatingPointError (not ValueError)
+        # so the max_degree cap in phiv_timestep_leja can never swallow
+        # it — an overflowed table is divergence, not slow convergence.
+        raise FloatingPointError(
+            f"{what}: divided-difference table is non-finite "
+            "(overflow in the host expm of the shift matrix) — shrink "
+            "max_z so each substep's |tau|*s is smaller, or use the "
+            "Krylov path")
     thresh = tol * max(float(mag.max()), 1e-300)
     keep = np.nonzero(np.maximum.accumulate(mag[::-1])[::-1] > thresh)[0]
     m_used = int(keep[-1]) + 1 if keep.size else 1
@@ -415,7 +429,11 @@ def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
             m_probe = _probe_degree(z, tol)
             # per-call dd memo: equally spaced snapshots share one table
             # (scipy expm of a ~(m_probe+p)^2 bidiagonal per DISTINCT τ)
-            memo_key = (round(tau, 15), m_probe)
+            # exact-float key: bitwise-equal linspace intervals still
+            # hit, and distinct sub-1e-15 widths can never collide (an
+            # absolute decimal rounding collided all |tau| < ~5e-16
+            # onto the first entry's table)
+            memo_key = (float(tau).hex(), m_probe)
             if memo_key in dd_memo:
                 xi, sup, D = dd_memo[memo_key]
             else:

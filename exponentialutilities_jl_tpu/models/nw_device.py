@@ -37,7 +37,8 @@ from ..utils.linop import LinearOperator, aslinearoperator
 from ..utils.precision import mxu_full_precision
 from .expv import build_subspace
 from .timestepping import (TimestepStats, _MAX_NONFINITE_REJECTS, _M_BUCKETS,
-                           _bucket_m, _compute_W, _initial_tau, _update_u)
+                           _bucket_m, _compute_W, _initial_tau,
+                           _signed_ts_dispatch, _update_u)
 
 __all__ = ["phiv_timestep_device", "expv_timestep_device"]
 
@@ -285,6 +286,14 @@ def phiv_timestep_device(ts, A, B, *, m: int = 10, tol: float = 1e-7,
         B = B[:, None]
     n, ppo = B.shape
     p = ppo - 1
+    handled = _signed_ts_dispatch(
+        phiv_timestep_device, ts, op, B, return_stats,
+        dict(m=m, tol=tol, opnorm=opnorm, tau=tau, iop=iop, delta=delta,
+             gamma=gamma, nnz=nnz, m_max=m_max, hermitian=hermitian,
+             expm_method=expm_method, max_steps=max_steps,
+             max_rejects=max_rejects))
+    if handled is not None:
+        return handled
     rdt = jnp.finfo(jnp.result_type(B.dtype, jnp.float32)).dtype
     if hermitian is None:
         hermitian = op.is_hermitian
@@ -348,7 +357,11 @@ def phiv_timestep_device(ts, A, B, *, m: int = 10, tol: float = 1e-7,
     inv[order] = np.arange(len(ts_arr))
     U = U[:, inv]
     out_arr = U[:, 0] if scalar_ts else U
-    return (out_arr, stats) if return_stats else out_arr
+    if return_stats:
+        return out_arr, stats
+    from .timestepping import _warn_discarded_info
+    _warn_discarded_info(stats, "phiv_timestep_device")
+    return out_arr
 
 
 def expv_timestep_device(ts, A, b, **kwargs):

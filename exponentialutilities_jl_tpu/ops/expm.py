@@ -299,13 +299,35 @@ def expm_generic(A, *, order: int | None = None, max_squarings: int = 48,
 def expm_diagonalization(A, *, is_hermitian: bool = False):
     """exp(A) via eigendecomposition (reference: src/exp.jl:75-130).
 
-    Hermitian input uses ``eigh`` (TPU-supported); general input uses ``eig``
-    which XLA only provides on CPU — gate accordingly.
+    Hermitian input uses ``eigh`` on device (every backend). General
+    (non-Hermitian) input needs ``eig``, which XLA provides ONLY on CPU
+    — on TPU/GPU backends the general branch HOST-STAGES the
+    eigendecomposition in LAPACK f64 (the same between-jits staging as
+    ops/host_reduced.py; also the accuracy-preferred route, since a
+    device f32 eig would not exist at any precision). Inside a trace
+    (jit/vmap) on a non-CPU backend the general branch therefore raises:
+    use ``expm_higham2005``/``expm_taylor`` there, which lower
+    everywhere.
     """
     A = jnp.asarray(A)
     if is_hermitian:
         w, Q = jnp.linalg.eigh(A)
         return (Q * jnp.exp(w)) @ Q.conj().T
+    if jax.default_backend() != "cpu":
+        if isinstance(A, jax.core.Tracer):
+            raise NotImplementedError(
+                "expm_diagonalization(general) inside jit is CPU-only: "
+                "XLA lowers eig only on CPU and the host staging cannot "
+                "run under a trace — use method='higham2005' or "
+                "'taylor' inside jitted code on this backend")
+        import numpy as np
+        Ah = np.asarray(A, np.complex128 if jnp.issubdtype(
+            A.dtype, jnp.complexfloating) else np.float64)
+        w, R = np.linalg.eig(Ah)
+        X = (R * np.exp(w)) @ np.linalg.inv(R)
+        if not jnp.issubdtype(A.dtype, jnp.complexfloating):
+            X = X.real
+        return jnp.asarray(X, A.dtype)
     w, R = jnp.linalg.eig(A)
     X = (R * jnp.exp(w)) @ jnp.linalg.inv(R)
     if not jnp.issubdtype(A.dtype, jnp.complexfloating):

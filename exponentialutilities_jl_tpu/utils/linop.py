@@ -24,6 +24,7 @@ __all__ = [
     "DenseOperator",
     "MatrixFreeOperator",
     "DiagonalOperator",
+    "NegatedOperator",
     "aslinearoperator",
 ]
 
@@ -171,6 +172,54 @@ class MatrixFreeOperator(LinearOperator):
     def tree_unflatten(cls, aux, children):
         fn, shape, dtype, herm, opn = aux
         return cls(fn, shape, dtype=dtype, is_hermitian=herm, opnorm=opn)
+
+
+@jax.tree_util.register_pytree_node_class
+class NegatedOperator(LinearOperator):
+    """``-A`` as an operator (pytree wrapper around any LinearOperator).
+
+    Exists for the sign-marching reduction in the time-stepping drivers
+    (the reference's kiops marches ``abs(tau)``, src/kiops.jl:129):
+
+        u(-σ; A, b_j)  ==  u(σ; -A, (-1)^j b_j)
+
+    so negative output times run through the unchanged forward-marching
+    machinery. Hermitian-ness, norm hints and the sparse ``nnz`` cost
+    forward to the wrapped operator (negation changes none of them)."""
+
+    def __init__(self, inner: LinearOperator):
+        self.inner = inner
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+    @property
+    def is_hermitian(self):
+        return self.inner.is_hermitian
+
+    @property
+    def nnz(self):
+        # AttributeError propagates when the wrapped operator has no nnz,
+        # so hasattr(op, "nnz") stays faithful to the inner operator.
+        return self.inner.nnz
+
+    def matvec(self, x):
+        return -self.inner.matvec(x)
+
+    def opnorm_hint(self):
+        return self.inner.opnorm_hint()
+
+    def tree_flatten(self):
+        return (self.inner,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
 
 
 def aslinearoperator(A, is_hermitian: Optional[bool] = None) -> LinearOperator:

@@ -353,3 +353,64 @@ class TestConvergenceGuards:
         B = jnp.ones((64, 2))
         with pytest.raises(ValueError, match="did not converge"):
             phiv_timestep_chebyshev(1.0, op, B, tol=1e-9)
+
+
+class TestFinitenessGuard:
+    """No-silent-NaN protocol for the Chebyshev drivers (ADVICE r2 low):
+    a non-enclosing spectral interval diverges the U_k recurrence — the
+    drivers must raise FloatingPointError, never return inf/NaN."""
+
+    def test_expv_diverges_loudly_on_bad_bounds(self, rng):
+        # spectrum reaches -2000 but bounds claim [-20, 0]: the mapped
+        # extreme |x| = 199 makes U_k blow up ~ 398^k → f32 overflow
+        n = 50
+        d = np.linspace(-2000.0, 0.0, n)
+        A = jnp.asarray(np.diag(d), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        with pytest.raises(FloatingPointError, match="enclose"):
+            expv_chebyshev(1.0, DenseOperator(A, is_hermitian=True), b,
+                           bounds=(-20.0, 0.0))
+
+    def test_phiv_timestep_diverges_loudly(self, rng):
+        from exponentialutilities_jl_tpu import phiv_timestep_chebyshev
+        n = 50
+        d = np.linspace(-2000.0, 0.0, n)
+        A = jnp.asarray(np.diag(d), jnp.float32)
+        B = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+        with pytest.raises(FloatingPointError, match="enclose"):
+            phiv_timestep_chebyshev(1.0, DenseOperator(A, is_hermitian=True),
+                                    B, bounds=(-20.0, 0.0))
+
+    def test_good_bounds_do_not_raise(self, rng):
+        n = 50
+        d = np.linspace(-200.0, 0.0, n)
+        A = jnp.asarray(np.diag(d))
+        b = jnp.asarray(rng.standard_normal(n))
+        w = expv_chebyshev(1.0, DenseOperator(A, is_hermitian=True), b,
+                           bounds=(-201.0, 1.0))
+        want = np.exp(1.0 * d) * np.asarray(b)
+        assert np.linalg.norm(np.asarray(w) - want) < 1e-6
+
+
+class TestSpectralBoundsProbes:
+    def test_multi_probe_union_encloses(self, rng):
+        from exponentialutilities_jl_tpu.models.chebyshev import \
+            spectral_bounds
+        n = 120
+        M = rng.standard_normal((n, n))
+        A = jnp.asarray((M + M.T) / 2)
+        w = np.linalg.eigvalsh(np.asarray(A))
+        lo, hi = spectral_bounds(DenseOperator(A, is_hermitian=True))
+        assert lo <= w[0] and hi >= w[-1]
+
+    def test_explicit_probe_still_works(self, rng):
+        from exponentialutilities_jl_tpu.models.chebyshev import \
+            spectral_bounds
+        n = 80
+        M = rng.standard_normal((n, n))
+        A = jnp.asarray((M + M.T) / 2)
+        probe = jnp.asarray(rng.standard_normal(n))
+        lo, hi = spectral_bounds(DenseOperator(A, is_hermitian=True),
+                                 probe, k=40)
+        w = np.linalg.eigvalsh(np.asarray(A))
+        assert lo <= w[0] + 1e-6 and hi >= w[-1] - 1e-6

@@ -253,3 +253,44 @@ class TestPhivTimestepLeja:
         ref = sla.expm(t * np.asarray(op.to_dense())) @ np.asarray(b)
         assert np.linalg.norm(np.asarray(u) - ref) / np.linalg.norm(ref) \
             < 1e-7
+
+
+class TestNonFiniteDDTable:
+    """An overflowed divided-difference table must raise, never pass as a
+    silently-wrong degree-0 interpolation (ADVICE r2 medium: every
+    comparison against a NaN threshold is False, so _truncate_dd used to
+    fall back to m_used=1)."""
+
+    def test_truncate_dd_raises_on_nonfinite(self):
+        from exponentialutilities_jl_tpu.models.leja import _truncate_dd
+        mag = np.array([1.0, 0.5, np.nan, 0.1])
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            _truncate_dd(mag, 1e-7, 10, None, "test")
+        mag_inf = np.array([1.0, np.inf, 0.1])
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            _truncate_dd(mag_inf, 1e-7, 10, None, "test")
+
+    def test_expv_leja_overflowed_table_raises(self, rng):
+        # growth spectrum + raised max_z → the host expm of the shift
+        # matrix overflows (entries ~ e^2000); must raise, not return a
+        # finite degree-0 result
+        n = 20
+        d = np.linspace(1.0, 1999.0, n)
+        A = jnp.asarray(np.diag(d))
+        b = jnp.asarray(rng.standard_normal(n))
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            expv_leja(1.0, A, b, interval=(0.0, 2000.0), max_z=2000.0)
+
+    def test_max_degree_cap_cannot_swallow_overflow(self, rng):
+        # the max_degree CAP downgrades the slow-convergence ValueError
+        # to best-effort truncation, but must never swallow the
+        # FloatingPointError from a non-finite table
+        from exponentialutilities_jl_tpu import phiv_timestep_leja
+        n = 20
+        d = np.linspace(1.0, 1999.0, n)
+        A = jnp.asarray(np.diag(d))
+        b = rng.standard_normal(n)
+        with pytest.raises(FloatingPointError):
+            phiv_timestep_leja(1.0, A, b[:, None],
+                               interval=(0.0, 2000.0), max_z=2000.0,
+                               max_degree=64)
