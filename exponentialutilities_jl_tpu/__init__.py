@@ -33,6 +33,7 @@ from .ops.phi_dense import (phi, phi_scalar, phi_taylor, phi_with_info,
                             phiv_dense)
 from .ops.phi_almohy import phi_pade, phi_pade_with_info
 from .ops.expm_dd import expm_dd, DD
+from .ops.phi_dd import phi_dd, phiv_dense_dd, expv_dd
 from .ops.krylov import KrylovBasis, arnoldi, lanczos
 from .models.expv import (expv, expv_from_basis, build_subspace, make_expv,
                           expv_batched)
@@ -78,6 +79,7 @@ __all__ = [
     "phiv_timestep_device", "expv_timestep_device", "expv_taylor", "expv_taylor_batched",
     "expv_chebyshev", "phiv_chebyshev", "funm_chebyshev", "chebyshev_apply",
     "spectral_bounds", "phiv_timestep_chebyshev", "expm_dd", "DD",
+    "phi_dd", "phiv_dense_dd", "expv_dd",
     "expv_leja", "phiv_leja", "phiv_timestep_leja", "leja_points",
     "real_interval",
     "LinearOperator", "DenseOperator", "DiagonalOperator",

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["reduced_default", "host_expm", "host_expm_e1", "host_phiv_e1"]
+__all__ = ["reduced_default", "host_expm", "host_expm_e1", "host_phiv_e1",
+           "host_phi"]
 
 
 def reduced_default() -> str:
@@ -81,3 +82,41 @@ def host_phiv_e1(H, t, k: int, out_dtype=None):
     C[:, 0] = P[:m, 0]                    # φ_0(tH) e₁
     C[:, 1:] = P[:m, m:m + k]
     return jnp.asarray(C.astype(dt))
+
+
+def host_phi(A, k: int, out_dtype=None):
+    """Full dense φ stack [φ_0(A), …, φ_k(A)] (k+1, n, n) on the HOST in
+    f64/c128, via the block-matrix identity (Sidje Thm 1 / Al-Mohy–Liu
+    Thm 2.1; the same construction tests/test_phi.py uses as its
+    independent oracle):
+
+        exp([[A, E], [0, K]])[:n, n+(j-1)n : n+jn] = φ_j(A),
+        E = [I 0 … 0],  K the k·n-sized block-nilpotent shift.
+
+    Exists as the host-staged route to dense f64 φ on backends whose
+    device LU does not lower (TPU) and as a convenient oracle; for
+    on-chip f64 use ``phi(..., method="pade")`` (its Newton–Schulz
+    denominator engine) instead — this helper costs one expm of a
+    (k+1)n-sized matrix on the host. Reference context: the reference
+    runs its Padé LU at f64 on every backend (src/phi_almohy.jl:456-507).
+    """
+    import scipy.linalg as sla
+
+    Ah = np.asarray(A)
+    n = Ah.shape[0]
+    dt = out_dtype or Ah.dtype
+    hdt = _hdt(dt)
+    Ah = Ah.astype(hdt)
+    if k == 0:
+        return jnp.asarray(sla.expm(Ah)[None].astype(dt))
+    E = np.zeros((n, k * n), dtype=hdt)
+    E[:, :n] = np.eye(n)
+    K = np.zeros((k * n, k * n), dtype=hdt)
+    for j in range(k - 1):
+        K[j * n:(j + 1) * n, (j + 1) * n:(j + 2) * n] = np.eye(n)
+    P = sla.expm(np.block([[Ah, E], [np.zeros((k * n, n), hdt), K]]))
+    out = np.empty((k + 1, n, n), dtype=hdt)
+    out[0] = P[:n, :n]
+    for j in range(1, k + 1):
+        out[j] = P[:n, n + (j - 1) * n:n + j * n]
+    return jnp.asarray(out.astype(dt))
