@@ -55,8 +55,12 @@ def build_subspace(op: LinearOperator, b, m: int, *, tol: float = 1e-7,
                    axis_name=axis_name)
 
 
-def _exp_reduced_e1(Ks: KrylovBasis, t):
-    """First column of exp(t·H_m) for the masked reduced matrix, (m,)."""
+def _exp_reduced_e1(Ks: KrylovBasis, t, differentiable: bool = False):
+    """First column of exp(t·H_m) for the masked reduced matrix, (m,).
+
+    ``differentiable=True`` routes the non-Hermitian branch through the
+    bounded masked squaring so the action is reverse-differentiable
+    (the primal dynamic-trip-count squaring cannot be reverse-AD'd)."""
     m = Ks.m
     Hm = Ks.H[:m, :m]
     t = jnp.asarray(t)
@@ -68,7 +72,7 @@ def _exp_reduced_e1(Ks: KrylovBasis, t):
         w, Q = jnp.linalg.eigh(Hm)
         return Q @ (jnp.exp(t * w) * Q[0, :].conj())
     Ht = t * Hm.astype(jnp.result_type(Ks.H.dtype, t.dtype))
-    return expm_higham2005(Ht)[:, 0]
+    return expm_higham2005(Ht, differentiable=differentiable)[:, 0]
 
 
 @jax.jit
@@ -82,13 +86,14 @@ def _combine_expv(Ks: KrylovBasis, expHe):
     return jnp.where(Ks.beta > 0, out, jnp.zeros_like(out))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("differentiable",))
 @mxu_full_precision
-def _expv_from_basis_device(t, Ks: KrylovBasis):
-    return _combine_expv(Ks, _exp_reduced_e1(Ks, t))
+def _expv_from_basis_device(t, Ks: KrylovBasis, differentiable: bool = False):
+    return _combine_expv(Ks, _exp_reduced_e1(Ks, t, differentiable))
 
 
-def expv_from_basis(t, Ks: KrylovBasis, *, reduced: str = "device"):
+def expv_from_basis(t, Ks: KrylovBasis, *, reduced: str = "device",
+                    differentiable: bool = False):
     """``w = β · Vᵀ exp(tH) e₁`` from a prebuilt basis
     (reference: ``expv!``, src/krylov_phiv.jl:173-220).
 
@@ -103,14 +108,15 @@ def expv_from_basis(t, Ks: KrylovBasis, *, reduced: str = "device"):
         m = Ks.m
         expHe = host_expm_e1(Ks.H[:m, :m], t)
         return _combine_expv(Ks, expHe)
-    return _expv_from_basis_device(t, Ks)
+    return _expv_from_basis_device(t, Ks, differentiable)
 
 
 def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
          mode: str = "happy_breakdown", reorth: bool = True,
          hermitian: bool | None = None, atol: float = 1e-8,
          rtol: float | None = None, reduced: str | None = None,
-         two_pass: bool = False, return_info: bool = False):
+         two_pass: bool = False, return_info: bool = False,
+         differentiable: bool = False):
     """Compute ``exp(tA) b`` with a Krylov approximation
     (reference: ``expv``, src/krylov_phiv.jl:108-151).
 
@@ -132,6 +138,12 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
       return_info: in error_estimate mode, also return the number of
         Lanczos iterations taken (the reference's verbose iteration count,
         src/krylov_phiv_error_estimate.jl:128-143).
+      differentiable: make the non-Hermitian reduced exponential
+        reverse-AD-safe (bounded masked squaring instead of the dynamic
+        trip-count loop; same convention as ``expm``). The Hermitian path
+        (eigh) is always differentiable. Not supported with
+        ``reduced="host"`` (host callback) or ``mode="error_estimate"``
+        (while_loop).
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
     b = jnp.asarray(b)
@@ -161,7 +173,8 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
             return _expv_two_pass_arnoldi(op, b, t, m, iop)
         Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
                             hermitian=hermitian)
-        return expv_from_basis(t, Ks, reduced=reduced)
+        return expv_from_basis(t, Ks, reduced=reduced,
+                               differentiable=differentiable)
     if mode == "error_estimate":
         herm = op.is_hermitian if hermitian is None else hermitian
         if not herm:

@@ -57,20 +57,21 @@ def _phiv_combine(t, Ks: KrylovBasis, C2, k: int, correct: bool):
     return w, err
 
 
-@functools.partial(jax.jit, static_argnames=("k", "correct"))
+@functools.partial(jax.jit, static_argnames=("k", "correct", "differentiable"))
 @mxu_full_precision
-def _phiv_from_basis_device(t, Ks: KrylovBasis, k: int, correct: bool):
+def _phiv_from_basis_device(t, Ks: KrylovBasis, k: int, correct: bool,
+                            differentiable: bool = False):
     m = Ks.m
     t = jnp.asarray(t)
     dt = jnp.result_type(Ks.V.dtype, Ks.H.dtype, t.dtype)
     Hm = (t.astype(dt) * Ks.H[:m, :m].astype(dt))
     e1 = jnp.zeros((m,), dtype=dt).at[0].set(1)
-    C2 = phiv_dense(Hm, e1, k)                       # (m, k+1)
+    C2 = phiv_dense(Hm, e1, k, differentiable=differentiable)  # (m, k+1)
     return _phiv_combine(t, Ks, C2, k, correct)
 
 
 def phiv_from_basis(t, Ks: KrylovBasis, k: int, *, correct: bool = False,
-                    reduced: str = "device"):
+                    reduced: str = "device", differentiable: bool = False):
     """``(w, err)`` from a prebuilt basis (reference: ``_phiv!``,
     src/krylov_phiv.jl:566-599).
 
@@ -85,7 +86,7 @@ def phiv_from_basis(t, Ks: KrylovBasis, k: int, *, correct: bool = False,
         m = Ks.m
         C2 = host_phiv_e1(Ks.H[:m, :m], t, k)
         return _phiv_combine(t, Ks, C2, k, correct)
-    return _phiv_from_basis_device(t, Ks, k, correct)
+    return _phiv_from_basis_device(t, Ks, k, correct, differentiable)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "m", "tol", "iop",
@@ -117,11 +118,14 @@ def make_phiv(op, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
 def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
          correct: bool = False, errest: bool = False, reorth: bool = True,
          hermitian: bool | None = None, reduced: str | None = None,
-         two_pass: bool = False):
+         two_pass: bool = False, differentiable: bool = False):
     """Compute ``[φ_0(tA)b … φ_k(tA)b]`` with a Krylov approximation
     (reference: ``phiv``, src/krylov_phiv.jl:519-531). ``k ≥ 1``.
 
     Returns the (n, k+1) matrix, or ``(w, err)`` when ``errest=True``.
+    ``differentiable=True`` makes the reduced augmented exponential
+    reverse-AD-safe (bounded masked squaring; same convention as ``expm``);
+    device reduced path only (tests/test_ad.py).
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
     b = jnp.asarray(b)
@@ -141,7 +145,8 @@ def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
         return (w, err) if errest else w
     Ks = build_subspace(op, b, m, tol=tol, iop=iop, reorth=reorth,
                         hermitian=hermitian)
-    w, err = phiv_from_basis(t, Ks, k, correct=correct, reduced=reduced)
+    w, err = phiv_from_basis(t, Ks, k, correct=correct, reduced=reduced,
+                             differentiable=differentiable)
     return (w, err) if errest else w
 
 

@@ -92,9 +92,11 @@ def phi_scalar(z, k: int):
     return flat.reshape(z.shape + (k + 1,))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "expm_method"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "expm_method", "differentiable"))
 @mxu_full_precision
-def phiv_dense(A, v, k: int, *, expm_method: str = "higham2005"):
+def phiv_dense(A, v, k: int, *, expm_method: str = "higham2005",
+               differentiable: bool = False):
     """[φ_0(A)v φ_1(A)v … φ_k(A)v] for small dense A via the augmented matrix
 
         Ã = [A  v  e₁ … e_{k-1}; 0  J]   (J the k×k nilpotent shift)
@@ -104,10 +106,15 @@ def phiv_dense(A, v, k: int, *, expm_method: str = "higham2005"):
     ``expm_method="taylor"`` selects the solver-free Paterson–Stockmeyer
     exponential (ops/expm.expm_taylor) — required when the whole program
     must compile in f64 ON TPU (no LU lowering), e.g. inside the
-    device-resident adaptive drivers.
+    device-resident adaptive drivers. ``differentiable=True`` selects the
+    bounded masked squaring loop in the engine so the whole augmented
+    exponential is reverse-differentiable (JAX cannot reverse-AD the
+    dynamic-trip-count primal squaring) — the knob the Krylov actions
+    thread through for AD (tests/test_ad.py).
     """
     from .expm import expm_taylor
-    engine = expm_taylor if expm_method == "taylor" else expm_higham2005
+    _engine = expm_taylor if expm_method == "taylor" else expm_higham2005
+    engine = functools.partial(_engine, differentiable=differentiable)
 
     A = jnp.asarray(A)
     v = jnp.asarray(v)
