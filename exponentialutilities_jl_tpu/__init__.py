@@ -34,7 +34,7 @@ from .ops.phi_dense import (phi, phi_scalar, phi_taylor, phi_with_info,
 from .ops.phi_almohy import phi_pade, phi_pade_with_info
 from .ops.expm_dd import expm_dd, DD
 from .ops.phi_dd import phi_dd, phiv_dense_dd, expv_dd
-from .ops.krylov import KrylovBasis, arnoldi, lanczos
+from .ops.krylov import KrylovBasis, arnoldi, arnoldi_extend, lanczos
 from .models.expv import (expv, expv_from_basis, build_subspace, make_expv,
                           expv_batched)
 from .models.phiv import phiv, phiv_from_basis, make_phiv
@@ -70,7 +70,7 @@ __all__ = [
     "expm_native", "expm_taylor", "balance_matrix",
     "phi", "phi_scalar", "phi_taylor", "phi_pade", "phi_pade_with_info",
     "phi_with_info", "phiv_dense",
-    "KrylovBasis", "arnoldi", "lanczos", "build_subspace",
+    "KrylovBasis", "arnoldi", "arnoldi_extend", "lanczos", "build_subspace",
     "expv", "expv_from_basis", "phiv", "phiv_from_basis",
     "make_expv", "make_phiv", "expv_batched",
     "expv_timestep", "phiv_timestep", "TimestepStats",
