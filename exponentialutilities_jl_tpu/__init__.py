@@ -51,6 +51,8 @@ from .models.chebyshev import (expv_chebyshev, phiv_chebyshev,
 from .models.leja import (expv_leja, phiv_leja,
                           phiv_timestep_leja, leja_points,
                           real_interval)
+from .models.faber import (expv_faber, phiv_faber, phiv_timestep_faber,
+                           fov_ellipse, faber_coeffs)
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
 from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
@@ -82,6 +84,8 @@ __all__ = [
     "phi_dd", "phiv_dense_dd", "expv_dd",
     "expv_leja", "phiv_leja", "phiv_timestep_leja", "leja_points",
     "real_interval",
+    "expv_faber", "phiv_faber", "phiv_timestep_faber", "fov_ellipse",
+    "faber_coeffs",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
