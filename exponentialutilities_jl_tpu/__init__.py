@@ -63,6 +63,7 @@ from .utils.testmatrices import (laplacian_1d, poisson_2d, laplacian_3d,
 from .ops.stencil import (StencilOperator, VariableStencilOperator,
                           laplacian_nd_stencil,
                           advection_diffusion_1d_stencil,
+                          advection_diffusion_3d_stencil,
                           variable_diffusion_nd_stencil)
 
 __version__ = "0.1.0"
@@ -94,5 +95,6 @@ __all__ = [
     "laplacian_1d", "poisson_2d", "laplacian_3d", "advection_diffusion_1d",
     "StencilOperator", "VariableStencilOperator",
     "laplacian_nd_stencil", "advection_diffusion_1d_stencil",
+    "advection_diffusion_3d_stencil",
     "variable_diffusion_nd_stencil",
 ]

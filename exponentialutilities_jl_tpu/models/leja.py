@@ -207,8 +207,64 @@ def _leja_apply(op, b, d, xi, center, inv_s, m: int, q: int):
     return ws[0]
 
 
+def _fused_poly_ok(op, dtype, fused: bool | None) -> bool:
+    """Route the polynomial recurrence through the fused Pallas plane
+    sweep (ops/kernels/lanczos_fused.recurrence_apply_fused)? The sweep
+    covers 3-D 7-point Stencil/VariableStencil operators — ASYMMETRIC
+    constants included (advection–diffusion class), unlike the
+    Lanczos-only fused path — on a real TPU at f32."""
+    if fused is False:
+        return False
+    from ..ops.kernels.lanczos_fused import _fused_dispatch
+    try:
+        _fused_dispatch(op, hermitian=False)
+        ok = True
+    except (ValueError, TypeError):
+        ok = False
+    if fused is True:
+        if not ok:
+            raise ValueError(
+                "fused=True requires a 3-D 7-point Stencil/"
+                "VariableStencil operator")
+        return True
+    return (ok and jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.float32)
+
+
+def _newton_rows(d, xi, c, inv_s):
+    """(m, 4) per-step scalars of the Newton form for the fused sweep:
+    ω_{k+1} = inv_s·(A − c)ω_k − ξ_k·ω_k, w += d_k·ω_k."""
+    m = len(xi)
+    return np.stack([np.full(m, inv_s), -inv_s * c - np.asarray(xi),
+                     np.zeros(m), np.asarray(d)], axis=1)
+
+
+def _apply_fused_newton(op, b, D, xi, c, inv_s, q: int,
+                        interpret: bool = False):
+    """Fused-sweep twin of ``_leja_apply``: 1-D D → q exact substeps;
+    2-D D (m, p) → one pass per coefficient column, summed (each column
+    shares the SAME ω_k chain coefficients, so each runs independently)."""
+    from ..ops.kernels.lanczos_fused import recurrence_apply_fused
+
+    b = jnp.asarray(b)
+    D = np.asarray(D)
+    if D.ndim == 1:
+        rows = jnp.asarray(_newton_rows(D, xi, c, inv_s), b.dtype)
+        w = b
+        for _ in range(q):
+            w = recurrence_apply_fused(op, w, rows, interpret=interpret)
+        return w
+    cols = []
+    for j in range(D.shape[1]):
+        rows = jnp.asarray(_newton_rows(D[:, j], xi, c, inv_s), b.dtype)
+        cols.append(recurrence_apply_fused(op, b, rows,
+                                           interpret=interpret))
+    return jnp.stack(cols, axis=-1)
+
+
 def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
-              m: int | None = None, max_z: float = 40.0):
+              m: int | None = None, max_z: float = 40.0,
+              fused: bool | None = None):
     """``exp(tA) b`` by Newton interpolation at real Leja points —
     single pass per substep, NO inner products, non-Hermitian allowed
     (module docstring; for Hermitian operators prefer
@@ -245,6 +301,9 @@ def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
     # uniform-remainder magnitudes: |d_k| · sup|Π_{i<k}(x − ξ_i)|
     m_used = _truncate_dd(np.abs(d) * sup, tol, m_probe, m,
                           f"expv_leja (z = {z:.1f} per substep)")
+    if _fused_poly_ok(op, b.dtype, fused):
+        return _apply_fused_newton(op, b, d[:m_used], xi[:m_used],
+                                   c, 1.0 / s, q)
     dj = jnp.asarray(d[:m_used], jnp.result_type(b.dtype))
     xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
     return _leja_apply(op, b, dj, xj, c, 1.0 / s, m_used, q)
@@ -273,7 +332,8 @@ def _phi_divided_differences(t, c, s, xi, k: int):
 
 
 def phiv_leja(t, A, b, k: int, *, interval=None, tol: float = 1e-7,
-              m: int | None = None, max_z: float = 40.0):
+              m: int | None = None, max_z: float = 40.0,
+              fused: bool | None = None):
     """``[φ_0(tA)b … φ_k(tA)b]`` (n, k+1) by Newton interpolation at
     real Leja points — ALL orders in one inner-product-free pass,
     non-Hermitian allowed (cf. ``phiv_chebyshev`` for the Hermitian
@@ -304,6 +364,9 @@ def phiv_leja(t, A, b, k: int, *, interval=None, tol: float = 1e-7,
     D = _phi_divided_differences(tf, c, s, xi, k)       # (m, k+1)
     m_used = _truncate_dd(np.abs(D).max(axis=1) * sup, tol, m_probe, m,
                           f"phiv_leja (z = {z:.1f})")
+    if _fused_poly_ok(op, b.dtype, fused):
+        return _apply_fused_newton(op, b, D[:m_used], xi[:m_used],
+                                   c, 1.0 / s, 1)
     Dj = jnp.asarray(D[:m_used], jnp.result_type(b.dtype))
     xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
     return _leja_apply(op, b, Dj, xj, c, 1.0 / s, m_used, 1)
@@ -361,8 +424,41 @@ def _nw_leja_scan(op, u0, B, D, xi, center, inv_s, t0, tau,
     return u
 
 
+@functools.partial(jax.jit, static_argnames=("p",))
+def _combo_cols(u, B, tcur, p: int):
+    """Stacked [u, v_1(t) … v_p(t)] columns of the NW substep combination
+    (v_j(t) = Σ_l t^l/l!·b_{j+l}) — the host-looped fused substep's small
+    XLA prelude."""
+    import math as _math
+
+    cols = [u]
+    for j in range(1, p + 1):
+        vj = jnp.zeros_like(u)
+        for l in range(0, p - j + 1):
+            vj = vj + ((tcur ** l) / _math.factorial(l)) * B[:, j + l]
+        cols.append(vj)
+    return jnp.stack(cols, axis=0)
+
+
+def _nw_fused_substep(op, u, B, tcur, D, xi, c, inv_s, p: int,
+                      interpret: bool = False):
+    """One NW substep through the fused plane sweep: the (p+1) combination
+    columns each run an independent single-vector Newton pass (same ω_k
+    chain scalars, different accumulation coefficients D[:, j]) and sum."""
+    from ..ops.kernels.lanczos_fused import recurrence_apply_fused
+
+    cols = _combo_cols(u, B, jnp.asarray(tcur, u.dtype), p)
+    out = None
+    for j in range(p + 1):
+        rows = jnp.asarray(_newton_rows(D[:, j], xi, c, inv_s), u.dtype)
+        wj = recurrence_apply_fused(op, cols[j], rows, interpret=interpret)
+        out = wj if out is None else out + wj
+    return out
+
+
 def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
-                       max_z: float = 40.0, max_degree: int | None = None):
+                       max_z: float = 40.0, max_degree: int | None = None,
+                       fused: bool | None = None):
     """u(t) = Σ_j t^j φ_j(tA) b_j at snapshot times ``ts`` for
     NON-Hermitian A (real-interval field-of-values class) — the
     Niesen–Wright substepped combination with the φ_p inner action as a
@@ -411,6 +507,8 @@ def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
         U = jnp.stack(cols, axis=-1)
         return U[:, 0] if scalar_ts else U
 
+    use_fused = _fused_poly_ok(op, B.dtype, fused)
+
     def march(snaps, u0):
         """Evolve from t = 0 through the (monotone-away-from-zero)
         snapshot list; returns the per-snapshot states."""
@@ -457,11 +555,19 @@ def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
                 m_used = m_probe
             if max_degree is not None:
                 m_used = min(m_used, max_degree)
-            Dj = jnp.asarray(D[:m_used], jnp.result_type(u.dtype))
-            xj = jnp.asarray(xi[:m_used], jnp.finfo(u.dtype).dtype)
-            u = _nw_leja_scan(op, u, B, Dj, xj, c, 1.0 / s,
-                              jnp.asarray(t_prev), jnp.asarray(tau),
-                              p=p, m=m_used, q=q)
+            if use_fused:
+                # host-looped substeps, each a (p+1)-column fused pass
+                tcur = t_prev
+                for _ in range(q):
+                    u = _nw_fused_substep(op, u, B, tcur, D[:m_used],
+                                          xi[:m_used], c, 1.0 / s, p)
+                    tcur += tau
+            else:
+                Dj = jnp.asarray(D[:m_used], jnp.result_type(u.dtype))
+                xj = jnp.asarray(xi[:m_used], jnp.finfo(u.dtype).dtype)
+                u = _nw_leja_scan(op, u, B, Dj, xj, c, 1.0 / s,
+                                  jnp.asarray(t_prev), jnp.asarray(tau),
+                                  p=p, m=m_used, q=q)
             outs.append(u)
             t_prev = float(t_snap)
         return outs

@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["GhostGrid", "fused_lanczos_step", "lanczos_coeffs_fused",
+           "recurrence_apply_fused",
            "lanczos_replay_fused", "stencil_matvec_fused"]
 
 _LANES = 128
@@ -132,8 +133,8 @@ def _row_shift_full(buf, off: int):
 def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
                   Y_hbm, Znext_hbm, part_ref, W_out,
                   yring, zbuf, vcbuf, vpbuf, stage, cbuf, wbuf, sems, *,
-                  P: int, nz: int, c0: float, cx: float, cy: float,
-                  cz: float, accum: bool, variable: bool = False):
+                  P: int, nz: int, c7: tuple,
+                  accum: bool, variable: bool = False):
     """Pipelined plane schedule: input planes for step i+1 prefetch while
     step i computes (double-buffered zbuf/vcbuf/vpbuf); the Y/Znext writes
     are fire-and-forget, waited just before their buffer is reused (ring
@@ -238,12 +239,16 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
             zn = (zn + cbuf[cpar, 5] * zp + cbuf[cpar, 6] * zm) \
                 * mask_ref[:, :]
         else:
+            # per-direction constants (asymmetric 7-point allowed):
+            # c7 = (c0, cx+, cx−, cy+, cy−, cz+, cz−), offsets matching
+            # _SEVEN_POINT / the variable-mode plane order
+            c0, cxp, cxm, cyp, cym, czp, czm = c7
             zn = c0 * yc
-            zn = zn + cx * _lane_shift_full(yc, 1)
-            zn = zn + cx * _lane_shift_full(yc, -1)
-            zn = zn + cy * _row_shift_full(yc, P)
-            zn = zn + cy * _row_shift_full(yc, -P)
-            zn = (zn + cz * zm + cz * zp) * mask_ref[:, :]
+            zn = zn + cxp * _lane_shift_full(yc, 1)
+            zn = zn + cxm * _lane_shift_full(yc, -1)
+            zn = zn + cyp * _row_shift_full(yc, P)
+            zn = zn + cym * _row_shift_full(yc, -P)
+            zn = (zn + czp * zp + czm * zm) * mask_ref[:, :]
         # stage parity: step i-2's Znext write may still be in flight
         @pl.when(i >= 3)
         def _():
@@ -323,9 +328,12 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     P = grid_desc.P
     variable = cfields is not None
     if variable:
-        c0 = cx = cy = cz = 0.0
-    else:
-        c0, cx, cy, cz = coeffs_static
+        c7 = (0.0,) * 7
+    elif len(coeffs_static) == 4:       # legacy symmetric (c0, cx, cy, cz)
+        c0s, cxs, cys, czs = coeffs_static
+        c7 = (c0s, cxs, cxs, cys, cys, czs, czs)
+    else:                               # (c0, cx+, cx−, cy+, cy−, cz+, cz−)
+        c7 = tuple(coeffs_static)
     nsteps = nz + 1
     ns8 = -(-nsteps // 8) * 8
     dt = Zg.dtype
@@ -351,7 +359,7 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
         pltpu.VMEM((2, R, _LANES), dt),             # znext staging
     ]
     operands = [jnp.asarray(coefs, dt), Zg, Vcg, Vpg, mask.astype(dt)]
-    kw = dict(P=P, nz=nz, c0=c0, cx=cx, cy=cy, cz=cz)
+    kw = dict(P=P, nz=nz, c7=c7)
     if variable:
         in_specs.append(plane_any)                  # coefficient planes
         operands.append(cfields)
@@ -400,41 +408,44 @@ _SEVEN_POINT = ((0, 0, 0), (0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0),
                 (1, 0, 0), (-1, 0, 0))
 
 
-def _stencil_coeffs_static(op) -> tuple:
-    """(c0, cx, cy, cz) from a 3-D 7-point StencilOperator (validated)."""
+def _stencil_coeffs_static(op, hermitian: bool = True) -> tuple:
+    """Per-direction constants (c0, cx+, cx−, cy+, cy−, cz+, cz−) from a
+    3-D 7-point StencilOperator. ``hermitian=True`` (the Lanczos-path
+    consumers) additionally requires a symmetric stencil; the polynomial
+    recurrences (Chebyshev/Newton/Faber applies) pass ``False`` and run
+    asymmetric stencils (advection–diffusion) through the same sweep."""
     from ..stencil import StencilOperator
 
     if not isinstance(op, StencilOperator) or len(op.grid_shape) != 3:
-        raise ValueError("fused Lanczos requires a 3-D StencilOperator")
+        raise ValueError("fused sweep requires a 3-D StencilOperator")
     cmap = {off: float(c) for off, c in
             zip(op.offsets, np.asarray(op.coeffs))}
     if set(cmap) - set(_SEVEN_POINT):
-        raise ValueError("fused Lanczos supports 7-point stencils only")
-    cx = cmap.get((0, 0, 1), 0.0)
-    if (cmap.get((0, 0, -1), 0.0) != cx
+        raise ValueError("fused sweep supports 7-point stencils only")
+    if hermitian and (
+            cmap.get((0, 0, -1), 0.0) != cmap.get((0, 0, 1), 0.0)
             or cmap.get((0, 1, 0), 0.0) != cmap.get((0, -1, 0), 0.0)
             or cmap.get((1, 0, 0), 0.0) != cmap.get((-1, 0, 0), 0.0)):
         raise ValueError("fused Lanczos requires a symmetric stencil")
-    return (cmap.get((0, 0, 0), 0.0), cx, cmap.get((0, 1, 0), 0.0),
-            cmap.get((1, 0, 0), 0.0))
+    return tuple(cmap.get(off, 0.0) for off in _SEVEN_POINT)
 
 
-def _fused_dispatch(op):
+def _fused_dispatch(op, hermitian: bool = True):
     """(coeffs_static, cfields_builder) for a supported operator.
 
-    StencilOperator (constant, symmetric 7-point) → (tuple, None);
-    VariableStencilOperator (Hermitian 7-point) → (None, builder) where
-    builder(gg, dt) packs the (nz, 8, R, 128) coefficient-plane stream
-    (field order: c0, cx+, cx−, cy+, cy−, cz+, cz−, pad).
+    StencilOperator (constant 7-point; symmetric when ``hermitian``) →
+    (7-tuple, None); VariableStencilOperator (7-point) → (None, builder)
+    where builder(gg, dt) packs the (nz, 8, R, 128) coefficient-plane
+    stream (field order: c0, cx+, cx−, cy+, cy−, cz+, cz−, pad).
     """
     from ..stencil import VariableStencilOperator
 
     if isinstance(op, VariableStencilOperator):
         if len(op.grid_shape) != 3:
-            raise ValueError("fused Lanczos requires a 3-D grid")
+            raise ValueError("fused sweep requires a 3-D grid")
         if set(op.offsets) - set(_SEVEN_POINT):
-            raise ValueError("fused Lanczos supports 7-point stencils only")
-        if not op.is_hermitian:
+            raise ValueError("fused sweep supports 7-point stencils only")
+        if hermitian and not op.is_hermitian:
             raise ValueError("fused Lanczos (a Lanczos recurrence) "
                              "requires a Hermitian operator")
 
@@ -464,7 +475,7 @@ def _fused_dispatch(op):
             return stacked
 
         return None, builder
-    return _stencil_coeffs_static(op), None
+    return _stencil_coeffs_static(op, hermitian=hermitian), None
 
 
 def lanczos_coeffs_fused(op, b, m: int, *, tol: float = 1e-7,
@@ -589,7 +600,7 @@ def stencil_matvec_fused(op, x, *, interpret: bool = False):
     Lanczos sweep emits y = x and Zn = A·x). Traffic: read x planes once,
     write A·x planes once (+ the pass-through y write) — an alternative
     to the XLA pad+slice matvec with fully explicit DMA pipelining."""
-    coeffs_static, cbuilder = _fused_dispatch(op)
+    coeffs_static, cbuilder = _fused_dispatch(op, hermitian=False)
     gg = GhostGrid(*op.grid_shape)
     x = jnp.asarray(x)
     mask = jnp.asarray(gg.xmask())
@@ -600,3 +611,55 @@ def stencil_matvec_fused(op, x, *, interpret: bool = False):
         Xg, zeros, zeros, (1.0, 0.0, 0.0), mask, grid_desc=gg,
         coeffs_static=coeffs_static, cfields=cfields, interpret=interpret)
     return gg.from_ghost(Zn)
+
+
+def recurrence_apply_fused(op, b, rows, *, interpret: bool = False):
+    """Generic fused POLYNOMIAL recurrence — the non-Hermitian twin of the
+    Chebyshev fused apply (models/chebyshev._chebyshev_apply_fused), one
+    sweep per degree, ~5n traffic (constant stencil) / ~12n (per-cell
+    fields), NO reductions:
+
+        ω_{k+1} = ca_k·(A·ω_k) + cb_k·ω_k + cc_k·ω_{k−1},
+        w      += cw_k·ω_k,              k = 0 … m−1,  ω_0 = b,
+
+    with ``rows`` the (m, 4) per-step scalars (ca, cb, cc, cw) as traced
+    data — ONE compiled program serves every coefficient table of a given
+    length. This is exactly the execution shape of
+
+      * the Leja Newton form  ω_{k+1} = (Â − ξ_k)ω_k
+        (rows = [1/s, −c/s − ξ_k, 0, d_k]; models/leja.py),
+      * the Faber three-term form  g_{k+1} = Â·g_k − ρ·g_{k−1}
+        (rows = [1/γ, −c/γ, −ρ (−2ρ at k=1), a_k]; models/faber.py),
+
+    and — because the asymmetric per-direction constants ride the same
+    kernel — it runs ADVECTION–DIFFUSION class 7-point stencils, the
+    domain the Lanczos-only fused path had to exclude (round-2 STATUS
+    known-gap; reference non-Hermitian workhorse: src/arnoldi.jl:285-364).
+    """
+    coeffs_static, cbuilder = _fused_dispatch(op, hermitian=False)
+    gg = GhostGrid(*op.grid_shape)
+    b = jnp.asarray(b)
+    dt = b.dtype
+    mask = jnp.asarray(gg.xmask())
+    cfields = cbuilder(gg, dt) if cbuilder is not None else None
+    step = functools.partial(fused_lanczos_step, grid_desc=gg,
+                             coeffs_static=coeffs_static, cfields=cfields,
+                             interpret=interpret)
+    rows = jnp.asarray(rows, dt)
+
+    Bg = gg.to_ghost(b)
+    zeros = jnp.zeros_like(Bg)
+    # Sweep 0 emits ω_0 = b and Z = A·ω_0 (no accumulation yet).
+    Y, Z, _, _, W = step(Bg, Bg, zeros,
+                         jnp.asarray([1.0, 0.0, 0.0, 0.0], dt),
+                         mask, w_accum=zeros)
+
+    def body(carry, row):
+        # Sweep k: accumulate cw_k·ω_k from the Vc input while emitting
+        # ω_{k+1} = ca_k·(A ω_k) + cb_k·ω_k + cc_k·ω_{k−1}.
+        Y, Z, Yprev, W = carry
+        Yn, Zn, _, _, Wn = step(Z, Y, Yprev, row, mask, w_accum=W)
+        return (Yn, Zn, Y, Wn), None
+
+    (_, _, _, W), _ = lax.scan(body, (Y, Z, zeros, W), rows)
+    return gg.from_ghost(W)

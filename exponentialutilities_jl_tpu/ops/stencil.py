@@ -316,6 +316,25 @@ def laplacian_nd_stencil(*shape, dtype=jnp.float64,
                            is_hermitian=True)
 
 
+def advection_diffusion_3d_stencil(nz: int, ny: int, nx: int,
+                                   peclet: float = 10.0,
+                                   dtype=jnp.float64) -> StencilOperator:
+    """3-D diffusion + upwind x-advection, ∇²u + Pe·u_x, Dirichlet —
+    the ASYMMETRIC constant 7-point operator of the fused non-Hermitian
+    recurrence path (recurrence_apply_fused; Leja/Faber drivers at
+    scale). h = 1/(nx+1) along every axis."""
+    h = 1.0 / (nx + 1)
+    dcoef = 1.0 / h ** 2
+    acoef = peclet / h
+    offsets = [(0, 0, 0), (0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0),
+               (1, 0, 0), (-1, 0, 0)]
+    coeffs = [-6.0 * dcoef - acoef, dcoef, dcoef + acoef,
+              dcoef, dcoef, dcoef, dcoef]
+    return StencilOperator((nz, ny, nx), offsets,
+                           jnp.asarray(coeffs, dtype=dtype),
+                           is_hermitian=False)
+
+
 def advection_diffusion_1d_stencil(n: int, peclet: float = 10.0,
                                    dtype=jnp.float64) -> StencilOperator:
     """Constant-coefficient variant of

@@ -251,3 +251,41 @@ class TestFailureProtocol:
         ref = sla.expm(1e-4 * _dense(op)) @ b
         assert (np.linalg.norm(np.asarray(w) - ref)
                 / np.linalg.norm(ref)) < 1e-6
+
+
+class TestStencil3D:
+    """Faber/Leja on the asymmetric 3-D stencil container (the fused
+    recurrence path's operator class; XLA path oracle-checked here,
+    the Pallas path component-checked in test_lanczos_fused.py)."""
+
+    def _setup(self, rng):
+        op = eu.advection_diffusion_3d_stencil(6, 6, 6, peclet=5.0)
+        I = np.eye(216)
+        Ad = np.stack([np.asarray(op.matvec(jnp.asarray(I[:, j])))
+                       for j in range(216)], axis=1)
+        return op, Ad, rng.standard_normal(216)
+
+    def test_fov_encloses_eigenvalues(self, rng):
+        op, Ad, _ = self._setup(rng)
+        c, a, bet = fov_ellipse(op)
+        ev = np.linalg.eigvals(Ad)
+        assert np.all(np.real(ev) >= c - a - 1e-6)
+        assert np.all(np.real(ev) <= c + a + 1e-6)
+        assert np.all(np.abs(np.imag(ev)) <= bet + 1e-6)
+
+    def test_expv_faber_and_leja(self, rng):
+        op, Ad, b = self._setup(rng)
+        t = 1e-4
+        ref = sla.expm(t * Ad) @ b
+        for w in (expv_faber(t, op, b, tol=1e-10),
+                  eu.expv_leja(t, op, b, tol=1e-10)):
+            assert (np.linalg.norm(np.asarray(w) - ref)
+                    / np.linalg.norm(ref)) < 1e-9
+
+    def test_driver_on_stencil(self, rng):
+        op, Ad, _ = self._setup(rng)
+        B = rng.standard_normal((216, 3))
+        t = 2e-4
+        U = np.asarray(phiv_timestep_faber(t, op, B, tol=1e-10))
+        ref = _phi_oracle(t, Ad, B)
+        assert np.linalg.norm(U - ref) / np.linalg.norm(ref) < 1e-8

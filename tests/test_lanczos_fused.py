@@ -173,3 +173,99 @@ def test_variable_fused_rejects_nonhermitian(rng):
     with pytest.raises(ValueError):
         lanczos_coeffs_fused(op, jnp.ones(n, jnp.float32), 4,
                              interpret=True)
+
+
+class TestAsymmetricFused:
+    """Round-3: the fused sweep's constant path takes per-direction
+    coefficients, so ASYMMETRIC 7-point stencils (advection–diffusion —
+    the non-Hermitian drivers' domain) ride the same kernel
+    (recurrence_apply_fused; VERDICT r2 next-round item 6)."""
+
+    def _asym_op(self):
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        offsets = [(0, 0, 0), (0, 0, 1), (0, 0, -1), (0, 1, 0),
+                   (0, -1, 0), (1, 0, 0), (-1, 0, 0)]
+        coeffs = [-6.5, 1.0, 1.5, 1.0, 1.0, 0.9, 1.1]
+        return StencilOperator((6, 5, 7), offsets,
+                               jnp.asarray(coeffs, jnp.float32),
+                               is_hermitian=False)
+
+    def test_asymmetric_matvec(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            stencil_matvec_fused)
+        op = self._asym_op()
+        x = jnp.asarray(rng.standard_normal(210).astype(np.float32))
+        y = np.asarray(stencil_matvec_fused(op, x, interpret=True))
+        want = np.asarray(op.matvec(x))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_lanczos_still_rejects_asymmetric(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            lanczos_coeffs_fused)
+        with pytest.raises(ValueError, match="symmetric"):
+            lanczos_coeffs_fused(self._asym_op(), jnp.ones(210), 4,
+                                 interpret=True)
+
+    def test_fused_newton_apply(self, rng):
+        from exponentialutilities_jl_tpu.models.leja import (
+            _apply_fused_newton, _leja_apply)
+        op = self._asym_op()
+        b = jnp.asarray(rng.standard_normal(210).astype(np.float32))
+        m = 10
+        xi = rng.standard_normal(m) * 0.3
+        d = rng.standard_normal(m) * 0.5
+        c, inv_s = -1.2, 0.21
+        w = np.asarray(_apply_fused_newton(op, b, d, xi, c, inv_s, q=2,
+                                           interpret=True))
+        want = np.asarray(_leja_apply(
+            op, b, jnp.asarray(d, jnp.float32),
+            jnp.asarray(xi, jnp.float32), c, inv_s, m, 2))
+        assert np.max(np.abs(w - want)) / np.max(np.abs(want)) < 1e-4
+
+    def test_fused_newton_apply_matrix_coeffs(self, rng):
+        from exponentialutilities_jl_tpu.models.leja import (
+            _apply_fused_newton, _leja_apply)
+        op = self._asym_op()
+        b = jnp.asarray(rng.standard_normal(210).astype(np.float32))
+        m, p = 8, 2
+        xi = rng.standard_normal(m) * 0.3
+        D = rng.standard_normal((m, p + 1)) * 0.5
+        c, inv_s = -1.2, 0.21
+        W = np.asarray(_apply_fused_newton(op, b, D, xi, c, inv_s, q=1,
+                                           interpret=True))
+        want = np.asarray(_leja_apply(
+            op, b, jnp.asarray(D, jnp.float32),
+            jnp.asarray(xi, jnp.float32), c, inv_s, m, 1))
+        assert np.max(np.abs(W - want)) / np.max(np.abs(want)) < 1e-4
+
+    def test_fused_faber_apply(self, rng):
+        from exponentialutilities_jl_tpu.models.faber import (
+            _apply_fused_faber, _faber_apply)
+        op = self._asym_op()
+        b = jnp.asarray(rng.standard_normal(210).astype(np.float32))
+        m = 12
+        a = rng.standard_normal(m) * 0.4
+        c, inv_g, rho = -1.2, 0.21, 0.55
+        w = np.asarray(_apply_fused_faber(op, b, a, c, inv_g, rho, q=2,
+                                          interpret=True))
+        want = np.asarray(_faber_apply(
+            op, b, jnp.asarray(a, jnp.float32), c, inv_g, rho, m, 2))
+        assert np.max(np.abs(w - want)) / np.max(np.abs(want)) < 1e-4
+
+    def test_fused_nw_substep_matches_scan(self, rng):
+        from exponentialutilities_jl_tpu.models.leja import (
+            _nw_fused_substep, _nw_leja_scan)
+        op = self._asym_op()
+        n, m, p = 210, 8, 2
+        u = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        B = jnp.asarray(rng.standard_normal((n, p + 1)).astype(np.float32))
+        xi = rng.standard_normal(m) * 0.3
+        D = rng.standard_normal((m, p + 1)) * 0.5
+        c, inv_s, tau = -1.2, 0.21, 0.3
+        w = np.asarray(_nw_fused_substep(op, u, B, 0.7, D, xi, c, inv_s,
+                                         p, interpret=True))
+        want = np.asarray(_nw_leja_scan(
+            op, u, B, jnp.asarray(D, jnp.float32),
+            jnp.asarray(xi, jnp.float32), c, inv_s,
+            jnp.asarray(0.7), jnp.asarray(tau), p=p, m=m, q=1))
+        assert np.max(np.abs(w - want)) / np.max(np.abs(want)) < 1e-4
