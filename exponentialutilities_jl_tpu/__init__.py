@@ -56,8 +56,9 @@ from .models.faber import (expv_faber, phiv_faber, phiv_timestep_faber,
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, aslinearoperator)
 from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
-                         SellOperator, ell_from_scipy, blockell_from_scipy,
-                         banded_from_scipy)
+                         SellOperator, HybridOperator, ell_from_scipy,
+                         blockell_from_scipy, banded_from_scipy,
+                         hybrid_from_scipy)
 from .utils.testmatrices import (laplacian_1d, poisson_2d, laplacian_3d,
                                  advection_diffusion_1d)
 from .ops.stencil import (StencilOperator, VariableStencilOperator,
@@ -90,8 +91,9 @@ __all__ = [
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "aslinearoperator",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
-    "SellOperator",
+    "SellOperator", "HybridOperator",
     "ell_from_scipy", "blockell_from_scipy", "banded_from_scipy",
+    "hybrid_from_scipy",
     "laplacian_1d", "poisson_2d", "laplacian_3d", "advection_diffusion_1d",
     "StencilOperator", "VariableStencilOperator",
     "laplacian_nd_stencil", "advection_diffusion_1d_stencil",

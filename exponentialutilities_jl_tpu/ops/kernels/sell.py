@@ -273,10 +273,49 @@ def _pack_chunked(A, n: int, dtype, window: int, max_chunks: int):
                     cap=cap, chunks=C)
 
 
+def _subroll_transform(lidx_all, group_ptr, g_of, indices, wsb_group,
+                       wr: int):
+    """Rebase indices onto per-GROUP 1024-wide aligned subwindows of the
+    block window and encode each group's subwindow offset (in 128-lane
+    row units, 0..wr−8) in bits 10+ of EVERY slot of its tiles — the
+    kernel recovers it with one max-reduce per tile (the same trick the
+    chunked mode uses for slab ids) and gathers from an (8, 128) slice,
+    which halves the roll/gather/select sequence vs the full-window roll
+    path. Returns the per-group offsets, or None when some group's
+    column span does not fit 1024 after 128-alignment (caller falls back
+    to plain roll)."""
+    G = len(group_ptr) - 1
+    cmin = np.full(G, np.iinfo(np.int64).max)
+    cmax = np.full(G, -1, np.int64)
+    np.minimum.at(cmin, g_of, indices)
+    np.maximum.at(cmax, g_of, indices)
+    empty = cmax < 0
+    cmin[empty] = wsb_group[empty] if len(wsb_group) else 0
+    cmax[empty] = cmin[empty]
+    goff = np.clip(cmin // _LANES - wsb_group // _LANES, 0, wr - _SUB)
+    if np.any(cmax >= wsb_group + (goff + _SUB) * _LANES):
+        return None
+    # Rebase every slot (real indices are in range by the check above,
+    # so the clip only catches value-0 PAD slots, keeping
+    # promise_in_bounds honest) and tag the group's subwindow offset.
+    T = lidx_all.shape[0]
+    tile_goff = np.zeros(T, np.int32)
+    counts = np.diff(group_ptr).astype(np.int64)
+    tile_goff[:group_ptr[G]] = np.repeat(goff.astype(np.int32), counts)
+    lidx_all[:] = (np.clip(lidx_all - (tile_goff * _LANES)[:, None, None],
+                           0, _W - 1)
+                   | (tile_goff << 10)[:, None, None])
+    return goff
+
+
 def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
               window: int = 2048, residue: bool = False,
               mode: str | None = None, max_chunks: int = 4) -> SellData:
     """Pack COO (rows, cols, vals) into SELL-window form (module doc).
+
+    ``mode=None`` auto-selects: "subroll" (per-group 1024-wide
+    subwindows — half the gather work of "roll") when every 128-row
+    group's column span fits an aligned 1024 subwindow, else "roll".
 
     Raises ValueError if any 8-group block's columns exceed its aligned
     ``window`` — RCM-permute first (the packer does not reorder), widen
@@ -285,8 +324,12 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
     """
     if window % _W:
         raise ValueError("window must be a multiple of 1024")
+    auto = mode is None and not residue
     if mode is None:
-        mode = "residue" if residue else "roll"
+        mode = "residue" if residue else "subroll"
+    want_subroll = mode == "subroll"
+    if want_subroll:
+        mode = "roll"
     residue = mode == "residue"
     rows, cols, vals = rows_cols_vals
     rows = np.asarray(rows)
@@ -318,11 +361,32 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
         except ImportError:
             packed = None
         if packed is not None:
-            va, lia, gp, wr, cap = packed
+            va, lia, gp, wrow, cap = packed
+            out_mode = "roll"
+            if want_subroll or auto:
+                ip = A.indptr.astype(np.int64)
+                g_all = (np.repeat(np.arange(n), np.diff(ip))
+                         // _LANES)
+                Gn = len(gp) - 1
+                wsb_group = (np.asarray(wrow, np.int64)[
+                    np.minimum(np.arange(Gn) // _GPB, len(wrow) - 1)]
+                    * _LANES)
+                lia = np.ascontiguousarray(lia)
+                goff = _subroll_transform(
+                    lia, np.asarray(gp, np.int64), g_all,
+                    A.indices.astype(np.int64), wsb_group,
+                    window // _LANES)
+                if goff is not None:
+                    out_mode = "subroll"
+                elif want_subroll and not auto:
+                    raise ValueError(
+                        "subroll: some 128-row group's column span "
+                        "exceeds an aligned 1024 subwindow — use "
+                        "mode='roll' or RCM-permute")
             return SellData(jnp.asarray(va.astype(dtype)),
                             jnp.asarray(lia), jnp.asarray(gp),
-                            jnp.asarray(wr), n, int(nnz),
-                            win_rows=window // _LANES, mode="roll",
+                            jnp.asarray(wrow), n, int(nnz),
+                            win_rows=window // _LANES, mode=out_mode,
                             cap=cap)
     indptr = A.indptr.astype(np.int64)
     indices = A.indices.astype(np.int64)
@@ -396,11 +460,23 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
     lidx_all = np.zeros((T + cap, _SUB, _LANES), np.int32)
     vals_all[tile, sub, lane] = data.astype(dtype)
     lidx_all[tile, sub, lane] = li
+    out_mode = "residue" if residue else "roll"
+    if not residue and (want_subroll or auto):
+        wsb_group = wsb[np.minimum(np.arange(G) // _GPB, B - 1)]
+        goff = _subroll_transform(lidx_all, group_ptr.astype(np.int64),
+                                  g_of, indices, wsb_group,
+                                  window // _LANES)
+        if goff is not None:
+            out_mode = "subroll"
+        elif want_subroll and not auto:
+            raise ValueError(
+                "subroll: some 128-row group's column span exceeds an "
+                "aligned 1024 subwindow — use mode='roll' or RCM-permute")
     return SellData(jnp.asarray(vals_all), jnp.asarray(lidx_all),
                     jnp.asarray(group_ptr),
                     jnp.asarray((wsb // _LANES).astype(np.int32)),
                     n, int(nnz), win_rows=window // _LANES,
-                    mode="residue" if residue else "roll", cap=cap)
+                    mode=out_mode, cap=cap)
 
 
 def _gather_tile(win, li, wr: int, mode: str, sid):
@@ -436,6 +512,20 @@ def _gather_tile(win, li, wr: int, mode: str, sid):
                 gathered = Gh
             else:
                 gathered = jnp.where((li >> 10) == h, Gh, gathered)
+        return gathered
+    if mode == "subroll":
+        # ``win`` is the group's (8, 128) subwindow (the kernel sliced it
+        # by the tile's tagged offset): ONE 8-step roll/gather/select
+        # pass — half the full-window roll sequence, no in-half selects.
+        q = li >> 7
+        r = li & 127
+        jd = (q - sid) & 7
+        gathered = jnp.zeros(li.shape, win.dtype)
+        for j in range(_SUB):
+            Wj = pltpu.roll(win, _SUB - j, 0) if j else win
+            Gj = jnp.take_along_axis(Wj, r, axis=1,
+                                     mode="promise_in_bounds")
+            gathered = jnp.where(jd == j, Gj, gathered)
         return gathered
     q = li >> 7
     r = li & 127
@@ -518,6 +608,12 @@ def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
                 slab = win2[par, pl.ds(cid * wr, wr)]
                 gathered = _gather_tile(slab, li & 0x1FFF, wr, "roll",
                                         sid)
+            elif mode == "subroll":
+                # group subwindow offset rides bits 10+ of every slot
+                goff = jnp.max(li) >> 10
+                sub = win2[par, pl.ds(goff, _SUB)]
+                gathered = _gather_tile(sub, li & 0x3FF, wr, "subroll",
+                                        sid)
             else:
                 gathered = _gather_tile(win, li, wr, mode, sid)
             return acc + vbuf[par, t0 + t] * gathered
@@ -557,8 +653,13 @@ def sell_spmv_ref(data: SellData, x):
         ws = data.win_row[jnp.minimum(tile_group // _GPB,
                                       data.win_row.shape[0] - 1)] * _LANES
         # lidx is the block-window-local element index in BOTH packings
-        # (residue only constrains WHICH sublane a slot uses).
-        gidx = data.lidx + ws[:, None, None]
+        # (residue only constrains WHICH sublane a slot uses); subroll
+        # carries the group subwindow offset in bits 10+.
+        if data.mode == "subroll":
+            gidx = ((data.lidx & 0x3FF) + (data.lidx >> 10) * _LANES
+                    + ws[:, None, None])
+        else:
+            gidx = data.lidx + ws[:, None, None]
     gx = x_pad[gidx]
     contrib = jnp.sum(data.vals * gx, axis=1)
     y = jax.ops.segment_sum(contrib, tile_group, num_segments=G)

@@ -46,6 +46,8 @@ __all__ = [
     "ell_from_scipy",
     "blockell_from_scipy",
     "banded_from_scipy",
+    "HybridOperator",
+    "hybrid_from_scipy",
 ]
 
 
@@ -453,3 +455,129 @@ class SellOperator(LinearOperator):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], is_hermitian=aux[0], perm=aux[1])
+
+
+@jax.tree_util.register_pytree_node_class
+class HybridOperator(LinearOperator):
+    """A = banded + residual: the hybrid sparse decomposition
+    (VERDICT r2 next-round item 2b).
+
+    RCM'd PDE/mesh-class matrices concentrate most nonzeros on a handful
+    of DENSE diagonals (self + regular-neighbor couplings); only the
+    irregular tail is genuinely unstructured. The hybrid matvec runs the
+    dense diagonals through the shift-based ``BandedOperator`` kernel
+    (~236 GB/s measured at 10M rows) and only the tail through the
+    VPU-gather SELL kernel — moving the bulk of the traffic off the
+    gather path entirely instead of fighting its measured per-tile
+    ceiling. Build with ``hybrid_from_scipy``.
+
+    Reference context: the matvec is THE device kernel of the Krylov
+    stack (src/arnoldi.jl:182); this container slots under every action/
+    driver like any other LinearOperator.
+    """
+
+    def __init__(self, banded, sell, is_hermitian: bool = False):
+        self.banded = banded
+        self.sell = sell
+        self.is_hermitian = bool(is_hermitian)
+
+    @property
+    def shape(self):
+        part = self.banded if self.banded is not None else self.sell
+        return part.shape
+
+    @property
+    def dtype(self):
+        part = self.banded if self.banded is not None else self.sell
+        return part.dtype
+
+    @property
+    def nnz(self) -> int:
+        nb = 0 if self.banded is None else int(
+            np.count_nonzero(np.asarray(self.banded.diags)))
+        ns = 0 if self.sell is None else self.sell.nnz
+        return nb + ns
+
+    def matvec(self, x):
+        if self.banded is None:
+            return self.sell.matvec(x)
+        y = self.banded.matvec(x)
+        if self.sell is not None:
+            y = y + self.sell.matvec(x)
+        return y
+
+    def opnorm_hint(self):
+        h = 0.0
+        if self.banded is not None:
+            h = h + self.banded.opnorm_hint()
+        if self.sell is not None:
+            h = h + self.sell.opnorm_hint()
+        return h
+
+    def tree_flatten(self):
+        return (self.banded, self.sell), (self.is_hermitian,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], is_hermitian=aux[0])
+
+
+def hybrid_from_scipy(A, *, min_fill: float = 0.4, max_offsets: int = 31,
+                      dtype=np.float32, window: int = 2048,
+                      mode: str | None = None, is_hermitian: bool = False,
+                      rcm: bool = False) -> HybridOperator:
+    """Split ``A`` into dense diagonals + SELL residual (HybridOperator).
+
+    Diagonals whose fill (nnz on the offset / n) is ≥ ``min_fill`` are
+    extracted into a BandedOperator (up to ``max_offsets``, densest
+    first); everything else packs into the SELL container. ``rcm=True``
+    RCM-permutes FIRST (symmetrically), which is what concentrates
+    mesh-graph nonzeros onto diagonals; the returned operator then acts
+    in the permuted basis (see ``SellOperator`` notes — use ``.perm``).
+    """
+    import scipy.sparse as sp
+
+    A = A.tocoo()
+    n = A.shape[0]
+    rows, cols, vals = (np.asarray(A.row, np.int64),
+                        np.asarray(A.col, np.int64),
+                        np.asarray(A.data))
+    perm = None
+    if rcm:
+        from ..native import rcm_ordering
+        perm = rcm_ordering(sp.csr_matrix((vals, (rows, cols)),
+                                          shape=(n, n)))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n)
+        rows, cols = inv[rows], inv[cols]
+
+    off = cols - rows
+    uniq, counts = np.unique(off, return_counts=True)
+    dense = uniq[counts >= min_fill * n]
+    if len(dense) > max_offsets:
+        order = np.argsort(counts[np.isin(uniq, dense)])[::-1]
+        dense = dense[order[:max_offsets]]
+    dense_set = set(int(o) for o in dense)
+
+    banded = None
+    sell = None
+    if dense_set:
+        sel = np.isin(off, dense)
+        offsets = sorted(dense_set)
+        omap = {o: k for k, o in enumerate(offsets)}
+        diags = np.zeros((len(offsets), n),
+                         dtype or np.result_type(vals.dtype, np.float32))
+        ok = np.array([omap[int(o)] for o in off[sel]])
+        np.add.at(diags, (ok, rows[sel]), vals[sel])
+        banded = BandedOperator(jnp.asarray(diags, dtype), offsets,
+                                is_hermitian=is_hermitian)
+        res = ~sel
+    else:
+        res = np.ones(len(off), bool)
+    if res.any():
+        sell = SellOperator.from_coo(rows[res], cols[res], vals[res], n,
+                                     dtype=dtype, window=window, mode=mode,
+                                     is_hermitian=is_hermitian)
+    hy = HybridOperator(banded, sell, is_hermitian=is_hermitian)
+    hy.perm = perm
+    return hy

@@ -249,3 +249,150 @@ def test_sell_save_load_roundtrip(tmp_path, rng):
     x = jnp.asarray(rng.standard_normal(n), jnp.float32)
     np.testing.assert_array_equal(np.asarray(sell_spmv_ref(back, x)),
                                   np.asarray(sell_spmv_ref(data, x)))
+
+
+class TestSubroll:
+    """Per-group 1024-wide subwindows (mode='subroll', round 3): half the
+    roll/gather/select sequence of the full-window roll path. Auto-picked
+    by sell_pack(mode=None) whenever every 128-row group's span fits an
+    aligned 1024 subwindow."""
+
+    def test_auto_selects_subroll(self, rng):
+        n, d, band = 3000, 9, 600
+        rows, cols, vals = banded_random(rng, n, d, band)
+        data = sell_pack((rows, cols, vals.astype(np.float32)), n)
+        assert data.mode == "subroll"
+
+    def test_explicit_subroll_matches_scipy(self, rng):
+        n, d, band = 3000, 9, 700
+        rows, cols, vals = banded_random(rng, n, d, band)
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+        data = sell_pack((rows, cols, vals.astype(np.float32)), n,
+                         mode="subroll")
+        x = rng.standard_normal(n).astype(np.float32)
+        want = A @ x
+        y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+        y2 = np.asarray(sell_spmv_ref(data, jnp.asarray(x)))
+        assert np.max(np.abs(y2 - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_subroll_pair_packed(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            pack_index_pairs)
+        n, d, band = 3000, 9, 600
+        rows, cols, vals = banded_random(rng, n, d, band)
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+        data = sell_pack((rows, cols, vals.astype(np.float32)), n,
+                         mode="subroll")
+        dp = pack_index_pairs(data)
+        x = rng.standard_normal(n).astype(np.float32)
+        want = A @ x
+        y = np.asarray(sell_spmv(dp, jnp.asarray(x), interpret=True))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_explicit_subroll_raises_when_wide(self, rng):
+        n, d, band = 4096, 7, 2500
+        rows, cols, vals = banded_random(rng, n, d, band)
+        with pytest.raises(ValueError, match="subroll"):
+            sell_pack((rows, cols, vals.astype(np.float32)), n,
+                      window=4096, mode="subroll")
+
+    def test_auto_falls_back_to_roll_when_wide(self, rng):
+        n, d, band = 4096, 7, 2500
+        rows, cols, vals = banded_random(rng, n, d, band)
+        data = sell_pack((rows, cols, vals.astype(np.float32)), n,
+                         window=4096)
+        assert data.mode == "roll"
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+        want = A @ x
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_subroll_duplicates_and_empty_rows(self, rng):
+        n = 300
+        rows = np.array([2, 2, 2, 150])
+        cols = np.array([5, 5, 7, 149])
+        vals = np.array([1.0, 2.0, 4.0, 3.0], np.float32)
+        data = sell_pack((rows, cols, vals), n, mode="subroll")
+        x = np.ones(n, np.float32)
+        y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+        want = np.zeros(n); want[2] = 7.0; want[150] = 3.0
+        np.testing.assert_allclose(y, want, atol=1e-6)
+
+
+class TestHybrid:
+    """Hybrid structured+SELL decomposition (VERDICT r2 item 2b): dense
+    diagonals ride the BandedOperator shift kernel; only the irregular
+    tail pays the gather path."""
+
+    def _mesh_like(self, rng, n=3000):
+        # FEM/mesh-class after RCM: dense tri-diagonal couplings + a
+        # sparse irregular tail within a band
+        rows = [np.arange(n)] * 3
+        cols = [np.arange(n),
+                np.clip(np.arange(n) - 1, 0, n - 1),
+                np.clip(np.arange(n) + 1, 0, n - 1)]
+        vals = [np.full(n, 4.0), np.full(n, -1.0), np.full(n, -1.0)]
+        ntail = 2 * n
+        tr = rng.integers(0, n, ntail)
+        tc = np.clip(tr + rng.integers(-300, 300, ntail), 0, n - 1)
+        rows.append(tr); cols.append(tc)
+        vals.append(rng.standard_normal(ntail) * 0.1)
+        import scipy.sparse as sp
+        return sp.coo_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))), shape=(n, n))
+
+    def test_split_and_matvec(self, rng):
+        import exponentialutilities_jl_tpu as eu
+        A = self._mesh_like(rng)
+        hy = eu.hybrid_from_scipy(A, min_fill=0.5)
+        assert hy.banded is not None and hy.sell is not None
+        # the dense couplings went to the banded part
+        assert set(hy.banded.offsets) >= {-1, 0, 1}
+        x = rng.standard_normal(3000).astype(np.float32)
+        y = np.asarray(hy.matvec(jnp.asarray(x)))
+        want = A @ x
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+        # nnz accounting: banded nonzeros + sell nnz = matrix nnz
+        assert hy.nnz == A.tocsr().nnz
+
+    def test_all_banded_no_residual(self, rng):
+        import exponentialutilities_jl_tpu as eu
+        import scipy.sparse as sp
+        n = 500
+        A = sp.diags([np.full(n - 1, -1.0), np.full(n, 2.0),
+                      np.full(n - 1, -1.0)], [-1, 0, 1]).tocoo()
+        hy = eu.hybrid_from_scipy(A, min_fill=0.5)
+        assert hy.sell is None
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(hy.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - (A @ x))) < 1e-5
+
+    def test_no_structure_all_sell(self, rng):
+        import exponentialutilities_jl_tpu as eu
+        import scipy.sparse as sp
+        n = 2000
+        r = np.repeat(np.arange(n), 4)
+        c = np.clip(r + rng.integers(-200, 200, 4 * n), 0, n - 1)
+        v = rng.standard_normal(4 * n)
+        A = sp.coo_matrix((v, (r, c)), shape=(n, n))
+        hy = eu.hybrid_from_scipy(A, min_fill=0.5)
+        assert hy.banded is None and hy.sell is not None
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(hy.matvec(jnp.asarray(x)))
+        want = A @ x
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-4
+
+    def test_hybrid_in_expv(self, rng):
+        import exponentialutilities_jl_tpu as eu
+        import scipy.linalg as sla
+        A = self._mesh_like(rng, n=600).tocsr()
+        A = (A + A.T) / 2      # Hermitian for Lanczos
+        hy = eu.hybrid_from_scipy(A, min_fill=0.5, is_hermitian=True)
+        b = rng.standard_normal(600)
+        w = eu.expv(0.05, hy, jnp.asarray(b), m=40)
+        want = sla.expm(0.05 * A.toarray()) @ b
+        assert (np.linalg.norm(np.asarray(w) - want)
+                / np.linalg.norm(want)) < 1e-6
