@@ -73,7 +73,7 @@ class SellData:
 
     def __init__(self, vals, lidx, group_ptr, win_row, n, nnz,
                  win_rows=_SUB * 2, mode="roll", cap=_GPB, pptr=None,
-                 capp=0, chunks=1):
+                 capp=0, chunks=1, uniform=False):
         self.vals = vals
         self.lidx = lidx             # (T+cap, 8, 128) int32, or pair-packed
         self.group_ptr = group_ptr
@@ -89,6 +89,7 @@ class SellData:
         self.capp = int(capp)        # 0 = indices unpacked; else packed
                                      # pair-chunk capacity per block
         self.chunks = int(chunks)    # window slabs per block (chunked)
+        self.uniform = bool(uniform)  # every group exactly one tile
 
     @property
     def residue(self):
@@ -98,7 +99,7 @@ class SellData:
         return ((self.vals, self.lidx, self.group_ptr, self.win_row,
                  self.pptr),
                 (self.n, self.nnz, self.win_rows, self.mode, self.cap,
-                 self.capp, self.chunks))
+                 self.capp, self.chunks, self.uniform))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -114,7 +115,8 @@ class SellData:
                  win_row=np.asarray(self.win_row),
                  pptr=np.asarray(self.pptr),
                  meta=np.asarray([self.n, self.nnz, self.win_rows,
-                                  self.cap, self.capp, self.chunks],
+                                  self.cap, self.capp, self.chunks,
+                                  int(self.uniform)],
                                  np.int64),
                  mode=np.asarray(self.mode))
 
@@ -124,12 +126,14 @@ class SellData:
         if not os.path.exists(path) and not path.endswith(".npz"):
             path = path + ".npz"       # np.savez auto-appends .npz
         z = np.load(path, allow_pickle=False)
-        n, nnz, win_rows, cap, capp, chunks = (int(v) for v in z["meta"])
+        meta = [int(v) for v in z["meta"]]
+        n, nnz, win_rows, cap, capp, chunks = meta[:6]
+        uniform = bool(meta[6]) if len(meta) > 6 else False
         return cls(jnp.asarray(z["vals"]), jnp.asarray(z["lidx"]),
                    jnp.asarray(z["group_ptr"]), jnp.asarray(z["win_row"]),
                    n, nnz, win_rows=win_rows, mode=str(z["mode"]),
                    cap=cap, pptr=jnp.asarray(z["pptr"]), capp=capp,
-                   chunks=chunks)
+                   chunks=chunks, uniform=uniform)
 
 
 jax.tree_util.register_pytree_node(
@@ -137,7 +141,8 @@ jax.tree_util.register_pytree_node(
     lambda s: s.tree_flatten(),
     lambda aux, ch: SellData(ch[0], ch[1], ch[2], ch[3], aux[0], aux[1],
                              win_rows=aux[2], mode=aux[3], cap=aux[4],
-                             pptr=ch[4], capp=aux[5], chunks=aux[6]),
+                             pptr=ch[4], capp=aux[5], chunks=aux[6],
+                             uniform=aux[7] if len(aux) > 7 else False),
 )
 
 
@@ -152,7 +157,8 @@ def pack_index_pairs(data: SellData) -> SellData:
     import numpy as _onp
     gp = _onp.asarray(data.group_ptr)
     G = gp.shape[0] - 1
-    B = data.win_row.shape[0]
+    B = (-(-G // _GPB) if data.mode == "subroll"
+         else data.win_row.shape[0])
     T = int(gp[-1])
     gp_blk = gp[_onp.minimum(_onp.arange(B + 1) * _GPB, G)]
     nt_b = _onp.diff(gp_blk)
@@ -169,7 +175,7 @@ def pack_index_pairs(data: SellData) -> SellData:
     packed[dest[even]] += li[even]
     packed[dest[~even]] += li[~even] << 16
     return SellData(data.vals, jnp.asarray(packed), data.group_ptr,
-                    data.win_row, data.n, data.nnz,
+                    data.win_row, data.n, data.nnz, uniform=data.uniform,
                     win_rows=data.win_rows, mode=data.mode, cap=data.cap,
                     pptr=jnp.asarray(pptr), capp=capp, chunks=data.chunks)
 
@@ -275,15 +281,17 @@ def _pack_chunked(A, n: int, dtype, window: int, max_chunks: int):
 
 def _subroll_transform(lidx_all, group_ptr, g_of, indices, wsb_group,
                        wr: int):
-    """Rebase indices onto per-GROUP 1024-wide aligned subwindows of the
-    block window and encode each group's subwindow offset (in 128-lane
-    row units, 0..wr−8) in bits 10+ of EVERY slot of its tiles — the
-    kernel recovers it with one max-reduce per tile (the same trick the
-    chunked mode uses for slab ids) and gathers from an (8, 128) slice,
-    which halves the roll/gather/select sequence vs the full-window roll
-    path. Returns the per-group offsets, or None when some group's
-    column span does not fit 1024 after 128-alignment (caller falls back
-    to plain roll)."""
+    """Rebase indices onto per-GROUP 1024-wide 128-aligned subwindows.
+
+    The kernel DMAs each group's (8, 128) x-subwindow into its own
+    sublane-ALIGNED VMEM slot (8 small x-DMAs per block instead of one
+    block-window DMA — a traced-offset VMEM slice at arbitrary sublane
+    offset is NOT free: the first cut of this mode sliced the block
+    window at goff and measured 25.6 ms vs roll's 10.6 at 10M rows) and
+    gathers with ONE 8-step roll pass — half the full-window sequence,
+    no in-half masking. Returns the per-group window starts (128-lane
+    row units, absolute), or None when some group's span does not fit
+    1024 after alignment (caller falls back to plain roll)."""
     G = len(group_ptr) - 1
     cmin = np.full(G, np.iinfo(np.int64).max)
     cmax = np.full(G, -1, np.int64)
@@ -292,20 +300,20 @@ def _subroll_transform(lidx_all, group_ptr, g_of, indices, wsb_group,
     empty = cmax < 0
     cmin[empty] = wsb_group[empty] if len(wsb_group) else 0
     cmax[empty] = cmin[empty]
-    goff = np.clip(cmin // _LANES - wsb_group // _LANES, 0, wr - _SUB)
-    if np.any(cmax >= wsb_group + (goff + _SUB) * _LANES):
+    gwin = np.clip(cmin // _LANES, wsb_group // _LANES,
+                   wsb_group // _LANES + wr - _SUB)
+    if np.any(cmax >= (gwin + _SUB) * _LANES):
         return None
-    # Rebase every slot (real indices are in range by the check above,
-    # so the clip only catches value-0 PAD slots, keeping
-    # promise_in_bounds honest) and tag the group's subwindow offset.
+    # Rebase every slot to its group window (real indices are in range
+    # by the check above, so the clip only catches value-0 PAD slots,
+    # keeping promise_in_bounds honest).
     T = lidx_all.shape[0]
-    tile_goff = np.zeros(T, np.int32)
+    tile_base = np.zeros(T, np.int64)
     counts = np.diff(group_ptr).astype(np.int64)
-    tile_goff[:group_ptr[G]] = np.repeat(goff.astype(np.int32), counts)
-    lidx_all[:] = (np.clip(lidx_all - (tile_goff * _LANES)[:, None, None],
-                           0, _W - 1)
-                   | (tile_goff << 10)[:, None, None])
-    return goff
+    tile_base[:group_ptr[G]] = np.repeat(
+        gwin * _LANES - wsb_group, counts)
+    lidx_all[:] = np.clip(lidx_all - tile_base[:, None, None], 0, _W - 1)
+    return gwin.astype(np.int32)
 
 
 def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
@@ -372,22 +380,26 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
                     np.minimum(np.arange(Gn) // _GPB, len(wrow) - 1)]
                     * _LANES)
                 lia = np.ascontiguousarray(lia)
-                goff = _subroll_transform(
+                gwin = _subroll_transform(
                     lia, np.asarray(gp, np.int64), g_all,
                     A.indices.astype(np.int64), wsb_group,
                     window // _LANES)
-                if goff is not None:
+                if gwin is not None:
                     out_mode = "subroll"
+                    wrow = gwin          # (G,) per-group window starts
                 elif want_subroll and not auto:
                     raise ValueError(
                         "subroll: some 128-row group's column span "
                         "exceeds an aligned 1024 subwindow — use "
                         "mode='roll' or RCM-permute")
+            gpn = np.asarray(gp)
+            uni = bool(gpn[-1] == len(gpn) - 1
+                       and np.all(np.diff(gpn) == 1))
             return SellData(jnp.asarray(va.astype(dtype)),
                             jnp.asarray(lia), jnp.asarray(gp),
                             jnp.asarray(wrow), n, int(nnz),
                             win_rows=window // _LANES, mode=out_mode,
-                            cap=cap)
+                            cap=cap, uniform=uni)
     indptr = A.indptr.astype(np.int64)
     indices = A.indices.astype(np.int64)
     data = A.data
@@ -461,22 +473,26 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
     vals_all[tile, sub, lane] = data.astype(dtype)
     lidx_all[tile, sub, lane] = li
     out_mode = "residue" if residue else "roll"
+    wrow_out = (wsb // _LANES).astype(np.int32)
     if not residue and (want_subroll or auto):
         wsb_group = wsb[np.minimum(np.arange(G) // _GPB, B - 1)]
-        goff = _subroll_transform(lidx_all, group_ptr.astype(np.int64),
+        gwin = _subroll_transform(lidx_all, group_ptr.astype(np.int64),
                                   g_of, indices, wsb_group,
                                   window // _LANES)
-        if goff is not None:
+        if gwin is not None:
             out_mode = "subroll"
+            wrow_out = gwin              # (G,) per-group window starts
         elif want_subroll and not auto:
             raise ValueError(
                 "subroll: some 128-row group's column span exceeds an "
                 "aligned 1024 subwindow — use mode='roll' or RCM-permute")
+    uni = bool(group_ptr[-1] == len(group_ptr) - 1
+               and np.all(np.diff(group_ptr) == 1))
     return SellData(jnp.asarray(vals_all), jnp.asarray(lidx_all),
                     jnp.asarray(group_ptr),
-                    jnp.asarray((wsb // _LANES).astype(np.int32)),
+                    jnp.asarray(wrow_out),
                     n, int(nnz), win_rows=window // _LANES,
-                    mode=out_mode, cap=cap)
+                    mode=out_mode, cap=cap, uniform=uni)
 
 
 def _gather_tile(win, li, wr: int, mode: str, sid):
@@ -545,32 +561,46 @@ def _gather_tile(win, li, wr: int, mode: str, sid):
 
 def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
                  x_hbm, out_ref, win2, vbuf, ibuf, sems, *, wr: int,
-                 cap: int, mode: str, nblocks: int, capp: int, nc: int = 1):
+                 cap: int, mode: str, nblocks: int, capp: int, nc: int = 1,
+                 uniform: bool = False):
     b = pl.program_id(0)
     par = b % 2
     nxt = (b + 1) % 2
     sid = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
-    nsem = nc + 2                    # per-parity: nc x-slabs + vals + idx
+    nwin = _GPB if mode == "subroll" else nc
+    nsem = nwin + 2                  # per-parity: x-slabs + vals + idx
 
     def block_dmas(p, blk):
         t0 = group_ptr_ref[blk * _GPB]
         if capp:
             icp = pltpu.make_async_copy(
                 lidx_hbm.at[pl.ds(pptr_ref[blk], capp)], ibuf.at[p],
-                sems.at[p * nsem + nc + 1])
+                sems.at[p * nsem + nwin + 1])
         else:
             icp = pltpu.make_async_copy(lidx_hbm.at[pl.ds(t0, cap)],
                                         ibuf.at[p],
-                                        sems.at[p * nsem + nc + 1])
-        return tuple(
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(win_row_ref[blk * nc + c], wr)],
-                win2.at[p] if nc == 1 else win2.at[p, pl.ds(c * wr, wr)],
-                sems.at[p * nsem + c])
-            for c in range(nc)
-        ) + (
+                                        sems.at[p * nsem + nwin + 1])
+        if mode == "subroll":
+            # one ALIGNED (8, 128) x-subwindow per 128-row group: eight
+            # small DMAs per block, landing each group's window in its
+            # own sublane-aligned VMEM slot (win_row is per-GROUP here)
+            xcps = tuple(
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(win_row_ref[blk * _GPB + g], _SUB)],
+                    win2.at[p, pl.ds(g * _SUB, _SUB)],
+                    sems.at[p * nsem + g])
+                for g in range(_GPB))
+        else:
+            xcps = tuple(
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(win_row_ref[blk * nc + c], wr)],
+                    win2.at[p] if nc == 1
+                    else win2.at[p, pl.ds(c * wr, wr)],
+                    sems.at[p * nsem + c])
+                for c in range(nc))
+        return xcps + (
             pltpu.make_async_copy(vals_hbm.at[pl.ds(t0, cap)],
-                                  vbuf.at[p], sems.at[p * nsem + nc]),
+                                  vbuf.at[p], sems.at[p * nsem + nwin]),
             icp,
         )
 
@@ -587,8 +617,24 @@ def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
     for cp in block_dmas(par, b):
         cp.wait()
 
+    if uniform and mode == "subroll":
+        # Fast path for the UNIFORM one-tile-per-group regime (maxdeg ≤ 8
+        # for every group — the low-degree unstructured class): no
+        # group_ptr lookups, no fori_loop, fully static schedule — the
+        # measured non-gather bookkeeping was ~2/3 of the per-tile cost.
+        for g in range(_GPB):
+            if capp:
+                word = ibuf[par, g >> 1]
+                li = (word >> ((g & 1) * 16)) & 0xFFFF
+            else:
+                li = ibuf[par, g]
+            sub = win2[par, g * _SUB:(g + 1) * _SUB]
+            gathered = _gather_tile(sub, li, wr, "subroll", sid)
+            out_ref[g, :] = jnp.sum(vbuf[par, g] * gathered, axis=0)
+        return
+
     tbase = group_ptr_ref[b * _GPB]
-    win = None if mode == "chunked" else win2[par]
+    win = None if mode in ("chunked", "subroll") else win2[par]
     for g in range(_GPB):
         t0 = group_ptr_ref[b * _GPB + g] - tbase
         nt = group_ptr_ref[b * _GPB + g + 1] - tbase - t0
@@ -609,11 +655,9 @@ def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
                 gathered = _gather_tile(slab, li & 0x1FFF, wr, "roll",
                                         sid)
             elif mode == "subroll":
-                # group subwindow offset rides bits 10+ of every slot
-                goff = jnp.max(li) >> 10
-                sub = win2[par, pl.ds(goff, _SUB)]
-                gathered = _gather_tile(sub, li & 0x3FF, wr, "subroll",
-                                        sid)
+                # this group's subwindow sits in its own aligned slot
+                sub = win2[par, pl.ds(g * _SUB, _SUB)]
+                gathered = _gather_tile(sub, li, wr, "subroll", sid)
             else:
                 gathered = _gather_tile(win, li, wr, mode, sid)
             return acc + vbuf[par, t0 + t] * gathered
@@ -649,17 +693,16 @@ def sell_spmv_ref(data: SellData, x):
         blk = jnp.minimum(tile_group // _GPB, wr2.shape[0] - 1)
         ws = wr2[blk[:, None, None], data.lidx >> 13] * _LANES
         gidx = (data.lidx & 0x1FFF) + ws
+    elif data.mode == "subroll":
+        # win_row is per-GROUP: indices are group-subwindow-local
+        ws = data.win_row[tile_group] * _LANES
+        gidx = data.lidx + ws[:, None, None]
     else:
         ws = data.win_row[jnp.minimum(tile_group // _GPB,
                                       data.win_row.shape[0] - 1)] * _LANES
         # lidx is the block-window-local element index in BOTH packings
-        # (residue only constrains WHICH sublane a slot uses); subroll
-        # carries the group subwindow offset in bits 10+.
-        if data.mode == "subroll":
-            gidx = ((data.lidx & 0x3FF) + (data.lidx >> 10) * _LANES
-                    + ws[:, None, None])
-        else:
-            gidx = data.lidx + ws[:, None, None]
+        # (residue only constrains WHICH sublane a slot uses).
+        gidx = data.lidx + ws[:, None, None]
     gx = x_pad[gidx]
     contrib = jnp.sum(data.vals * gx, axis=1)
     y = jax.ops.segment_sum(contrib, tile_group, num_segments=G)
@@ -671,7 +714,8 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
     """y = A @ x for a SELL-window packed matrix (see module docstring)."""
     n = data.n
     G = data.group_ptr.shape[0] - 1
-    B = data.win_row.shape[0]
+    subroll = data.mode == "subroll"
+    B = -(-G // _GPB) if subroll else data.win_row.shape[0]
     n_pad = G * _LANES
     W = data.win_rows * _LANES
     x_pad = jnp.pad(x, (0, n_pad - n + W))
@@ -683,12 +727,17 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
     if gp.shape[0] < need:
         gp = jnp.concatenate([gp, jnp.full((need - gp.shape[0],), gp[-1],
                                            jnp.int32)])
+    wrow = data.win_row.reshape(-1)
+    if subroll and wrow.shape[0] < B * _GPB:
+        wrow = jnp.concatenate([wrow, jnp.zeros((B * _GPB
+                                                 - wrow.shape[0],),
+                                                jnp.int32)])
 
     nc = data.chunks
     out = pl.pallas_call(
         functools.partial(_sell_kernel, wr=data.win_rows, cap=data.cap,
                           mode=data.mode, nblocks=B, capp=data.capp,
-                          nc=nc),
+                          nc=nc, uniform=data.uniform),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B,),
@@ -700,11 +749,13 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
             out_specs=pl.BlockSpec((_GPB, _LANES), lambda b, *_: (b, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, nc * data.win_rows, _LANES), x.dtype),
+                pltpu.VMEM((2, _GPB * _SUB if subroll
+                            else nc * data.win_rows, _LANES), x.dtype),
                 pltpu.VMEM((2, data.cap, _SUB, _LANES), data.vals.dtype),
                 pltpu.VMEM((2, data.capp or data.cap, _SUB, _LANES),
                            jnp.int32),
-                pltpu.SemaphoreType.DMA((2 * (nc + 2),)),
+                pltpu.SemaphoreType.DMA(
+                    (2 * ((_GPB if subroll else nc) + 2),)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B * _GPB, _LANES), x.dtype),
@@ -716,5 +767,5 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(gp, data.win_row.reshape(-1), data.pptr, data.vals, data.lidx, x2)
+    )(gp, wrow, data.pptr, data.vals, data.lidx, x2)
     return out.reshape(-1)[:n]

@@ -396,3 +396,21 @@ class TestHybrid:
         want = sla.expm(0.05 * A.toarray()) @ b
         assert (np.linalg.norm(np.asarray(w) - want)
                 / np.linalg.norm(want)) < 1e-6
+
+
+def test_sell_uniform_fast_path(rng):
+    # degree ≤ 8 → one tile per group → the static uniform kernel path
+    n, d, band = 3000, 6, 500
+    rows, cols, vals = banded_random(rng, n, d, band)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    data = sell_pack((rows, cols, vals.astype(np.float32)), n)
+    assert data.mode == "subroll" and data.uniform
+    x = rng.standard_normal(n).astype(np.float32)
+    want = A @ x
+    y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+    from exponentialutilities_jl_tpu.ops.kernels.sell import (
+        pack_index_pairs)
+    dp = pack_index_pairs(data)
+    y2 = np.asarray(sell_spmv(dp, jnp.asarray(x), interpret=True))
+    assert np.max(np.abs(y2 - want)) / np.max(np.abs(want)) < 1e-5
