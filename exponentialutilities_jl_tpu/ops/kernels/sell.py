@@ -73,7 +73,7 @@ class SellData:
 
     def __init__(self, vals, lidx, group_ptr, win_row, n, nnz,
                  win_rows=_SUB * 2, mode="roll", cap=_GPB, pptr=None,
-                 capp=0, chunks=1, uniform=False):
+                 capp=0, chunks=1, uniform=0):
         self.vals = vals
         self.lidx = lidx             # (T+cap, 8, 128) int32, or pair-packed
         self.group_ptr = group_ptr
@@ -89,7 +89,14 @@ class SellData:
         self.capp = int(capp)        # 0 = indices unpacked; else packed
                                      # pair-chunk capacity per block
         self.chunks = int(chunks)    # window slabs per block (chunked)
-        self.uniform = bool(uniform)  # every group exactly one tile
+        self.uk = int(uniform)       # >0: EVERY group has exactly uk
+                                     # tiles (static kernel schedule);
+                                     # 0: dynamic per-group tile counts
+
+    @property
+    def uniform(self):
+        """Static-schedule flag (uk >= 1: uniform-k tiles per group)."""
+        return self.uk
 
     @property
     def residue(self):
@@ -99,7 +106,7 @@ class SellData:
         return ((self.vals, self.lidx, self.group_ptr, self.win_row,
                  self.pptr),
                 (self.n, self.nnz, self.win_rows, self.mode, self.cap,
-                 self.capp, self.chunks, self.uniform))
+                 self.capp, self.chunks, self.uk))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -116,7 +123,7 @@ class SellData:
                  pptr=np.asarray(self.pptr),
                  meta=np.asarray([self.n, self.nnz, self.win_rows,
                                   self.cap, self.capp, self.chunks,
-                                  int(self.uniform)],
+                                  self.uk],
                                  np.int64),
                  mode=np.asarray(self.mode))
 
@@ -128,7 +135,7 @@ class SellData:
         z = np.load(path, allow_pickle=False)
         meta = [int(v) for v in z["meta"]]
         n, nnz, win_rows, cap, capp, chunks = meta[:6]
-        uniform = bool(meta[6]) if len(meta) > 6 else False
+        uniform = int(meta[6]) if len(meta) > 6 else 0
         return cls(jnp.asarray(z["vals"]), jnp.asarray(z["lidx"]),
                    jnp.asarray(z["group_ptr"]), jnp.asarray(z["win_row"]),
                    n, nnz, win_rows=win_rows, mode=str(z["mode"]),
@@ -142,7 +149,7 @@ jax.tree_util.register_pytree_node(
     lambda aux, ch: SellData(ch[0], ch[1], ch[2], ch[3], aux[0], aux[1],
                              win_rows=aux[2], mode=aux[3], cap=aux[4],
                              pptr=ch[4], capp=aux[5], chunks=aux[6],
-                             uniform=aux[7] if len(aux) > 7 else False),
+                             uniform=aux[7] if len(aux) > 7 else 0),
 )
 
 
@@ -316,14 +323,71 @@ def _subroll_transform(lidx_all, group_ptr, g_of, indices, wsb_group,
     return gwin.astype(np.int32)
 
 
+_UK_MAX = 8          # uniform-k static unroll cap (8 gather seqs/group)
+_UK_PAD = 2.0        # auto repack only if k·G <= _UK_PAD · T (pad traffic)
+
+
+def _maybe_uniform_k(va, lia, gp, mode: str, uniform_k):
+    """Repack to a STATIC uniform-k schedule when profitable.
+
+    The measured per-tile cost of the dynamic subroll path is ~2/3
+    bookkeeping (group_ptr lookups + ``fori_loop`` carry, BENCHMARKS.md):
+    padding every 128-row group to exactly k = max tiles/group lets the
+    kernel run a fully static schedule (the d<=8 "uniform" fast path
+    generalized), trading zero-padded value/index DMA traffic for the
+    bookkeeping. Auto policy (``uniform_k=None``): repack when
+    k <= _UK_MAX and the padded tile count k·G <= _UK_PAD·T.
+
+    Returns (va, lia, gp, cap_or_None, uk); uk=0 keeps the dynamic path,
+    uk>=1 means every group holds exactly uk tiles (group g's tiles at
+    [g·uk, (g+1)·uk); trailing phantom groups up to the block boundary
+    are all-zero so the fixed-size chunk DMA stays in range).
+    """
+    gp64 = np.asarray(gp, np.int64)
+    G = len(gp64) - 1
+    v = np.diff(gp64)
+    T = int(gp64[-1])
+    k = int(v.max()) if G else 1
+    if k == 1 and T == G:
+        return va, lia, gp, None, 1
+    if mode != "subroll" or uniform_k is False:
+        return va, lia, gp, None, 0
+    if uniform_k and k > _UK_MAX:
+        raise ValueError(
+            f"uniform_k: max tiles/group {k} exceeds the static unroll "
+            f"cap {_UK_MAX} — use the dynamic path (uniform_k=False)")
+    if not (uniform_k or (uniform_k is None and k <= _UK_MAX
+                          and k * G <= _UK_PAD * T)):
+        return va, lia, gp, None, 0
+    B = -(-G // _GPB)
+    T2 = B * _GPB * k
+    va2 = np.zeros((T2,) + va.shape[1:], va.dtype)
+    li2 = np.zeros((T2,) + lia.shape[1:], np.asarray(lia).dtype)
+    src = np.arange(T)
+    tg = np.repeat(np.arange(G), v)
+    dest = tg * k + (src - gp64[:-1][tg])
+    va2[dest] = np.asarray(va)[src]
+    li2[dest] = np.asarray(lia)[src]
+    gp2 = (np.arange(G + 1, dtype=np.int64) * k).astype(np.int32)
+    return va2, li2, gp2, _GPB * k, k
+
+
 def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
               window: int = 2048, residue: bool = False,
-              mode: str | None = None, max_chunks: int = 4) -> SellData:
+              mode: str | None = None, max_chunks: int = 4,
+              uniform_k: bool | None = None) -> SellData:
     """Pack COO (rows, cols, vals) into SELL-window form (module doc).
 
     ``mode=None`` auto-selects: "subroll" (per-group 1024-wide
     subwindows — half the gather work of "roll") when every 128-row
     group's column span fits an aligned 1024 subwindow, else "roll".
+
+    ``uniform_k``: static-schedule repack policy for subroll packings
+    whose max tiles/group k exceeds 1 — pad every group to exactly k
+    tiles so the kernel runs the fully static fast path (no group_ptr /
+    ``fori_loop`` bookkeeping, measured ~2/3 of dynamic per-tile cost).
+    None (default) auto-repacks when k <= 8 and padding k·G <= 2·T;
+    True forces (k <= 8 required); False keeps the dynamic path.
 
     Raises ValueError if any 8-group block's columns exceed its aligned
     ``window`` — RCM-permute first (the packer does not reorder), widen
@@ -392,14 +456,15 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
                         "subroll: some 128-row group's column span "
                         "exceeds an aligned 1024 subwindow — use "
                         "mode='roll' or RCM-permute")
-            gpn = np.asarray(gp)
-            uni = bool(gpn[-1] == len(gpn) - 1
-                       and np.all(np.diff(gpn) == 1))
+            va, lia, gp, ncap, uk = _maybe_uniform_k(
+                va, lia, gp, out_mode, uniform_k)
+            if ncap is not None:
+                cap = ncap
             return SellData(jnp.asarray(va.astype(dtype)),
                             jnp.asarray(lia), jnp.asarray(gp),
                             jnp.asarray(wrow), n, int(nnz),
                             win_rows=window // _LANES, mode=out_mode,
-                            cap=cap, uniform=uni)
+                            cap=cap, uniform=uk)
     indptr = A.indptr.astype(np.int64)
     indices = A.indices.astype(np.int64)
     data = A.data
@@ -486,13 +551,15 @@ def sell_pack(rows_cols_vals, n: int, dtype=np.float32,
             raise ValueError(
                 "subroll: some 128-row group's column span exceeds an "
                 "aligned 1024 subwindow — use mode='roll' or RCM-permute")
-    uni = bool(group_ptr[-1] == len(group_ptr) - 1
-               and np.all(np.diff(group_ptr) == 1))
+    vals_all, lidx_all, group_ptr, ncap, uk = _maybe_uniform_k(
+        vals_all, lidx_all, group_ptr, out_mode, uniform_k)
+    if ncap is not None:
+        cap = ncap
     return SellData(jnp.asarray(vals_all), jnp.asarray(lidx_all),
                     jnp.asarray(group_ptr),
                     jnp.asarray(wrow_out),
                     n, int(nnz), win_rows=window // _LANES,
-                    mode=out_mode, cap=cap, uniform=uni)
+                    mode=out_mode, cap=cap, uniform=uk)
 
 
 def _gather_tile(win, li, wr: int, mode: str, sid):
@@ -562,7 +629,7 @@ def _gather_tile(win, li, wr: int, mode: str, sid):
 def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
                  x_hbm, out_ref, win2, vbuf, ibuf, sems, *, wr: int,
                  cap: int, mode: str, nblocks: int, capp: int, nc: int = 1,
-                 uniform: bool = False):
+                 uniform: int = 0):
     b = pl.program_id(0)
     par = b % 2
     nxt = (b + 1) % 2
@@ -618,19 +685,26 @@ def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
         cp.wait()
 
     if uniform and mode == "subroll":
-        # Fast path for the UNIFORM one-tile-per-group regime (maxdeg ≤ 8
-        # for every group — the low-degree unstructured class): no
-        # group_ptr lookups, no fori_loop, fully static schedule — the
-        # measured non-gather bookkeeping was ~2/3 of the per-tile cost.
+        # Fast path for the UNIFORM k-tiles-per-group regime (uk=1 is
+        # the maxdeg ≤ 8 low-degree unstructured class; uk>1 is the
+        # zero-padded repack of _maybe_uniform_k): no group_ptr lookups,
+        # no fori_loop, fully static schedule — the measured non-gather
+        # bookkeeping was ~2/3 of the per-tile cost.
+        uk = int(uniform)
         for g in range(_GPB):
-            if capp:
-                word = ibuf[par, g >> 1]
-                li = (word >> ((g & 1) * 16)) & 0xFFFF
-            else:
-                li = ibuf[par, g]
             sub = win2[par, g * _SUB:(g + 1) * _SUB]
-            gathered = _gather_tile(sub, li, wr, "subroll", sid)
-            out_ref[g, :] = jnp.sum(vbuf[par, g] * gathered, axis=0)
+            acc = None
+            for t in range(uk):
+                jloc = g * uk + t
+                if capp:
+                    word = ibuf[par, jloc >> 1]
+                    li = (word >> ((jloc & 1) * 16)) & 0xFFFF
+                else:
+                    li = ibuf[par, jloc]
+                gathered = _gather_tile(sub, li, wr, "subroll", sid)
+                term = vbuf[par, jloc] * gathered
+                acc = term if acc is None else acc + term
+            out_ref[g, :] = jnp.sum(acc, axis=0)
         return
 
     tbase = group_ptr_ref[b * _GPB]
@@ -737,7 +811,7 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
     out = pl.pallas_call(
         functools.partial(_sell_kernel, wr=data.win_rows, cap=data.cap,
                           mode=data.mode, nblocks=B, capp=data.capp,
-                          nc=nc, uniform=data.uniform),
+                          nc=nc, uniform=data.uk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B,),

@@ -426,7 +426,8 @@ class SellOperator(LinearOperator):
     def from_coo(cls, rows, cols, vals, n, *, dtype=np.float32,
                  window: int = 2048, residue: bool = False,
                  mode: str | None = None, rcm: bool = False,
-                 is_hermitian: bool = False, max_chunks: int = 4):
+                 is_hermitian: bool = False, max_chunks: int = 4,
+                 uniform_k: bool | None = None):
         from .kernels.sell import sell_pack
         rows = np.asarray(rows)
         cols = np.asarray(cols)
@@ -441,7 +442,8 @@ class SellOperator(LinearOperator):
             inv[perm] = np.arange(n)
             rows, cols = inv[rows], inv[cols]
         data = sell_pack((rows, cols, vals), n, dtype=dtype, window=window,
-                         residue=residue, mode=mode, max_chunks=max_chunks)
+                         residue=residue, mode=mode, max_chunks=max_chunks,
+                         uniform_k=uniform_k)
         return cls(data, is_hermitian=is_hermitian, perm=perm)
 
     @classmethod
@@ -470,6 +472,14 @@ class HybridOperator(LinearOperator):
     VPU-gather SELL kernel — moving the bulk of the traffic off the
     gather path entirely instead of fighting its measured per-tile
     ceiling. Build with ``hybrid_from_scipy``.
+
+    Measured domain boundary (benchmarks/bench_hybrid.py, 10M rows):
+    when the WHOLE matrix already fits SELL's uniform d<=8 fast path,
+    the hybrid is a regression (7.46 ms vs 4.90 ms pure SELL) — SELL's
+    low-degree cost is tile-count bound, so removing nnz does not remove
+    tiles and the banded kernel re-traverses all n rows. Use the hybrid
+    only when maxdeg > 8 and the split brings the residual under the
+    d<=8 static schedule (see BENCHMARKS.md).
 
     Reference context: the matvec is THE device kernel of the Krylov
     stack (src/arnoldi.jl:182); this container slots under every action/

@@ -414,3 +414,78 @@ def test_sell_uniform_fast_path(rng):
     dp = pack_index_pairs(data)
     y2 = np.asarray(sell_spmv(dp, jnp.asarray(x), interpret=True))
     assert np.max(np.abs(y2 - want)) / np.max(np.abs(want)) < 1e-5
+
+
+class TestUniformK:
+    """uniform-k static-schedule repack (round 3): maxdeg > 8 matrices
+    padded to exactly k tiles per 128-row group so the kernel keeps the
+    fully static fast path (no group_ptr / fori_loop bookkeeping)."""
+
+    def _varying(self, rng, n, dmax, band=500):
+        deg = rng.integers(1, dmax + 1, n)
+        rows = np.repeat(np.arange(n), deg)
+        cols = np.clip(rows + rng.integers(-band // 2, band // 2,
+                                           len(rows)), 0, n - 1)
+        vals = rng.standard_normal(len(rows)).astype(np.float32)
+        return rows, cols, vals
+
+    def test_auto_repacks_and_matches_scipy(self, rng):
+        n = 3000
+        rows, cols, vals = self._varying(rng, n, 12)
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        data = sell_pack((rows, cols, vals), n)
+        assert data.mode == "subroll" and data.uk == 2
+        assert data.cap == 16
+        # exactly uk tiles per group, phantom tiles zero
+        gp = np.asarray(data.group_ptr)
+        assert np.all(np.diff(gp) == data.uk)
+        x = rng.standard_normal(n).astype(np.float32)
+        want = A @ x
+        y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            pack_index_pairs)
+        dp = pack_index_pairs(data)
+        y2 = np.asarray(sell_spmv(dp, jnp.asarray(x), interpret=True))
+        assert np.max(np.abs(y2 - want)) / np.max(np.abs(want)) < 1e-5
+        yr = np.asarray(sell_spmv_ref(data, jnp.asarray(x)))
+        assert np.max(np.abs(yr - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_uniform_k_false_keeps_dynamic(self, rng):
+        n = 2000
+        rows, cols, vals = self._varying(rng, n, 12)
+        data = sell_pack((rows, cols, vals), n, uniform_k=False)
+        assert data.uk == 0
+        x = rng.standard_normal(n).astype(np.float32)
+        want = sp.coo_matrix((vals, (rows, cols)),
+                             shape=(n, n)).tocsr() @ x
+        y = np.asarray(sell_spmv(data, jnp.asarray(x), interpret=True))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_forced_uniform_k_raises_past_cap(self, rng):
+        n = 512
+        deg = rng.integers(1, 100, n)
+        rows = np.repeat(np.arange(n), deg)
+        cols = np.clip(rows + rng.integers(-200, 200, len(rows)),
+                       0, n - 1)
+        vals = rng.standard_normal(len(rows)).astype(np.float32)
+        with pytest.raises(ValueError, match="uniform_k"):
+            sell_pack((rows, cols, vals), n, uniform_k=True)
+        # auto falls back to the dynamic path silently
+        data = sell_pack((rows, cols, vals), n)
+        assert data.uk == 0
+
+    def test_save_load_roundtrip_uk(self, rng, tmp_path):
+        n = 2000
+        rows, cols, vals = self._varying(rng, n, 12)
+        data = sell_pack((rows, cols, vals), n)
+        assert data.uk >= 2
+        p = str(tmp_path / "uk_pack")
+        data.save(p)
+        d2 = SellData.load(p)
+        assert d2.uk == data.uk and d2.mode == data.mode
+        x = rng.standard_normal(n).astype(np.float32)
+        want = sp.coo_matrix((vals, (rows, cols)),
+                             shape=(n, n)).tocsr() @ x
+        y = np.asarray(sell_spmv(d2, jnp.asarray(x), interpret=True))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
