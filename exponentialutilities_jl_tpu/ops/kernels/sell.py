@@ -49,7 +49,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["sell_pack", "sell_spmv", "sell_spmv_ref", "SellData",
-           "pack_index_pairs"]
+           "pack_index_pairs", "SellBucketed", "sell_pack_bucketed",
+           "sell_spmv_bucketed", "sell_spmv_bucketed_ref"]
 
 _W = 1024
 _LANES = 128
@@ -156,7 +157,12 @@ jax.tree_util.register_pytree_node(
 def pack_index_pairs(data: SellData) -> SellData:
     """Halve the index stream: two tiles' 11-bit indices share one int32
     plane (block-locally paired so the per-block chunk DMA stays one
-    contiguous read). Valid for window ≤ 8192 (indices < 16 bits)."""
+    contiguous read). Valid for window ≤ 8192 (indices < 16 bits).
+    A ``SellBucketed`` pack is pair-packed bucket by bucket."""
+    if isinstance(data, SellBucketed):
+        return SellBucketed([pack_index_pairs(b) for b in data.buckets],
+                            data.group_src, data.n, data.nnz,
+                            win_rows=data.win_rows)
     if data.capp:
         return data
     if data.win_rows * _LANES > 8192:
@@ -746,18 +752,12 @@ def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
         out_ref[g, :] = jnp.sum(acc, axis=0)
 
 
-@jax.jit
-def sell_spmv_ref(data: SellData, x):
-    """Pure-XLA reference/fallback path: identical math, any platform.
-    Operates on UNPACKED indices (call before ``pack_index_pairs``)."""
-    if data.capp:
-        raise ValueError("sell_spmv_ref needs unpacked indices; keep the "
-                         "pre-pack_index_pairs SellData for reference runs")
-    n = data.n
+def _ref_group_rows(data: SellData, x_pad):
+    """Pure-XLA per-group row results (G, 128) given the FULL padded x.
+    Shared by ``sell_spmv_ref`` and the bucketed reference path (whose
+    per-bucket SellData index into the full vector)."""
     G = data.group_ptr.shape[0] - 1
-    n_pad = G * _LANES
     T = data.vals.shape[0]
-    x_pad = jnp.pad(x, (0, n_pad - n + data.win_rows * _LANES))
     tile_group = jnp.searchsorted(data.group_ptr[1:], jnp.arange(T),
                                   side="right")
     tile_group = jnp.minimum(tile_group, G - 1)      # trailing pad tiles
@@ -779,21 +779,33 @@ def sell_spmv_ref(data: SellData, x):
         gidx = data.lidx + ws[:, None, None]
     gx = x_pad[gidx]
     contrib = jnp.sum(data.vals * gx, axis=1)
-    y = jax.ops.segment_sum(contrib, tile_group, num_segments=G)
+    return jax.ops.segment_sum(contrib, tile_group, num_segments=G)
+
+
+@jax.jit
+def sell_spmv_ref(data: SellData, x):
+    """Pure-XLA reference/fallback path: identical math, any platform.
+    Operates on UNPACKED indices (call before ``pack_index_pairs``)."""
+    if data.capp:
+        raise ValueError("sell_spmv_ref needs unpacked indices; keep the "
+                         "pre-pack_index_pairs SellData for reference runs")
+    n = data.n
+    G = data.group_ptr.shape[0] - 1
+    x_pad = jnp.pad(x, (0, G * _LANES - n + data.win_rows * _LANES))
+    y = _ref_group_rows(data, x_pad)
     return y.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sell_spmv(data: SellData, x, *, interpret: bool = False):
-    """y = A @ x for a SELL-window packed matrix (see module docstring)."""
-    n = data.n
+def _sell_call(data: SellData, x2, *, interpret: bool = False):
+    """Launch the Pallas kernel over a prepared padded x2 (already
+    reshaped to (rows, 128)); returns the (B·8, 128) per-group row
+    results (trailing phantom groups up to the block boundary are
+    zero). Shared by ``sell_spmv`` and the bucketed dispatcher, whose
+    per-bucket SellData index into the FULL padded x."""
     G = data.group_ptr.shape[0] - 1
     subroll = data.mode == "subroll"
     B = -(-G // _GPB) if subroll else data.win_row.shape[0]
-    n_pad = G * _LANES
-    W = data.win_rows * _LANES
-    x_pad = jnp.pad(x, (0, n_pad - n + W))
-    x2 = x_pad.reshape(-1, _LANES)
+    x = x2  # dtype carrier for the specs below
 
     G8 = B
     gp = data.group_ptr
@@ -837,9 +849,217 @@ def sell_spmv(data: SellData, x, *, interpret: bool = False):
             flops=2 * data.vals.shape[0] * _SUB * _LANES,
             bytes_accessed=(data.vals.size * data.vals.dtype.itemsize
                             + data.lidx.size * 4
-                            + 2 * n * x.dtype.itemsize),
+                            + 2 * data.n * x.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
     )(gp, wrow, data.pptr, data.vals, data.lidx, x2)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sell_spmv(data: SellData, x, *, interpret: bool = False):
+    """y = A @ x for a SELL-window packed matrix (see module docstring)."""
+    n = data.n
+    G = data.group_ptr.shape[0] - 1
+    n_pad = G * _LANES
+    W = data.win_rows * _LANES
+    x2 = jnp.pad(x, (0, n_pad - n + W)).reshape(-1, _LANES)
+    out = _sell_call(data, x2, interpret=interpret)
     return out.reshape(-1)[:n]
+
+
+class SellBucketed:
+    """Degree-bucketed SELL-window pack (round 3, STATUS gap #1).
+
+    Mixed-degree matrices defeat the single uniform-k static schedule:
+    padding EVERY 128-row group to k = max tiles/group costs k·G tile
+    traffic, so ``_maybe_uniform_k`` bails past 2× padding and the
+    kernel falls back to the ~72 GB/s dynamic path (group_ptr lookups +
+    ``fori_loop`` carry are the measured ~2/3 of per-tile cost,
+    BENCHMARKS.md). In subroll mode each 128-row group carries its OWN
+    window start, so groups are freely reorderable: this container
+    sorts groups by their tile count k, launches the fully static
+    uniform-k kernel once per class present (k ≤ 8; ZERO padding within
+    a class), routes k > 8 groups to one dynamic-schedule residual
+    bucket, and reassembles y with a single group-granular gather
+    (a 40 MB row move at 10M rows — noise next to the tile streams).
+
+    buckets:   per-class SellData, each over its own rows but indexing
+               the FULL x (win_row stays absolute).
+    group_src: (G,) int32 — concat-output row block (128-row group)
+               holding original group g (inverse of the class sort).
+
+    Reference context: the SpMV is THE device kernel of the Krylov
+    stack (reference src/arnoldi.jl:182); SELL-C-σ-style degree sorting
+    is the standard fix for mixed-degree ELL storage — here it sorts
+    GROUPS (not rows), which preserves every per-group subwindow.
+    """
+
+    def __init__(self, buckets, group_src, n, nnz, win_rows=_SUB * 2):
+        self.buckets = tuple(buckets)
+        self.group_src = group_src
+        self.n = int(n)
+        self.nnz = int(nnz)
+        self.win_rows = int(win_rows)
+
+    @property
+    def vals_dtype(self):
+        return self.buckets[0].vals.dtype
+
+    def tree_flatten(self):
+        return ((self.buckets, self.group_src),
+                (self.n, self.nnz, self.win_rows))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    def save(self, path: str) -> None:
+        """Persist all buckets + the group permutation in one npz."""
+        arrs = {"group_src": np.asarray(self.group_src),
+                "meta": np.asarray([self.n, self.nnz, self.win_rows,
+                                    len(self.buckets)], np.int64)}
+        for i, b in enumerate(self.buckets):
+            arrs[f"b{i}_vals"] = np.asarray(b.vals)
+            arrs[f"b{i}_lidx"] = np.asarray(b.lidx)
+            arrs[f"b{i}_group_ptr"] = np.asarray(b.group_ptr)
+            arrs[f"b{i}_win_row"] = np.asarray(b.win_row)
+            arrs[f"b{i}_pptr"] = np.asarray(b.pptr)
+            arrs[f"b{i}_meta"] = np.asarray(
+                [b.n, b.nnz, b.win_rows, b.cap, b.capp, b.chunks, b.uk],
+                np.int64)
+        np.savez(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "SellBucketed":
+        import os
+        if not os.path.exists(path) and not path.endswith(".npz"):
+            path = path + ".npz"
+        z = np.load(path, allow_pickle=False)
+        n, nnz, win_rows, nb = [int(v) for v in z["meta"]]
+        buckets = []
+        for i in range(nb):
+            bn, bnnz, bwr, cap, capp, chunks, uk = [
+                int(v) for v in z[f"b{i}_meta"]]
+            buckets.append(SellData(
+                jnp.asarray(z[f"b{i}_vals"]), jnp.asarray(z[f"b{i}_lidx"]),
+                jnp.asarray(z[f"b{i}_group_ptr"]),
+                jnp.asarray(z[f"b{i}_win_row"]), bn, bnnz,
+                win_rows=bwr, mode="subroll", cap=cap,
+                pptr=jnp.asarray(z[f"b{i}_pptr"]), capp=capp,
+                chunks=chunks, uniform=uk))
+        return cls(buckets, jnp.asarray(z["group_src"]), n, nnz,
+                   win_rows=win_rows)
+
+
+jax.tree_util.register_pytree_node(
+    SellBucketed,
+    lambda s: s.tree_flatten(),
+    lambda aux, ch: SellBucketed(ch[0], ch[1], *aux),
+)
+
+
+def bucket_sell(base: SellData, kmax: int = _UK_MAX) -> SellBucketed:
+    """Split a dynamic subroll SellData into per-degree-class uniform-k
+    buckets (class docstring). Host-side; call once at pack time."""
+    if base.mode != "subroll":
+        raise ValueError(
+            "bucketed packing requires subroll mode (per-group windows); "
+            f"this matrix packed as '{base.mode}' — RCM-permute for "
+            "locality or use roll/chunked/block-ELL instead")
+    if base.capp:
+        raise ValueError("bucket before pack_index_pairs")
+    gp = np.asarray(base.group_ptr, np.int64)
+    vals = np.asarray(base.vals)
+    lidx = np.asarray(base.lidx)
+    wrow = np.asarray(base.win_row).reshape(-1)
+    G = len(gp) - 1
+    v = np.diff(gp)
+    pos = np.zeros(G, np.int64)
+    buckets = []
+    off = 0
+    for k in (int(kk) for kk in np.unique(v) if kk <= kmax):
+        gs = np.flatnonzero(v == k)
+        Gc = len(gs)
+        Bc = -(-Gc // _GPB)
+        cap = _GPB * k
+        tiles = (gp[gs][:, None] + np.arange(k)).reshape(-1)
+        va = np.zeros((Gc * k + cap,) + vals.shape[1:], vals.dtype)
+        li = np.zeros((Gc * k + cap,) + lidx.shape[1:], lidx.dtype)
+        va[:Gc * k] = vals[tiles]
+        li[:Gc * k] = lidx[tiles]
+        gpc = (np.arange(Gc + 1, dtype=np.int64) * k).astype(np.int32)
+        buckets.append(SellData(
+            jnp.asarray(va), jnp.asarray(li), jnp.asarray(gpc),
+            jnp.asarray(wrow[gs]), Gc * _LANES,
+            int(np.count_nonzero(va)), win_rows=base.win_rows,
+            mode="subroll", cap=cap, uniform=k))
+        pos[gs] = off + np.arange(Gc)
+        off += Bc * _GPB
+    dyn = np.flatnonzero(v > kmax)
+    if len(dyn):
+        vd = v[dyn]
+        Gd = len(dyn)
+        Bd = -(-Gd // _GPB)
+        gpd = np.concatenate([[0], np.cumsum(vd)])
+        Td = int(gpd[-1])
+        src = (np.repeat(gp[dyn], vd)
+               + (np.arange(Td) - np.repeat(gpd[:-1], vd)))
+        gp_blk = gpd[np.minimum(np.arange(Bd + 1) * _GPB, Gd)]
+        cap = max(int(np.max(np.diff(gp_blk))), 1)
+        va = np.zeros((Td + cap,) + vals.shape[1:], vals.dtype)
+        li = np.zeros((Td + cap,) + lidx.shape[1:], lidx.dtype)
+        va[:Td] = vals[src]
+        li[:Td] = lidx[src]
+        buckets.append(SellData(
+            jnp.asarray(va), jnp.asarray(li),
+            jnp.asarray(gpd.astype(np.int32)), jnp.asarray(wrow[dyn]),
+            Gd * _LANES, int(np.count_nonzero(va)),
+            win_rows=base.win_rows, mode="subroll", cap=cap, uniform=0))
+        pos[dyn] = off + np.arange(Gd)
+    return SellBucketed(buckets, jnp.asarray(pos.astype(np.int32)),
+                        base.n, base.nnz, win_rows=base.win_rows)
+
+
+def sell_pack_bucketed(rows_cols_vals, n: int, dtype=np.float32,
+                       window: int = 2048,
+                       kmax: int = _UK_MAX) -> SellBucketed:
+    """Pack COO into the degree-bucketed SELL form (``SellBucketed``).
+    Requires subroll locality (every 128-row group's column span inside
+    an aligned 1024 subwindow — RCM-permute first if needed)."""
+    base = sell_pack(rows_cols_vals, n, dtype=dtype, window=window,
+                     mode="subroll", uniform_k=False)
+    return bucket_sell(base, kmax=kmax)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sell_spmv_bucketed(data: SellBucketed, x, *, interpret: bool = False):
+    """y = A @ x for a degree-bucketed SELL pack: one static uniform-k
+    kernel launch per degree class + one group-granular regather."""
+    n = data.n
+    G = data.group_src.shape[0]
+    W = data.win_rows * _LANES
+    x2 = jnp.pad(x, (0, G * _LANES - n + W)).reshape(-1, _LANES)
+    outs = [_sell_call(b, x2, interpret=interpret) for b in data.buckets]
+    ys = jnp.concatenate(outs, axis=0)
+    return ys[data.group_src].reshape(-1)[:n]
+
+
+@jax.jit
+def sell_spmv_bucketed_ref(data: SellBucketed, x):
+    """Pure-XLA reference path for the bucketed pack (any platform;
+    unpacked indices — call before ``pack_index_pairs``)."""
+    n = data.n
+    G = data.group_src.shape[0]
+    x_pad = jnp.pad(x, (0, G * _LANES - n + data.win_rows * _LANES))
+    outs = []
+    for b in data.buckets:
+        if b.capp:
+            raise ValueError("bucketed ref path needs unpacked indices")
+        Gc = b.group_ptr.shape[0] - 1
+        Bc = -(-Gc // _GPB)
+        rows = _ref_group_rows(b, x_pad)
+        outs.append(jnp.pad(rows, ((0, Bc * _GPB - Gc), (0, 0))))
+    ys = jnp.concatenate(outs, axis=0)
+    return ys[data.group_src].reshape(-1)[:n]

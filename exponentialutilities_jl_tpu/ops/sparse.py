@@ -29,6 +29,7 @@ Laplacians, advection–diffusion) live in ``utils/testmatrices.py``.
 from __future__ import annotations
 
 import dataclasses
+from functools import reduce as functools_reduce
 from typing import Optional
 
 import jax
@@ -400,6 +401,9 @@ class SellOperator(LinearOperator):
 
     @property
     def dtype(self):
+        from .kernels.sell import SellBucketed
+        if isinstance(self.data, SellBucketed):
+            return self.data.vals_dtype
         return self.data.vals.dtype
 
     @property
@@ -407,20 +411,36 @@ class SellOperator(LinearOperator):
         return self.data.nnz
 
     def matvec(self, x):
-        from .kernels.sell import sell_spmv, sell_spmv_ref
+        from .kernels.sell import (SellBucketed, sell_spmv, sell_spmv_ref,
+                                   sell_spmv_bucketed,
+                                   sell_spmv_bucketed_ref)
+        if isinstance(self.data, SellBucketed):
+            if jax.default_backend() == "tpu":
+                return sell_spmv_bucketed(self.data, x)
+            return sell_spmv_bucketed_ref(self.data, x)
         if jax.default_backend() == "tpu":
             return sell_spmv(self.data, x)
         return sell_spmv_ref(self.data, x)
 
-    def opnorm_hint(self):
+    @staticmethod
+    def _rowsum_max(data):
         # inf-norm bound: max row sum of |values| = per-lane sums.
-        a = jnp.sum(jnp.abs(self.data.vals), axis=1)    # (T, 128)
-        G = self.data.group_ptr.shape[0] - 1            # row groups
-        tg = jnp.searchsorted(self.data.group_ptr[1:],
+        a = jnp.sum(jnp.abs(data.vals), axis=1)         # (T, 128)
+        G = data.group_ptr.shape[0] - 1                 # row groups
+        tg = jnp.searchsorted(data.group_ptr[1:],
                               jnp.arange(a.shape[0]), side="right")
         tg = jnp.minimum(tg, G - 1)                     # trailing pad tiles
         rowsum = jax.ops.segment_sum(a, tg, num_segments=G)
         return jnp.max(rowsum)
+
+    def opnorm_hint(self):
+        from .kernels.sell import SellBucketed
+        if isinstance(self.data, SellBucketed):
+            # every row lives in exactly one bucket
+            return functools_reduce(
+                jnp.maximum,
+                [self._rowsum_max(b) for b in self.data.buckets])
+        return self._rowsum_max(self.data)
 
     @classmethod
     def from_coo(cls, rows, cols, vals, n, *, dtype=np.float32,
@@ -441,9 +461,14 @@ class SellOperator(LinearOperator):
             inv = np.empty_like(perm)
             inv[perm] = np.arange(n)
             rows, cols = inv[rows], inv[cols]
-        data = sell_pack((rows, cols, vals), n, dtype=dtype, window=window,
-                         residue=residue, mode=mode, max_chunks=max_chunks,
-                         uniform_k=uniform_k)
+        if mode == "bucketed":
+            from .kernels.sell import sell_pack_bucketed
+            data = sell_pack_bucketed((rows, cols, vals), n, dtype=dtype,
+                                      window=window)
+        else:
+            data = sell_pack((rows, cols, vals), n, dtype=dtype,
+                             window=window, residue=residue, mode=mode,
+                             max_chunks=max_chunks, uniform_k=uniform_k)
         return cls(data, is_hermitian=is_hermitian, perm=perm)
 
     @classmethod

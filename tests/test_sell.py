@@ -489,3 +489,118 @@ class TestUniformK:
                              shape=(n, n)).tocsr() @ x
         y = np.asarray(sell_spmv(d2, jnp.asarray(x), interpret=True))
         assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+
+class TestBucketed:
+    """Degree-bucketed SELL (round 3, STATUS gap #1): groups sorted by
+    tile-count class, one static uniform-k kernel per class, dynamic
+    residual bucket for k > 8, group-granular output regather."""
+
+    def _clustered(self, rng, n=5000, band=300):
+        deg = np.full(n, 4)
+        deg[n // 3:n // 2] = 20          # k = 3 class
+        deg[-n // 16:] = 70              # k = 9 -> dynamic bucket
+        rows = np.repeat(np.arange(n), deg)
+        cols = np.clip(rows + rng.integers(-band, band, len(rows)),
+                       0, n - 1)
+        vals = rng.standard_normal(len(rows)).astype(np.float32)
+        return rows, cols, vals
+
+    def test_matches_scipy_all_paths(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            sell_pack_bucketed, sell_spmv_bucketed,
+            sell_spmv_bucketed_ref, pack_index_pairs)
+        n = 5000
+        rows, cols, vals = self._clustered(rng, n)
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        bk = sell_pack_bucketed((rows, cols, vals), n)
+        uks = [b.uk for b in bk.buckets]
+        assert 1 in uks and 3 in uks and 0 in uks    # static + dynamic
+        assert bk.nnz == A.nnz
+        x = rng.standard_normal(n).astype(np.float32)
+        want = A @ x
+        for y in (sell_spmv_bucketed_ref(bk, jnp.asarray(x)),
+                  sell_spmv_bucketed(bk, jnp.asarray(x), interpret=True),
+                  sell_spmv_bucketed(pack_index_pairs(bk), jnp.asarray(x),
+                                     interpret=True)):
+            err = np.max(np.abs(np.asarray(y) - want)) / np.max(
+                np.abs(want))
+            assert err < 1e-5
+
+    def test_zero_class_padding(self, rng):
+        # within a class there is ZERO padding: tiles = k * groups
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            sell_pack_bucketed)
+        n = 4000
+        rows, cols, vals = self._clustered(rng, n)
+        bk = sell_pack_bucketed((rows, cols, vals), n)
+        for b in bk.buckets:
+            G = b.group_ptr.shape[0] - 1
+            if b.uk:
+                assert int(b.group_ptr[-1]) == b.uk * G
+                assert b.cap == 8 * b.uk
+
+    def test_operator_in_expv(self, rng):
+        import exponentialutilities_jl_tpu as eu
+        import scipy.linalg as sla
+        n = 768
+        deg = np.full(n, 4)
+        deg[300:500] = 18
+        rows = np.repeat(np.arange(n), deg)
+        cols = np.clip(rows + rng.integers(-150, 150, len(rows)),
+                       0, n - 1)
+        vals = rng.standard_normal(len(rows))
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+        A = (A + A.T).tocoo()
+        op = eu.SellOperator.from_coo(A.row, A.col, A.data / 20, n,
+                                      dtype=np.float64, mode="bucketed",
+                                      is_hermitian=True)
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            SellBucketed)
+        assert isinstance(op.data, SellBucketed)
+        # opnorm hint bounds the true inf-norm
+        hint = float(op.opnorm_hint())
+        true_inf = np.max(np.abs(A.tocsr()).sum(axis=1)) / 20
+        assert hint >= true_inf - 1e-6 and hint < 2 * true_inf + 1e-6
+        b = rng.standard_normal(n)
+        w = np.asarray(eu.expv(0.3, op, jnp.asarray(b), m=40))
+        want = sla.expm(0.3 * np.asarray(A.todense()) / 20) @ b
+        assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-9
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            SellBucketed, sell_pack_bucketed, sell_spmv_bucketed_ref)
+        n = 3000
+        rows, cols, vals = self._clustered(rng, n)
+        bk = sell_pack_bucketed((rows, cols, vals), n)
+        p = str(tmp_path / "bucketed_pack")
+        bk.save(p)
+        b2 = SellBucketed.load(p)
+        assert len(b2.buckets) == len(bk.buckets) and b2.nnz == bk.nnz
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(sell_spmv_bucketed_ref(b2, x)),
+            np.asarray(sell_spmv_bucketed_ref(bk, x)))
+
+    def test_uniform_degree_single_bucket(self, rng):
+        # uniform low degree -> exactly one static bucket, no dynamic
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            sell_pack_bucketed, sell_spmv_bucketed_ref)
+        n, d, band = 3000, 6, 500
+        rows, cols, vals = banded_random(rng, n, d, band)
+        bk = sell_pack_bucketed((rows, cols, vals.astype(np.float32)), n)
+        assert len(bk.buckets) == 1 and bk.buckets[0].uk == 1
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(sell_spmv_bucketed_ref(bk, jnp.asarray(x)))
+        want = A @ x
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_requires_subroll_locality(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            sell_pack_bucketed)
+        n, d, band = 4096, 7, 2500       # too wide for 1024 subwindows
+        rows, cols, vals = banded_random(rng, n, d, band)
+        with pytest.raises(ValueError, match="subroll"):
+            sell_pack_bucketed((rows, cols, vals.astype(np.float32)), n,
+                               window=4096)
