@@ -45,7 +45,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["GhostGrid", "fused_lanczos_step", "lanczos_coeffs_fused",
+__all__ = ["GhostGrid", "GhostGrid2D", "ghost_grid_for",
+           "fused_lanczos_step", "lanczos_coeffs_fused",
            "recurrence_apply_fused",
            "lanczos_replay_fused", "stencil_matvec_fused"]
 
@@ -68,11 +69,17 @@ class GhostGrid:
         self.rows_per_plane = -(-rp // 8) * 8
         self.n = self.nz * self.ny * self.nx
 
+    d2 = False                   # 2-D slab mode (GhostGrid2D)
+    ys = 0
+    nyg = 0
+
     def __hash__(self):
         return hash((self.nz, self.ny, self.nx))
 
     def __eq__(self, other):
-        return (isinstance(other, GhostGrid)
+        # type-strict: a GhostGrid2D with (nz, ys, nx) matching a true
+        # 3-D grid must NOT hit the same jit cache entry
+        return (type(other) is type(self)
                 and (self.nz, self.ny, self.nx)
                 == (other.nz, other.ny, other.nx))
 
@@ -101,6 +108,70 @@ class GhostGrid:
                 for yrow in range(1, self.ny + 1):
                     m[yrow * self.P + piece, :hi - lo] = 1.0
         return m
+
+
+class GhostGrid2D(GhostGrid):
+    """Slab layout for a 2-D (ny, nx) grid (round-3 STATUS gap #2).
+
+    A 2-D grid has no natural "plane" axis for the sliding sweep, so the
+    y axis is cut into slabs of ``ys`` grid rows: plane p holds rows
+    [p·ys, (p+1)·ys) in the same ghosted row-piece layout as a 3-D plane
+    (zero ghost rows top/bottom). The 5-point stencil's within-slab y
+    coupling is the usual ±P row shift; the CROSS-slab coupling (last
+    real row of slab p ↔ first real row of slab p±1) is applied by the
+    kernel in ``d2`` mode as a masked row shift of the NEIGHBOUR plane
+    already in the y-ring — the cz couplings of the 3-D sweep replaced
+    by two masked boundary terms riding the same cy± coefficients.
+
+    The final slab may be partial (ny % ys ≠ 0); its pad rows are kept
+    identically zero by an in-kernel row cutoff so no sweep ever leaks
+    pad values back into real cells.
+
+    ``ys`` default targets ~256 KB planes (R ≈ 512 rows) for DMA
+    pipelining depth; any 1 ≤ ys ≤ ny works.
+    """
+
+    d2 = True
+
+    def __init__(self, ny, nx, ys=None):
+        ny, nx = int(ny), int(nx)
+        if ys is None:
+            P = -(-(nx + 1) // _LANES)
+            ys = max(8, 512 // P - 2)
+        ys = int(min(ys, ny))
+        super().__init__(-(-ny // ys), ys, nx)
+        self.ys = ys
+        self.nyg = ny
+        self.n = ny * nx                 # override the nz·ys·nx of super
+
+    def __hash__(self):
+        return hash((2, self.nyg, self.nx, self.ys))
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and (self.nyg, self.nx, self.ys)
+                == (other.nyg, other.nx, other.ys))
+
+    def to_ghost(self, x):
+        """(ny·nx,) flat row-major vector → (nz, rows_per_plane, 128)."""
+        X = jnp.asarray(x).reshape(self.nyg, self.nx)
+        X = jnp.pad(X, ((0, self.nz * self.ys - self.nyg), (0, 0)))
+        return super().to_ghost(X.reshape(-1))
+
+    def from_ghost(self, Xg):
+        flat = super().from_ghost(Xg)     # (nz·ys·nx,)
+        return flat.reshape(-1, self.nx)[:self.nyg].reshape(-1)
+
+
+def ghost_grid_for(op):
+    """The ghost layout matching an operator's grid: 3-D plane sweep or
+    2-D slab sweep (``GhostGrid2D``)."""
+    gs = op.grid_shape
+    if len(gs) == 3:
+        return GhostGrid(*gs)
+    if len(gs) == 2:
+        return GhostGrid2D(*gs)
+    raise ValueError("fused sweep requires a 2-D or 3-D grid")
 
 
 def _lane_shift_full(buf, s: int):
@@ -134,7 +205,8 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
                   Y_hbm, Znext_hbm, part_ref, W_out,
                   yring, zbuf, vcbuf, vpbuf, stage, cbuf, wbuf, sems, *,
                   P: int, nz: int, c7: tuple,
-                  accum: bool, variable: bool = False):
+                  accum: bool, variable: bool = False,
+                  d2: bool = False, ys: int = 0, nyg: int = 0):
     """Pipelined plane schedule: input planes for step i+1 prefetch while
     step i computes (double-buffered zbuf/vcbuf/vpbuf); the Y/Znext writes
     are fire-and-forget, waited just before their buffer is reused (ring
@@ -202,6 +274,12 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
         # y_i = ca·Z + cb·Vc + cc·Vp (masked so pads stay zero)
         y = (ca * zbuf[par] + cb * vcbuf[par] + cc * vpbuf[par]) \
             * mask_ref[:, :]
+        if d2 and nyg % ys:
+            # partial final slab: rows past the true grid end must stay
+            # identically zero or later sweeps leak pad values back in
+            rowi = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
+            cut = jnp.minimum(ys, nyg - i * ys)
+            y = jnp.where(rowi < P * (1 + cut), y, 0.0)
         # ring slot i%3 may still have step i-3's Y write in flight
         @pl.when(i >= 3)
         def _():
@@ -228,6 +306,21 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
         yc = yring[p % 3]
         zm = jnp.where(p >= 1, yring[(p - 1) % 3], 0.0)
         zp = jnp.where(p + 1 < nz, yring[(p + 1) % 3], 0.0)
+        if d2:
+            # 2-D slab mode: the 3-D cz± full-plane couplings become two
+            # masked boundary terms riding the cy± coefficients — last
+            # real row of slab p reads slab p+1's FIRST real row (rows
+            # [P, 2P) of zp placed at [ys·P, (ys+1)·P)), first real row
+            # reads slab p−1's LAST real row (the reverse shift).
+            rowi2 = jax.lax.broadcasted_iota(jnp.int32, yc.shape, 0)
+            mlast = (rowi2 >= ys * P) & (rowi2 < (ys + 1) * P)
+            mfirst = (rowi2 >= P) & (rowi2 < 2 * P)
+            bnd_p = jnp.where(mlast,
+                              _row_shift_full(zp, -(ys - 1) * P)
+                              if ys > 1 else zp, 0.0)
+            bnd_m = jnp.where(mfirst,
+                              _row_shift_full(zm, (ys - 1) * P)
+                              if ys > 1 else zm, 0.0)
         if variable:
             cdma(p % 2, p).wait()
             cpar = p % 2
@@ -236,8 +329,12 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
             zn = zn + cbuf[cpar, 2] * _lane_shift_full(yc, -1)
             zn = zn + cbuf[cpar, 3] * _row_shift_full(yc, P)
             zn = zn + cbuf[cpar, 4] * _row_shift_full(yc, -P)
-            zn = (zn + cbuf[cpar, 5] * zp + cbuf[cpar, 6] * zm) \
-                * mask_ref[:, :]
+            if d2:
+                zn = (zn + cbuf[cpar, 3] * bnd_p
+                      + cbuf[cpar, 4] * bnd_m) * mask_ref[:, :]
+            else:
+                zn = (zn + cbuf[cpar, 5] * zp + cbuf[cpar, 6] * zm) \
+                    * mask_ref[:, :]
         else:
             # per-direction constants (asymmetric 7-point allowed):
             # c7 = (c0, cx+, cx−, cy+, cy−, cz+, cz−), offsets matching
@@ -248,7 +345,13 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
             zn = zn + cxm * _lane_shift_full(yc, -1)
             zn = zn + cyp * _row_shift_full(yc, P)
             zn = zn + cym * _row_shift_full(yc, -P)
-            zn = (zn + czp * zp + czm * zm) * mask_ref[:, :]
+            if d2:
+                zn = (zn + cyp * bnd_p + cym * bnd_m) * mask_ref[:, :]
+            else:
+                zn = (zn + czp * zp + czm * zm) * mask_ref[:, :]
+        if d2 and nyg % ys:
+            zn = jnp.where(
+                rowi2 < P * (1 + jnp.minimum(ys, nyg - p * ys)), zn, 0.0)
         # stage parity: step i-2's Znext write may still be in flight
         @pl.when(i >= 3)
         def _():
@@ -359,7 +462,8 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
         pltpu.VMEM((2, R, _LANES), dt),             # znext staging
     ]
     operands = [jnp.asarray(coefs, dt), Zg, Vcg, Vpg, mask.astype(dt)]
-    kw = dict(P=P, nz=nz, c7=c7)
+    kw = dict(P=P, nz=nz, c7=c7, d2=grid_desc.d2, ys=grid_desc.ys,
+              nyg=grid_desc.nyg)
     if variable:
         in_specs.append(plane_any)                  # coefficient planes
         operands.append(cfields)
@@ -406,20 +510,37 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
 
 _SEVEN_POINT = ((0, 0, 0), (0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0),
                 (1, 0, 0), (-1, 0, 0))
+# 2-D 5-point offsets lifted to the 7-point slot order (cz± slots unused:
+# the d2 kernel replaces the cross-plane couplings with masked boundary
+# shifts riding cy±)
+_FIVE_POINT = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
 
 
 def _stencil_coeffs_static(op, hermitian: bool = True) -> tuple:
     """Per-direction constants (c0, cx+, cx−, cy+, cy−, cz+, cz−) from a
-    3-D 7-point StencilOperator. ``hermitian=True`` (the Lanczos-path
-    consumers) additionally requires a symmetric stencil; the polynomial
-    recurrences (Chebyshev/Newton/Faber applies) pass ``False`` and run
-    asymmetric stencils (advection–diffusion) through the same sweep."""
+    3-D 7-point or 2-D 5-point StencilOperator. ``hermitian=True`` (the
+    Lanczos-path consumers) additionally requires a symmetric stencil;
+    the polynomial recurrences (Chebyshev/Newton/Faber applies) pass
+    ``False`` and run asymmetric stencils (advection–diffusion) through
+    the same sweep."""
     from ..stencil import StencilOperator
 
-    if not isinstance(op, StencilOperator) or len(op.grid_shape) != 3:
-        raise ValueError("fused sweep requires a 3-D StencilOperator")
+    if not isinstance(op, StencilOperator) \
+            or len(op.grid_shape) not in (2, 3):
+        raise ValueError("fused sweep requires a 2-D or 3-D "
+                         "StencilOperator")
     cmap = {off: float(c) for off, c in
             zip(op.offsets, np.asarray(op.coeffs))}
+    if len(op.grid_shape) == 2:
+        if set(cmap) - set(_FIVE_POINT):
+            raise ValueError("fused 2-D sweep supports 5-point stencils "
+                             "only")
+        if hermitian and (
+                cmap.get((0, -1), 0.0) != cmap.get((0, 1), 0.0)
+                or cmap.get((1, 0), 0.0) != cmap.get((-1, 0), 0.0)):
+            raise ValueError("fused Lanczos requires a symmetric stencil")
+        return tuple(cmap.get(off, 0.0) for off in _FIVE_POINT) \
+            + (0.0, 0.0)
     if set(cmap) - set(_SEVEN_POINT):
         raise ValueError("fused sweep supports 7-point stencils only")
     if hermitian and (
@@ -441,10 +562,13 @@ def _fused_dispatch(op, hermitian: bool = True):
     from ..stencil import VariableStencilOperator
 
     if isinstance(op, VariableStencilOperator):
-        if len(op.grid_shape) != 3:
-            raise ValueError("fused sweep requires a 3-D grid")
-        if set(op.offsets) - set(_SEVEN_POINT):
-            raise ValueError("fused sweep supports 7-point stencils only")
+        if len(op.grid_shape) not in (2, 3):
+            raise ValueError("fused sweep requires a 2-D or 3-D grid")
+        slots = (_SEVEN_POINT if len(op.grid_shape) == 3
+                 else _FIVE_POINT + (None, None))
+        if set(op.offsets) - set(s for s in slots if s is not None):
+            raise ValueError("fused sweep supports 7-point (3-D) / "
+                             "5-point (2-D) stencils only")
         if hermitian and not op.is_hermitian:
             raise ValueError("fused Lanczos (a Lanczos recurrence) "
                              "requires a Hermitian operator")
@@ -467,7 +591,7 @@ def _fused_dispatch(op, hermitian: bool = True):
                     for k, off in enumerate(op.offsets)}
             zero = jnp.zeros((gg.nz, gg.rows_per_plane, _LANES), dt)
             planes = [gg.to_ghost(cmap[off].astype(dt))
-                      if off in cmap else zero for off in _SEVEN_POINT]
+                      if off in cmap else zero for off in slots]
             planes.append(zero)                     # pad slot 7
             stacked = jnp.stack(planes, axis=1)     # (nz, 8, R, 128)
             if not isinstance(stacked, jax.core.Tracer):
@@ -487,7 +611,7 @@ def lanczos_coeffs_fused(op, b, m: int, *, tol: float = 1e-7,
     ``fused_lanczos_step``.
     """
     coeffs_static, cbuilder = _fused_dispatch(op)
-    gg = GhostGrid(*op.grid_shape)
+    gg = ghost_grid_for(op)
     b = jnp.asarray(b)
     dt = b.dtype
     mask = jnp.asarray(gg.xmask())
@@ -544,7 +668,7 @@ def lanczos_replay_fused(op, b, coeffs, *, tol: float = 1e-7,
     in-place accumulator). ``coeffs`` has length m. Numerically identical
     recurrence to ``lanczos_coeffs_fused`` (bitwise same kernel)."""
     coeffs_static, cbuilder = _fused_dispatch(op)
-    gg = GhostGrid(*op.grid_shape)
+    gg = ghost_grid_for(op)
     b = jnp.asarray(b)
     dt = b.dtype
     mask = jnp.asarray(gg.xmask())
@@ -601,7 +725,7 @@ def stencil_matvec_fused(op, x, *, interpret: bool = False):
     write A·x planes once (+ the pass-through y write) — an alternative
     to the XLA pad+slice matvec with fully explicit DMA pipelining."""
     coeffs_static, cbuilder = _fused_dispatch(op, hermitian=False)
-    gg = GhostGrid(*op.grid_shape)
+    gg = ghost_grid_for(op)
     x = jnp.asarray(x)
     mask = jnp.asarray(gg.xmask())
     cfields = cbuilder(gg, x.dtype) if cbuilder is not None else None
@@ -637,7 +761,7 @@ def recurrence_apply_fused(op, b, rows, *, interpret: bool = False):
     known-gap; reference non-Hermitian workhorse: src/arnoldi.jl:285-364).
     """
     coeffs_static, cbuilder = _fused_dispatch(op, hermitian=False)
-    gg = GhostGrid(*op.grid_shape)
+    gg = ghost_grid_for(op)
     b = jnp.asarray(b)
     dt = b.dtype
     mask = jnp.asarray(gg.xmask())

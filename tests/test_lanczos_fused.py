@@ -269,3 +269,136 @@ class TestAsymmetricFused:
             jnp.asarray(xi, jnp.float32), c, inv_s,
             jnp.asarray(0.7), jnp.asarray(tau), p=p, m=m, q=1))
         assert np.max(np.abs(w - want)) / np.max(np.abs(want)) < 1e-4
+
+
+class Test2DSlabSweep:
+    """2-D slab mode (GhostGrid2D, round-3 STATUS gap #2): planes are
+    y-slabs; cross-slab coupling = masked boundary shifts of the
+    neighbour plane riding the cy± coefficients."""
+
+    def _op5(self, ny, nx, coeffs=(4.0, -1.0, -1.0, -1.0, -1.0),
+             hermitian=True):
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        return StencilOperator(
+            (ny, nx), [(0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)],
+            jnp.asarray(coeffs, jnp.float32), is_hermitian=hermitian)
+
+    def test_ghost2d_roundtrip_partial_slab(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            GhostGrid2D)
+        gg = GhostGrid2D(37, 150, ys=8)       # nz=5, last slab 5 rows
+        assert gg.nz == 5 and gg.P == 2
+        x = rng.standard_normal(gg.n).astype(np.float32)
+        back = np.asarray(gg.from_ghost(gg.to_ghost(jnp.asarray(x))))
+        np.testing.assert_array_equal(back, x)
+
+    def test_grid_eq_type_strict(self):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            GhostGrid2D)
+        g3 = GhostGrid(3, 8, 150)
+        g2 = GhostGrid2D(24, 150, ys=8)        # same (nz, ny, nx) triple
+        assert g3 != g2 and g2 != g3
+        assert g2 == GhostGrid2D(24, 150, ys=8)
+
+    @pytest.mark.parametrize("ny,nx,ys", [(37, 150, 8), (16, 40, 16),
+                                          (9, 260, 1), (64, 130, None)])
+    def test_matvec_2d(self, rng, ny, nx, ys):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            GhostGrid2D, fused_lanczos_step, _stencil_coeffs_static)
+        op = self._op5(ny, nx)
+        x = jnp.asarray(rng.standard_normal(ny * nx), jnp.float32)
+        gg = GhostGrid2D(ny, nx, ys=ys)
+        c7 = _stencil_coeffs_static(op, hermitian=False)
+        zeros = jnp.zeros((gg.nz, gg.rows_per_plane, 128), jnp.float32)
+        Xg = gg.to_ghost(x)
+        _, Zn, _, _ = fused_lanczos_step(
+            Xg, zeros, zeros, (1.0, 0.0, 0.0), jnp.asarray(gg.xmask()),
+            grid_desc=gg, coeffs_static=c7, interpret=True)
+        y = np.asarray(gg.from_ghost(Zn))
+        want = np.asarray(op.matvec(x))
+        assert np.max(np.abs(y - want)) <= 1e-5 * max(np.max(np.abs(want)),
+                                                      1.0)
+
+    def test_asymmetric_matvec_2d(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            stencil_matvec_fused)
+        op = self._op5(37, 150, coeffs=(4.0, -1.3, -0.7, -1.6, -0.4),
+                       hermitian=False)
+        x = jnp.asarray(rng.standard_normal(37 * 150), jnp.float32)
+        y = np.asarray(stencil_matvec_fused(op, x, interpret=True))
+        want = np.asarray(op.matvec(x))
+        assert np.max(np.abs(y - want)) < 1e-5 * np.max(np.abs(want)) + 1e-6
+
+    def test_lanczos_coeffs_2d(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            lanczos_coeffs_fused)
+        op = laplacian_nd_stencil(33, 140, dtype=jnp.float32)
+        b = jnp.asarray(rng.standard_normal(33 * 140), jnp.float32)
+        m = 10
+        a1, b1, beta0_1, mu1, _ = lanczos_coeffs(op, b, m)
+        a2, b2, beta0_2, mu2, _ = lanczos_coeffs_fused(op, b, m,
+                                                       interpret=True)
+        scale = float(jnp.max(jnp.abs(a1)))
+        assert float(jnp.max(jnp.abs(a1 - a2))) / scale < 1e-4
+        assert float(jnp.max(jnp.abs(b1 - b2))) / scale < 1e-4
+        assert int(mu1) == int(mu2)
+
+    def test_replay_2d(self, rng):
+        from exponentialutilities_jl_tpu.ops.krylov import lanczos_replay
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            lanczos_replay_fused)
+        op = laplacian_nd_stencil(29, 70, dtype=jnp.float32)
+        n = 29 * 70
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        co = jnp.asarray(rng.standard_normal(10), jnp.float32)
+        al, be, _, _, _ = lanczos_coeffs(op, b, 10)
+        w1 = np.asarray(lanczos_replay_fused(op, b, co, interpret=True))
+        w2 = np.asarray(lanczos_replay(op, b, co, al, be, 10))
+        assert np.max(np.abs(w1 - w2)) / np.max(np.abs(w2)) < 1e-4
+
+    def test_recurrence_apply_2d(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            recurrence_apply_fused)
+        op = self._op5(37, 150, coeffs=(4.0, -1.3, -0.7, -1.6, -0.4),
+                       hermitian=False)
+        b = rng.standard_normal(37 * 150).astype(np.float32)
+        rows = (rng.standard_normal((6, 4)) / 3).astype(np.float32)
+        wf = np.asarray(recurrence_apply_fused(op, jnp.asarray(b),
+                                               jnp.asarray(rows),
+                                               interpret=True))
+        om_p = np.zeros_like(b)
+        om = b.copy()
+        w = np.zeros_like(b)
+        for ca, cb, cc, cw in rows:
+            w = w + cw * om
+            om, om_p = (ca * np.asarray(op.matvec(jnp.asarray(om)))
+                        + cb * om + cc * om_p), om
+        assert np.max(np.abs(wf - w)) / np.max(np.abs(w)) < 1e-4
+
+    def test_variable_2d_matvec(self, rng):
+        from exponentialutilities_jl_tpu.ops.stencil import (
+            VariableStencilOperator)
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            stencil_matvec_fused)
+        ny, nx = 37, 150
+        offs = [(0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)]
+        fields = [jnp.asarray(rng.standard_normal(ny * nx), jnp.float32)
+                  for _ in offs]
+        vop = VariableStencilOperator((ny, nx), offs, fields)
+        x = jnp.asarray(rng.standard_normal(ny * nx), jnp.float32)
+        y = np.asarray(stencil_matvec_fused(vop, x, interpret=True))
+        want = np.asarray(vop.matvec(x))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_chebyshev_apply_2d_fused(self, rng):
+        from exponentialutilities_jl_tpu.models.chebyshev import (
+            _chebyshev_apply_fused, _chebyshev_apply_scan)
+        op = laplacian_nd_stencil(33, 140, dtype=jnp.float32)
+        b = jnp.asarray(rng.standard_normal(33 * 140), jnp.float32)
+        co = jnp.asarray(rng.standard_normal(12) / 5, jnp.float32)
+        lo, hi = op.spectral_bounds_hint()
+        c, h = 0.5 * (hi + lo), 0.5 * (hi - lo)
+        wf = np.asarray(_chebyshev_apply_fused(op, b, co, c, h,
+                                               interpret=True))
+        ws = np.asarray(_chebyshev_apply_scan(op, b, co, c, 1.0 / h))
+        assert np.max(np.abs(wf - ws)) / np.max(np.abs(ws)) < 1e-4
