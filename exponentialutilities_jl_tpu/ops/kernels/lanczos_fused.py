@@ -56,58 +56,77 @@ _LANES = 128
 class GhostGrid:
     """Static description of the ghosted plane layout for (nz, ny, nx).
 
-    Planes have (ny + 2) ghosted grid rows of P = ceil((nx+1)/128) row
-    pieces (≥ 1 pad lane guaranteed so lane wraps land in zeros), padded
-    up to a multiple of 8 rows. Hashable → usable as a static jit arg.
+    Each grid LAYER (z-plane) has (ny + 2) ghosted grid rows of
+    P = ceil((nx+1)/128) row pieces (≥ 1 pad lane guaranteed so lane
+    wraps land in zeros), padded up to a multiple of 8 rows (= ``S``).
+    ``zb`` layers are stacked per pallas plane (a SLAB): within-slab
+    z coupling is a ±S row shift, and the slab-edge layers read the
+    neighbour slab through the kernel's masked boundary shifts — fewer,
+    fatter planes amortize the per-step pipeline overhead (measured
+    745 GB/s at R ≈ 1450 vs 435 GB/s at R ≈ 300 on a v5e).
+    Hashable → usable as a static jit arg.
     """
 
-    def __init__(self, nz, ny, nx):
+    def __init__(self, nz, ny, nx, zb: int = 1):
         self.nz, self.ny, self.nx = int(nz), int(ny), int(nx)
         self.P = -(-(self.nx + 1) // _LANES)   # ≥1 pad lane always
         self.nxp = self.P * _LANES
         rp = (self.ny + 2) * self.P
-        self.rows_per_plane = -(-rp // 8) * 8
+        self._lr = -(-rp // 8) * 8             # geometric rows per layer
+        self.S = self._lr                      # kernel layer stride
+        self.zb = max(1, min(int(zb), self.nz))
+        self.nslabs = -(-self.nz // self.zb)
+        self.rows_per_plane = self._lr * self.zb
         self.n = self.nz * self.ny * self.nx
+        self.L = self.zb                       # layers per slab
+        self.NL = self.nz                      # total layers
+        self.B0 = 0                            # first layer's row offset
 
     d2 = False                   # 2-D slab mode (GhostGrid2D)
-    ys = 0
-    nyg = 0
 
     def __hash__(self):
-        return hash((self.nz, self.ny, self.nx))
+        return hash((self.nz, self.ny, self.nx, self.zb))
 
     def __eq__(self, other):
         # type-strict: a GhostGrid2D with (nz, ys, nx) matching a true
         # 3-D grid must NOT hit the same jit cache entry
         return (type(other) is type(self)
-                and (self.nz, self.ny, self.nx)
-                == (other.nz, other.ny, other.nx))
+                and (self.nz, self.ny, self.nx, self.zb)
+                == (other.nz, other.ny, other.nx, other.zb))
 
     def to_ghost(self, x):
-        """(n,) flat row-major grid vector → (nz, rows_per_plane, 128)."""
+        """(n,) flat row-major grid vector → (nslabs, rows_per_plane,
+        128)."""
         X = x.reshape(self.nz, self.ny, self.nx)
         Xp = jnp.pad(X, ((0, 0), (1, 1), (0, self.nxp - self.nx)))
         Xp = Xp.reshape(self.nz, (self.ny + 2) * self.P, _LANES)
-        extra = self.rows_per_plane - (self.ny + 2) * self.P
+        extra = self._lr - (self.ny + 2) * self.P
         if extra:
             Xp = jnp.pad(Xp, ((0, 0), (0, extra), (0, 0)))
+        if self.zb > 1:
+            pz = self.nslabs * self.zb - self.nz
+            if pz:
+                Xp = jnp.pad(Xp, ((0, pz), (0, 0), (0, 0)))
+            Xp = Xp.reshape(self.nslabs, self.rows_per_plane, _LANES)
         return Xp
 
     def from_ghost(self, Xg):
-        Xp = Xg[:, :(self.ny + 2) * self.P, :].reshape(
+        Xl = Xg.reshape(-1, self._lr, _LANES)[:self.nz]
+        Xp = Xl[:, :(self.ny + 2) * self.P, :].reshape(
             self.nz, self.ny + 2, self.nxp)
         return Xp[:, 1:-1, :self.nx].reshape(-1)
 
     def xmask(self):
-        """(rows_per_plane, 128) 1/0 mask of real cells."""
-        m = np.zeros((self.rows_per_plane, _LANES), np.float32)
+        """(rows_per_plane, 128) 1/0 mask of real cells (identical for
+        every layer of a slab; partial final slabs are cut in-kernel)."""
+        m = np.zeros((self._lr, _LANES), np.float32)
         for piece in range(self.P):
             lo = piece * _LANES
             hi = min(self.nx, lo + _LANES)
             if hi > lo:
                 for yrow in range(1, self.ny + 1):
                     m[yrow * self.P + piece, :hi - lo] = 1.0
-        return m
+        return np.tile(m, (self.zb, 1))
 
 
 class GhostGrid2D(GhostGrid):
@@ -127,8 +146,14 @@ class GhostGrid2D(GhostGrid):
     identically zero by an in-kernel row cutoff so no sweep ever leaks
     pad values back into real cells.
 
-    ``ys`` default targets ~256 KB planes (R ≈ 512 rows) for DMA
-    pipelining depth; any 1 ≤ ys ≤ ny works.
+    ``ys`` default targets R ≈ 1100 rows (~560 KB planes): the measured
+    on-chip sweet spot at 10M cells (0.137 ms/matvec = 1459 GB/s at
+    ys=40/P=25 vs 0.29 ms at R≈500 — per-step overhead dominates small
+    slabs) while staying under the 16 MB scoped-VMEM limit (R = 2056
+    OOMs: the kernel holds ~11 plane buffers, more in variable mode —
+    ``ghost_grid_for`` picks a smaller default for variable-coefficient
+    operators, whose coefficient stream adds 16 plane buffers). Any
+    1 ≤ ys ≤ ny works.
     """
 
     d2 = True
@@ -137,12 +162,16 @@ class GhostGrid2D(GhostGrid):
         ny, nx = int(ny), int(nx)
         if ys is None:
             P = -(-(nx + 1) // _LANES)
-            ys = max(8, 512 // P - 2)
+            ys = max(8, 1100 // P - 2)
         ys = int(min(ys, ny))
         super().__init__(-(-ny // ys), ys, nx)
         self.ys = ys
         self.nyg = ny
         self.n = ny * nx                 # override the nz·ys·nx of super
+        self.S = self.P                  # a LAYER is one grid row
+        self.L = ys
+        self.NL = ny
+        self.B0 = self.P                 # ghost row above the first layer
 
     def __hash__(self):
         return hash((2, self.nyg, self.nx, self.ys))
@@ -153,7 +182,8 @@ class GhostGrid2D(GhostGrid):
                 == (other.nyg, other.nx, other.ys))
 
     def to_ghost(self, x):
-        """(ny·nx,) flat row-major vector → (nz, rows_per_plane, 128)."""
+        """(ny·nx,) flat row-major vector → (nslabs, rows_per_plane,
+        128)."""
         X = jnp.asarray(x).reshape(self.nyg, self.nx)
         X = jnp.pad(X, ((0, self.nz * self.ys - self.nyg), (0, 0)))
         return super().to_ghost(X.reshape(-1))
@@ -164,12 +194,27 @@ class GhostGrid2D(GhostGrid):
 
 
 def ghost_grid_for(op):
-    """The ghost layout matching an operator's grid: 3-D plane sweep or
-    2-D slab sweep (``GhostGrid2D``)."""
+    """The ghost layout matching an operator's grid: 3-D slabbed plane
+    sweep or 2-D slab sweep (``GhostGrid2D``). Slab sizes target
+    R ≈ 1100 rows (the measured DMA-pipeline sweet spot under the 16 MB
+    scoped-VMEM limit); variable-coefficient operators keep one layer
+    per plane — their coefficient stream is laid out per layer and adds
+    16 plane buffers to the kernel's VMEM footprint."""
+    from ..stencil import VariableStencilOperator
+
     gs = op.grid_shape
     if len(gs) == 3:
-        return GhostGrid(*gs)
+        if isinstance(op, VariableStencilOperator):
+            return GhostGrid(*gs)
+        tgt = 700 if len(op.offsets) > 7 else 1100
+        S = -(-((gs[1] + 2) * (-(-(gs[2] + 1) // _LANES))) // 8) * 8
+        return GhostGrid(*gs, zb=max(1, tgt // S))
     if len(gs) == 2:
+        P = -(-(gs[1] + 1) // _LANES)
+        if isinstance(op, VariableStencilOperator):
+            return GhostGrid2D(*gs, ys=max(8, 480 // P - 2))
+        if len(op.offsets) > 5:          # 9-point: larger shift cache
+            return GhostGrid2D(*gs, ys=max(8, 700 // P - 2))
         return GhostGrid2D(*gs)
     raise ValueError("fused sweep requires a 2-D or 3-D grid")
 
@@ -204,9 +249,10 @@ def _row_shift_full(buf, off: int):
 def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
                   Y_hbm, Znext_hbm, part_ref, W_out,
                   yring, zbuf, vcbuf, vpbuf, stage, cbuf, wbuf, sems, *,
-                  P: int, nz: int, c7: tuple,
+                  P: int, nz: int, cpairs: tuple,
+                  S: int, L: int, NL: int, B0: int,
                   accum: bool, variable: bool = False,
-                  d2: bool = False, ys: int = 0, nyg: int = 0):
+                  d2: bool = False):
     """Pipelined plane schedule: input planes for step i+1 prefetch while
     step i computes (double-buffered zbuf/vcbuf/vpbuf); the Y/Znext writes
     are fire-and-forget, waited just before their buffer is reused (ring
@@ -218,7 +264,15 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
     cz+, cz−; slot 7 pad). One (8, R, 128) block DMAs per step,
     double-buffered one step ahead of its use (plane p = i−1 computes at
     step i), so the variable-coefficient sweep streams 12n/iteration vs
-    the constant sweep's 5n — still one pass, reductions included."""
+    the constant sweep's 5n — still one pass, reductions included.
+
+    Slab statics (the constant path; see GhostGrid/GhostGrid2D): each
+    pallas plane holds ``L`` grid LAYERS of ``S`` rows starting at row
+    ``B0`` (a layer = one z-plane in 3-D, one grid row in 2-D; ``NL`` =
+    total layers). Within-slab layer coupling is a ±S row shift; the
+    edge layers read the neighbour plane through masked boundary
+    shifts. ``cpairs`` holds (ds, rs, dx, c): slab-axis offset, inner
+    row shift (dy·P in 3-D, 0 in 2-D), lane shift, coefficient."""
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
     par = i % 2
@@ -250,10 +304,20 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
         return pltpu.make_async_copy(C_hbm.at[plane], cbuf.at[p],
                                      sems.at[12 + p])
 
+    def wread(slot, plane):
+        return pltpu.make_async_copy(W_hbm.at[plane], wbuf.at[slot],
+                                     sems.at[14 + slot])
+
+    def wwrite(slot, plane):
+        return pltpu.make_async_copy(wbuf.at[slot], W_out.at[plane],
+                                     sems.at[16 + slot])
+
     @pl.when(i == 0)
     def _():
         for cp in in_dmas(0, 0):
             cp.start()
+        if accum:
+            wread(0, 0).start()
 
     @pl.when(i + 1 < nz)
     def _():
@@ -274,12 +338,12 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
         # y_i = ca·Z + cb·Vc + cc·Vp (masked so pads stay zero)
         y = (ca * zbuf[par] + cb * vcbuf[par] + cc * vpbuf[par]) \
             * mask_ref[:, :]
-        if d2 and nyg % ys:
+        if NL % L:
             # partial final slab: rows past the true grid end must stay
             # identically zero or later sweeps leak pad values back in
             rowi = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
-            cut = jnp.minimum(ys, nyg - i * ys)
-            y = jnp.where(rowi < P * (1 + cut), y, 0.0)
+            cut = jnp.minimum(L, NL - i * L)
+            y = jnp.where(rowi < B0 + S * cut, y, 0.0)
         # ring slot i%3 may still have step i-3's Y write in flight
         @pl.when(i >= 3)
         def _():
@@ -291,14 +355,24 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
         if accum:
             # w += cw·v_j: accumulate the ALREADY-LOADED Vc plane into the
             # aliased accumulator (the replay pass of two-pass expv/phiv).
+            # Pipelined like the main planes (a first cut did blocking
+            # start/wait round-trips here and measured ~2x the plain
+            # sweep instead of 7n/5n): plane i+1's W prefetches during
+            # step i's compute, the write is fire-and-forget, and slot
+            # reuse is guarded by waiting the write two steps back.
             cw = coef_ref[3]
-            cpw = pltpu.make_async_copy(W_hbm.at[i], wbuf, sems.at[11])
-            cpw.start()
-            cpw.wait()
-            wbuf[:, :] = wbuf[:, :] + cw * vcbuf[par]
-            cpo = pltpu.make_async_copy(wbuf, W_out.at[i], sems.at[11])
-            cpo.start()
-            cpo.wait()
+            s0 = i % 2
+
+            @pl.when(i >= 1)
+            def _():
+                wwrite((i + 1) % 2, i - 1).wait()   # frees slot (i+1)%2
+
+            @pl.when(i + 1 < nz)
+            def _():
+                wread((i + 1) % 2, i + 1).start()
+            wread(s0, i).wait()
+            wbuf[s0] = wbuf[s0] + cw * vcbuf[par]
+            wwrite(s0, i).start()
 
     @pl.when(i >= 1)
     def _():
@@ -306,22 +380,20 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
         yc = yring[p % 3]
         zm = jnp.where(p >= 1, yring[(p - 1) % 3], 0.0)
         zp = jnp.where(p + 1 < nz, yring[(p + 1) % 3], 0.0)
-        if d2:
-            # 2-D slab mode: the 3-D cz± full-plane couplings become two
-            # masked boundary terms riding the cy± coefficients — last
-            # real row of slab p reads slab p+1's FIRST real row (rows
-            # [P, 2P) of zp placed at [ys·P, (ys+1)·P)), first real row
-            # reads slab p−1's LAST real row (the reverse shift).
-            rowi2 = jax.lax.broadcasted_iota(jnp.int32, yc.shape, 0)
-            mlast = (rowi2 >= ys * P) & (rowi2 < (ys + 1) * P)
-            mfirst = (rowi2 >= P) & (rowi2 < 2 * P)
-            bnd_p = jnp.where(mlast,
-                              _row_shift_full(zp, -(ys - 1) * P)
-                              if ys > 1 else zp, 0.0)
-            bnd_m = jnp.where(mfirst,
-                              _row_shift_full(zm, (ys - 1) * P)
-                              if ys > 1 else zm, 0.0)
+        rowi2 = jax.lax.broadcasted_iota(jnp.int32, yc.shape, 0)
+        # slab boundary masks: the edge LAYERS of this plane read the
+        # neighbour plane's opposite edge layer through a row shift of
+        # ±(L−1)·S (layers are S rows starting at B0)
+        mlast = (rowi2 >= B0 + (L - 1) * S) & (rowi2 < B0 + L * S)
+        mfirst = (rowi2 >= B0) & (rowi2 < B0 + S)
         if variable:
+            if d2:
+                bnd_p = jnp.where(
+                    mlast, _row_shift_full(zp, -(L - 1) * S)
+                    if L > 1 else zp, 0.0)
+                bnd_m = jnp.where(
+                    mfirst, _row_shift_full(zm, (L - 1) * S)
+                    if L > 1 else zm, 0.0)
             cdma(p % 2, p).wait()
             cpar = p % 2
             zn = cbuf[cpar, 0] * yc
@@ -330,28 +402,47 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
             zn = zn + cbuf[cpar, 3] * _row_shift_full(yc, P)
             zn = zn + cbuf[cpar, 4] * _row_shift_full(yc, -P)
             if d2:
+                # 2-D: the cy± coefficients also drive the boundary terms
                 zn = (zn + cbuf[cpar, 3] * bnd_p
                       + cbuf[cpar, 4] * bnd_m) * mask_ref[:, :]
             else:
                 zn = (zn + cbuf[cpar, 5] * zp + cbuf[cpar, 6] * zm) \
                     * mask_ref[:, :]
         else:
-            # per-direction constants (asymmetric 7-point allowed):
-            # c7 = (c0, cx+, cx−, cy+, cy−, cz+, cz−), offsets matching
-            # _SEVEN_POINT / the variable-mode plane order
-            c0, cxp, cxm, cyp, cym, czp, czm = c7
-            zn = c0 * yc
-            zn = zn + cxp * _lane_shift_full(yc, 1)
-            zn = zn + cxm * _lane_shift_full(yc, -1)
-            zn = zn + cyp * _row_shift_full(yc, P)
-            zn = zn + cym * _row_shift_full(yc, -P)
-            if d2:
-                zn = (zn + cyp * bnd_p + cym * bnd_m) * mask_ref[:, :]
-            else:
-                zn = (zn + czp * zp + czm * zm) * mask_ref[:, :]
-        if d2 and nyg % ys:
+            # static (ds, rs, dx, c) couplings — any nearest-neighbour
+            # box stencil (7/27-point 3-D, 5/9-point 2-D; asymmetric
+            # allowed): one shift-multiply-add per nonzero coupling
+            # inside the slab (row-shift results shared per (plane,
+            # shift)); slab-axis ds = ±1 couplings additionally read the
+            # masked boundary layer of the neighbour plane. L == 1
+            # degenerates exactly to whole-plane neighbour coupling
+            # (mlast = mfirst = the full layer, shift = rs).
+            cache = {}
+
+            def sh(tag, base, rshift, dx):
+                key = (tag, rshift)
+                if key not in cache:
+                    cache[key] = (_row_shift_full(base, rshift)
+                                  if rshift else base)
+                t = cache[key]
+                return _lane_shift_full(t, dx) if dx else t
+
+            zn = jnp.zeros(yc.shape, yc.dtype)
+            for ds, rs, dx, cv in cpairs:
+                if cv == 0.0:
+                    continue
+                if L > 1 or ds == 0:
+                    zn = zn + cv * sh("c", yc, rs + ds * S, dx)
+                if ds == 1:
+                    zn = zn + cv * jnp.where(
+                        mlast, sh("p", zp, rs - (L - 1) * S, dx), 0.0)
+                elif ds == -1:
+                    zn = zn + cv * jnp.where(
+                        mfirst, sh("m", zm, rs + (L - 1) * S, dx), 0.0)
+            zn = zn * mask_ref[:, :]
+        if NL % L:
             zn = jnp.where(
-                rowi2 < P * (1 + jnp.minimum(ys, nyg - p * ys)), zn, 0.0)
+                rowi2 < B0 + S * jnp.minimum(L, NL - p * L), zn, 0.0)
         # stage parity: step i-2's Znext write may still be in flight
         @pl.when(i >= 3)
         def _():
@@ -380,6 +471,10 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
             @pl.when(step >= 1)
             def _():
                 zwrite(step % 2, step - 1).wait()
+        if accum:
+            # last W write started at the final accum step (plane nz-1);
+            # earlier ones were waited in-loop before slot reuse
+            wwrite((nz - 1) % 2, nz - 1).wait()
 
 
 def _kernel_plain(coef, Z, Vc, Vp, mask, Y, Zn, parts,
@@ -426,17 +521,30 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     sweep to the variable-coefficient stencil (``coeffs_static`` must be
     None); the matvec coefficients stream one block per plane step.
     """
-    nz = grid_desc.nz
+    nz = grid_desc.nslabs            # pallas planes = slabs, not layers
     R = grid_desc.rows_per_plane
     P = grid_desc.P
     variable = cfields is not None
     if variable:
-        c7 = (0.0,) * 7
-    elif len(coeffs_static) == 4:       # legacy symmetric (c0, cx, cy, cz)
-        c0s, cxs, cys, czs = coeffs_static
-        c7 = (c0s, cxs, cxs, cys, cys, czs, czs)
-    else:                               # (c0, cx+, cx−, cy+, cy−, cz+, cz−)
-        c7 = tuple(coeffs_static)
+        cpairs = ()
+    else:
+        cs = tuple(coeffs_static)
+        if cs and isinstance(cs[0], tuple):  # ((dz, dy, dx), c) pairs
+            pairs3 = cs
+        elif len(cs) == 4:              # legacy symmetric (c0, cx, cy, cz)
+            c0s, cxs, cys, czs = cs
+            pairs3 = tuple(zip(_SEVEN_POINT,
+                               (c0s, cxs, cxs, cys, cys, czs, czs)))
+        else:                           # legacy per-direction 7-tuple
+            pairs3 = tuple(zip(_SEVEN_POINT, cs))
+        # decompose onto the slab geometry: (slab-axis offset, inner row
+        # shift, lane shift, coeff) — the slab axis is y in 2-D (pairs
+        # were lifted to dz = 0) and z in 3-D
+        if grid_desc.d2:
+            cpairs = tuple((dy, 0, dx, c) for (dz, dy, dx), c in pairs3)
+        else:
+            cpairs = tuple((dz, dy * grid_desc.P, dx, c)
+                           for (dz, dy, dx), c in pairs3)
     nsteps = nz + 1
     ns8 = -(-nsteps // 8) * 8
     dt = Zg.dtype
@@ -462,8 +570,8 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
         pltpu.VMEM((2, R, _LANES), dt),             # znext staging
     ]
     operands = [jnp.asarray(coefs, dt), Zg, Vcg, Vpg, mask.astype(dt)]
-    kw = dict(P=P, nz=nz, c7=c7, d2=grid_desc.d2, ys=grid_desc.ys,
-              nyg=grid_desc.nyg)
+    kw = dict(P=P, nz=nz, cpairs=cpairs, S=grid_desc.S, L=grid_desc.L,
+              NL=grid_desc.NL, B0=grid_desc.B0, d2=grid_desc.d2)
     if variable:
         in_specs.append(plane_any)                  # coefficient planes
         operands.append(cfields)
@@ -479,8 +587,8 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     if variable:
         scratch.append(pltpu.VMEM((2, 8, R, _LANES), dt))  # coeff blocks
     if accum:
-        scratch.append(pltpu.VMEM((R, _LANES), dt))        # w plane
-    scratch.append(pltpu.SemaphoreType.DMA((14,)))
+        scratch.append(pltpu.VMEM((2, R, _LANES), dt))     # w planes (dbl)
+    scratch.append(pltpu.SemaphoreType.DMA((18,)))
     kern = {(False, False): _kernel_plain,
             (False, True): _kernel_accum,
             (True, False): _kernel_var,
@@ -517,12 +625,15 @@ _FIVE_POINT = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
 
 
 def _stencil_coeffs_static(op, hermitian: bool = True) -> tuple:
-    """Per-direction constants (c0, cx+, cx−, cy+, cy−, cz+, cz−) from a
-    3-D 7-point or 2-D 5-point StencilOperator. ``hermitian=True`` (the
-    Lanczos-path consumers) additionally requires a symmetric stencil;
-    the polynomial recurrences (Chebyshev/Newton/Faber applies) pass
-    ``False`` and run asymmetric stencils (advection–diffusion) through
-    the same sweep."""
+    """Static ((dz, dy, dx), coeff) pairs from a constant-coefficient
+    StencilOperator whose offsets lie in the 27-point box {-1,0,1}³
+    (3-D) / the 9-point box {-1,0,1}² (2-D, lifted to dz = 0) — compact
+    high-order discretizations (9/27-point HOC) ride the same sweep as
+    the 7/5-point Laplacians, one shift-multiply-add per nonzero
+    coupling. ``hermitian=True`` (the Lanczos-path consumers)
+    additionally requires a symmetric stencil; the polynomial
+    recurrences (Chebyshev/Newton/Faber applies) pass ``False`` and run
+    asymmetric stencils (advection–diffusion) through the same sweep."""
     from ..stencil import StencilOperator
 
     if not isinstance(op, StencilOperator) \
@@ -531,24 +642,17 @@ def _stencil_coeffs_static(op, hermitian: bool = True) -> tuple:
                          "StencilOperator")
     cmap = {off: float(c) for off, c in
             zip(op.offsets, np.asarray(op.coeffs))}
-    if len(op.grid_shape) == 2:
-        if set(cmap) - set(_FIVE_POINT):
-            raise ValueError("fused 2-D sweep supports 5-point stencils "
-                             "only")
-        if hermitian and (
-                cmap.get((0, -1), 0.0) != cmap.get((0, 1), 0.0)
-                or cmap.get((1, 0), 0.0) != cmap.get((-1, 0), 0.0)):
-            raise ValueError("fused Lanczos requires a symmetric stencil")
-        return tuple(cmap.get(off, 0.0) for off in _FIVE_POINT) \
-            + (0.0, 0.0)
-    if set(cmap) - set(_SEVEN_POINT):
-        raise ValueError("fused sweep supports 7-point stencils only")
-    if hermitian and (
-            cmap.get((0, 0, -1), 0.0) != cmap.get((0, 0, 1), 0.0)
-            or cmap.get((0, 1, 0), 0.0) != cmap.get((0, -1, 0), 0.0)
-            or cmap.get((1, 0, 0), 0.0) != cmap.get((-1, 0, 0), 0.0)):
+    if any(any(abs(o) > 1 for o in off) for off in cmap):
+        raise ValueError(
+            "fused sweep supports nearest-neighbour box stencils only "
+            "(offsets within the 27-point / 9-point {-1,0,1} box)")
+    if hermitian and any(
+            cmap.get(off, 0.0) != cmap.get(tuple(-o for o in off), 0.0)
+            for off in cmap):
         raise ValueError("fused Lanczos requires a symmetric stencil")
-    return tuple(cmap.get(off, 0.0) for off in _SEVEN_POINT)
+    if len(op.grid_shape) == 2:
+        return tuple(((0,) + off, c) for off, c in sorted(cmap.items()))
+    return tuple((off, c) for off, c in sorted(cmap.items()))
 
 
 def _fused_dispatch(op, hermitian: bool = True):
@@ -589,7 +693,7 @@ def _fused_dispatch(op, hermitian: bool = True):
                 return cached[1]
             cmap = {off: op.coeff_fields[k]
                     for k, off in enumerate(op.offsets)}
-            zero = jnp.zeros((gg.nz, gg.rows_per_plane, _LANES), dt)
+            zero = jnp.zeros((gg.nslabs, gg.rows_per_plane, _LANES), dt)
             planes = [gg.to_ghost(cmap[off].astype(dt))
                       if off in cmap else zero for off in slots]
             planes.append(zero)                     # pad slot 7
