@@ -43,6 +43,7 @@ from .models.timestepping import (expv_timestep, phiv_timestep,
                                   TimestepStats, phiv_timestep_fused,
                                   expv_timestep_fused, make_phiv_timestep)
 from .models.kiops import kiops, KiopsStats, AugmentedOperator
+from .models.integrators import exprb32, exprb43, etdrk4, ExpIntStats
 from .models.kiops_device import kiops_device
 from .models.expv_taylor import expv_taylor, expv_taylor_batched
 from .models.chebyshev import (expv_chebyshev, phiv_chebyshev,
@@ -54,7 +55,8 @@ from .models.leja import (expv_leja, phiv_leja,
 from .models.faber import (expv_faber, phiv_faber, phiv_timestep_faber,
                            fov_ellipse, faber_coeffs)
 from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
-                          MatrixFreeOperator, aslinearoperator)
+                          MatrixFreeOperator, JacobianOperator,
+                          aslinearoperator)
 from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
                          SellOperator, HybridOperator, ell_from_scipy,
                          blockell_from_scipy, banded_from_scipy,
@@ -89,7 +91,8 @@ __all__ = [
     "expv_faber", "phiv_faber", "phiv_timestep_faber", "fov_ellipse",
     "faber_coeffs",
     "LinearOperator", "DenseOperator", "DiagonalOperator",
-    "MatrixFreeOperator", "aslinearoperator",
+    "MatrixFreeOperator", "JacobianOperator", "aslinearoperator",
+    "exprb32", "exprb43", "etdrk4", "ExpIntStats",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
     "SellOperator", "HybridOperator",
     "ell_from_scipy", "blockell_from_scipy", "banded_from_scipy",

@@ -25,6 +25,7 @@ __all__ = [
     "MatrixFreeOperator",
     "DiagonalOperator",
     "NegatedOperator",
+    "JacobianOperator",
     "aslinearoperator",
 ]
 
@@ -232,3 +233,42 @@ def aslinearoperator(A, is_hermitian: Optional[bool] = None) -> LinearOperator:
     # Hermitian detection is LAZY (first read of `.is_hermitian`), so
     # wrapping a large device array here costs nothing.
     return DenseOperator(A, is_hermitian=is_hermitian)
+
+
+@jax.tree_util.register_pytree_node_class
+class JacobianOperator(LinearOperator):
+    """The Jacobian J_f(u) of a traceable ``f`` as a MATRIX-FREE operator:
+    ``matvec(v) = jax.jvp(f, (u,), (v,))`` — one forward-mode pass, never
+    materializing the matrix. The linearization point ``u`` is a pytree
+    CHILD (dynamic), so re-linearizing every integrator step reuses the
+    same compiled Krylov programs (``f`` rides in the static slot — keep
+    passing the same function object).
+
+    This is the TPU analogue of the reference's pattern of handing
+    OrdinaryDiffEq Jacobian operators to expv/phiv/kiops (reference
+    README.md:16 — the package exists to serve exponential integrators).
+    """
+
+    def __init__(self, f: Callable, u, is_hermitian: bool = False):
+        self.f = f
+        self.u = jnp.asarray(u)
+        self.is_hermitian = bool(is_hermitian)
+
+    @property
+    def shape(self):
+        n = self.u.shape[0]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.u.dtype
+
+    def matvec(self, v):
+        return jax.jvp(self.f, (self.u,), (v.astype(self.u.dtype),))[1]
+
+    def tree_flatten(self):
+        return (self.u,), (self.f, self.is_hermitian)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0], is_hermitian=aux[1])

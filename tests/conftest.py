@@ -28,3 +28,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables + traced jaxprs after every test module.
+
+    The suite compiles hundreds of large programs (incl. interpret-mode
+    Pallas kernels) in ONE process; letting them accumulate eventually
+    crashes XLA's CPU compiler late in the run (observed as a segfault
+    inside backend_compile around the 85% mark — the same in-process
+    accumulation failure class documented for the Pallas tracing
+    recursion limit in .claude/skills/verify/SKILL.md). Within a module
+    caches persist, so compile-count/stability tests are unaffected."""
+    yield
+    jax.clear_caches()

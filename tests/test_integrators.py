@@ -1,0 +1,181 @@
+"""Exponential integrators (models/integrators.py): exprb32/exprb43
+exactness on linear problems, convergence orders, scipy Radau oracles on
+a stiff semilinear problem, matrix-free Jacobians, stencil-container L,
+and the no-silent-failure protocol. The reference serves these methods
+from downstream (reference README.md:16); here they are part of the
+library."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.linalg as sla
+
+import exponentialutilities_jl_tpu as eu
+
+
+def _ac_problem(nx=96, nu=0.01):
+    """1-D Allen–Cahn-class reaction–diffusion: u' = nu*Lap u + u - u^3."""
+    dx = 1.0 / (nx + 1)
+    D = (np.diag(-2.0 * np.ones(nx)) + np.diag(np.ones(nx - 1), 1)
+         + np.diag(np.ones(nx - 1), -1)) / dx ** 2 * nu
+    Dj = jnp.asarray(D)
+
+    def f(u):
+        return Dj @ u + u - u ** 3
+
+    u0 = np.sin(np.pi * np.arange(1, nx + 1) * dx) * 0.5
+    return Dj, f, u0
+
+
+@pytest.fixture(scope="module")
+def ac_ref():
+    """High-accuracy Radau reference for the Allen–Cahn problem."""
+    from scipy.integrate import solve_ivp
+    Dj, f, u0 = _ac_problem()
+    sol = solve_ivp(lambda t, u: np.asarray(f(jnp.asarray(u))),
+                    (0.0, 1.5), u0, method="Radau",
+                    rtol=1e-11, atol=1e-13)
+    return Dj, f, u0, sol.y[:, -1]
+
+
+def test_exprb32_linear_exact(rng):
+    # linear f => g == 0 => every step is exactly expm
+    n = 50
+    A = rng.standard_normal((n, n)) / 5 - 2 * np.eye(n)
+    Aj = jnp.asarray(A)
+    u0 = rng.standard_normal(n)
+    u1, st = eu.exprb32(lambda u: Aj @ u, u0, (0.0, 1.0),
+                        rtol=1e-8, atol=1e-10)
+    want = sla.expm(A) @ u0
+    assert np.linalg.norm(np.asarray(u1) - want) / np.linalg.norm(want) \
+        < 1e-9
+    assert st.rejected == 0 and st.info == 0
+
+
+def test_exprb32_vs_radau(ac_ref):
+    Dj, f, u0, ref = ac_ref
+    u, st = eu.exprb32(f, u0, (0.0, 1.5), rtol=1e-7, atol=1e-9)
+    assert np.linalg.norm(np.asarray(u) - ref) / np.linalg.norm(ref) < 1e-6
+    assert st.steps > 10            # genuinely multi-step (stiff)
+
+
+def test_exprb43_vs_radau(ac_ref):
+    Dj, f, u0, ref = ac_ref
+    u, st = eu.exprb43(f, u0, (0.0, 1.5), rtol=1e-9, atol=1e-11)
+    assert np.linalg.norm(np.asarray(u) - ref) / np.linalg.norm(ref) < 1e-8
+
+
+def test_exprb43_order4(ac_ref):
+    # fixed-step error should scale like dt^4 (Hochbruck-Ostermann
+    # exprb43 tableau check: a wrong coefficient drops the order)
+    Dj, f, u0, ref = ac_ref
+    errs = []
+    for m in (6, 12):
+        u, _ = eu.exprb43(f, u0, (0.0, 1.5), dt0=1.5 / m, adaptive=False)
+        errs.append(np.linalg.norm(np.asarray(u) - ref)
+                    / np.linalg.norm(ref))
+    ratio = errs[0] / errs[1]
+    assert 10.0 < ratio < 26.0      # ~2^4 = 16
+
+
+def test_exprb32_order3(ac_ref):
+    Dj, f, u0, ref = ac_ref
+    errs = []
+    for m in (8, 16):
+        u, _ = eu.exprb32(f, u0, (0.0, 1.5), dt0=1.5 / m, adaptive=False)
+        errs.append(np.linalg.norm(np.asarray(u) - ref)
+                    / np.linalg.norm(ref))
+    ratio = errs[0] / errs[1]
+    assert 5.0 < ratio < 13.0       # ~2^3 = 8
+
+
+def test_etdrk4_order4_and_oracle(ac_ref):
+    Dj, f, u0, ref = ac_ref
+    op = eu.aslinearoperator(Dj, is_hermitian=True)
+    Nf = lambda u: u - u ** 3
+    errs = []
+    for m in (5, 10):
+        u, st = eu.etdrk4(op, Nf, u0, (0.0, 1.5), 1.5 / m)
+        errs.append(np.linalg.norm(np.asarray(u) - ref)
+                    / np.linalg.norm(ref))
+        assert st.steps == m and st.n_kiops == 4 * m
+    assert errs[1] < 2e-5           # close to the Radau reference
+    ratio = errs[0] / errs[1]
+    assert 10.0 < ratio < 26.0      # 4th order
+
+
+def test_stencil_container_L(ac_ref):
+    # L as a StencilOperator: etdrk4 rides the library's container stack
+    Dj, f, u0, ref = ac_ref
+    nx = len(u0)
+    dx = 1.0 / (nx + 1)
+    op = eu.StencilOperator((nx,), ((-1,), (0,), (1,)),
+                            jnp.asarray([1.0, -2.0, 1.0]) / dx ** 2 * 0.01,
+                            is_hermitian=True)
+    u, _ = eu.etdrk4(op, lambda u: u - u ** 3, u0, (0.0, 1.5), 0.15)
+    assert np.linalg.norm(np.asarray(u) - ref) / np.linalg.norm(ref) < 2e-5
+
+
+def test_matrix_free_jacobian_default(ac_ref):
+    # default jac=None uses JacobianOperator (jvp) — same answer as an
+    # explicit dense Jacobian
+    Dj, f, u0, ref = ac_ref
+    u_jvp, _ = eu.exprb32(f, u0, (0.0, 0.5), rtol=1e-8, atol=1e-10)
+
+    def jac(u):
+        return Dj + jnp.diag(1.0 - 3.0 * u ** 2)
+
+    u_dense, _ = eu.exprb32(f, u0, (0.0, 0.5), jac=jac,
+                            rtol=1e-8, atol=1e-10)
+    assert np.linalg.norm(np.asarray(u_jvp) - np.asarray(u_dense)) \
+        / np.linalg.norm(np.asarray(u_dense)) < 1e-7
+
+
+def test_jacobian_operator_matvec(rng):
+    n = 30
+    A = jnp.asarray(rng.standard_normal((n, n)))
+    u = jnp.asarray(rng.standard_normal(n))
+    f = lambda v: A @ v + v ** 2
+    J = eu.JacobianOperator(f, u)
+    v = jnp.asarray(rng.standard_normal(n))
+    want = A @ v + 2.0 * u * v
+    assert float(jnp.linalg.norm(J.matvec(v) - want)) < 1e-12
+    assert J.shape == (n, n)
+
+
+def test_trajectory_output(ac_ref):
+    Dj, f, u0, ref = ac_ref
+    ts, us, st = eu.exprb32(f, u0, (0.0, 0.3), rtol=1e-6, atol=1e-9,
+                            return_trajectory=True)
+    assert ts[0] == 0.0 and abs(ts[-1] - 0.3) < 1e-12
+    assert us.shape == (len(ts), len(u0))
+    np.testing.assert_array_equal(np.asarray(us[0]), u0)
+
+
+def test_blowup_raises():
+    # u' = u^2 blows up in finite time; the controller must hit the
+    # step floor / budget and RAISE, never return a truncated answer
+    f = lambda u: u ** 2
+    u0 = np.full(4, 3.0)
+    with pytest.raises(FloatingPointError, match="stopped at"):
+        eu.exprb32(f, u0, (0.0, 5.0), rtol=1e-6, atol=1e-9,
+                   max_steps=200)
+
+
+def test_etdrk4_nonfinite_raises():
+    # a wildly unstable nonlinearity at a huge fixed dt goes non-finite;
+    # the driver raises instead of returning NaN
+    nx = 32
+    op = eu.StencilOperator((nx,), ((0,),), jnp.asarray([1.0]),
+                            is_hermitian=True)
+    with pytest.raises((FloatingPointError, ValueError)):
+        eu.etdrk4(op, lambda u: jnp.exp(u) * 1e4, np.full(nx, 10.0),
+                  (0.0, 10.0), 2.0)
+
+
+def test_bad_tspan_raises():
+    with pytest.raises(ValueError):
+        eu.exprb32(lambda u: u, np.ones(4), (1.0, 0.5))
+    with pytest.raises(ValueError):
+        eu.etdrk4(eu.DiagonalOperator(jnp.ones(4)), lambda u: u,
+                  np.ones(4), (0.0, 1.0), 0.3)   # dt does not divide

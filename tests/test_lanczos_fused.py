@@ -402,3 +402,112 @@ class Test2DSlabSweep:
                                                interpret=True))
         ws = np.asarray(_chebyshev_apply_scan(op, b, co, c, 1.0 / h))
         assert np.max(np.abs(wf - ws)) / np.max(np.abs(ws)) < 1e-4
+
+
+class TestBoxStencilsAndSlabs:
+    """Round-3 late: 27-point/9-point box stencils through the constant
+    sweep, and z-slabbed 3-D planes (zb layers per pallas step) with
+    masked boundary coupling."""
+
+    def _matvec_via(self, gg, op, x):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            fused_lanczos_step, _stencil_coeffs_static)
+        c = _stencil_coeffs_static(op, hermitian=False)
+        mask = jnp.asarray(gg.xmask())
+        Xg = gg.to_ghost(jnp.asarray(x))
+        zeros = jnp.zeros_like(Xg)
+        _, Zn, _, _ = fused_lanczos_step(Xg, zeros, zeros,
+                                         (1.0, 0.0, 0.0), mask,
+                                         grid_desc=gg, coeffs_static=c,
+                                         interpret=True)
+        return np.asarray(gg.from_ghost(Zn))
+
+    def test_ghost_roundtrip_zb_partial(self, rng):
+        gg = GhostGrid(11, 9, 140, zb=4)      # 3 slabs, last holds 3
+        assert gg.nslabs == 3 and gg.rows_per_plane == gg.S * 4
+        x = rng.standard_normal(gg.n).astype(np.float32)
+        back = np.asarray(gg.from_ghost(gg.to_ghost(jnp.asarray(x))))
+        np.testing.assert_array_equal(back, x)
+
+    @pytest.mark.parametrize("zb", [1, 3, 4])
+    def test_7pt_asym_matvec_zslab(self, rng, zb):
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        shape = (11, 9, 140)
+        op = StencilOperator(
+            shape, [(0, 0, 0), (0, 0, 1), (0, 0, -1), (0, 1, 0),
+                    (0, -1, 0), (1, 0, 0), (-1, 0, 0)],
+            jnp.asarray((rng.standard_normal(7) / 3), jnp.float32))
+        x = rng.standard_normal(np.prod(shape)).astype(np.float32)
+        y = self._matvec_via(GhostGrid(*shape, zb=zb), op, x)
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_27pt_matvec(self, rng):
+        import itertools
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        shape = (12, 9, 140)
+        offs = list(itertools.product((-1, 0, 1), repeat=3))
+        op = StencilOperator(
+            shape, offs,
+            jnp.asarray((rng.standard_normal(27) / 9), jnp.float32))
+        x = rng.standard_normal(np.prod(shape)).astype(np.float32)
+        y = self._matvec_via(GhostGrid(*shape, zb=3), op, x)
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_9pt_2d_matvec(self, rng):
+        import itertools
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            GhostGrid2D)
+        ny, nx = 37, 150
+        offs = list(itertools.product((-1, 0, 1), repeat=2))
+        op = StencilOperator(
+            (ny, nx), offs,
+            jnp.asarray((rng.standard_normal(9) / 3), jnp.float32))
+        x = rng.standard_normal(ny * nx).astype(np.float32)
+        y = self._matvec_via(GhostGrid2D(ny, nx, ys=8), op, x)
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_27pt_symmetric_lanczos(self, rng):
+        import itertools
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            lanczos_coeffs_fused)
+        shape = (10, 9, 140)
+        cmap = {}
+        for o in itertools.product((-1, 0, 1), repeat=3):
+            mo = tuple(-v for v in o)
+            cmap[o] = cmap.get(mo, float(rng.standard_normal() / 9))
+        op = StencilOperator(shape, list(cmap),
+                             jnp.asarray(list(cmap.values()), jnp.float32),
+                             is_hermitian=True)
+        b = jnp.asarray(rng.standard_normal(np.prod(shape)), jnp.float32)
+        a1, b1, _, mu1, _ = lanczos_coeffs(op, b, 8)
+        a2, b2, _, mu2, _ = lanczos_coeffs_fused(op, b, 8, interpret=True)
+        scale = float(jnp.max(jnp.abs(a1)))
+        assert float(jnp.max(jnp.abs(a1 - a2))) / scale < 1e-4
+        assert float(jnp.max(jnp.abs(b1 - b2))) / scale < 1e-4
+
+    def test_second_neighbour_rejected(self, rng):
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            _stencil_coeffs_static)
+        op = StencilOperator((8, 130), [(0, 0), (0, 2)],
+                             jnp.asarray([1.0, 1.0], jnp.float32))
+        with pytest.raises(ValueError, match="box"):
+            _stencil_coeffs_static(op, hermitian=False)
+
+    def test_replay_zslab(self, rng):
+        from exponentialutilities_jl_tpu.ops.krylov import lanczos_replay
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            lanczos_replay_fused)
+        op = laplacian_nd_stencil(11, 9, 60, dtype=jnp.float32)
+        n = 11 * 9 * 60
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        co = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        al, be, _, _, _ = lanczos_coeffs(op, b, 8)
+        w1 = np.asarray(lanczos_replay_fused(op, b, co, interpret=True))
+        w2 = np.asarray(lanczos_replay(op, b, co, al, be, 8))
+        assert np.max(np.abs(w1 - w2)) / np.max(np.abs(w2)) < 1e-4
