@@ -40,15 +40,19 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..utils.linop import JacobianOperator, LinearOperator, aslinearoperator
 from ..utils.precision import mxu_full_precision
 from .kiops import kiops
 
-__all__ = ["exprb32", "exprb43", "etdrk4", "ExpIntStats"]
+__all__ = ["exprb32", "exprb43", "etdrk4", "ExpIntStats",
+           "etdrk4_device", "exprb43_device"]
 
 
 @dataclasses.dataclass
@@ -304,3 +308,151 @@ def etdrk4(L, N, u0, t_span, dt, *, phi_tol=1e-9, return_trajectory=False,
     if return_trajectory:
         return np.asarray(ts), jnp.stack(us, axis=0), stats
     return u, stats
+
+
+# ---------------------------------------------------------------------------
+# Device-resident fixed-step serving forms: the whole integration is ONE
+# compiled lax.scan program — no host round-trips between steps (the same
+# design move as models/nw_device.py / models/kiops_device.py). Krylov
+# size m is FIXED (the serving contract: validate against the adaptive
+# drivers once, then serve); reduced exponentials use the solver-free
+# Taylor engine so f64 compiles on TPU.
+# ---------------------------------------------------------------------------
+
+
+def _phi_comb_device(op, B, taus, m: int, iop: int, expm_method: str):
+    """[Σ τ^k φ_k(τ·op) b_k for τ in taus] with ONE fixed-m augmented
+    Krylov subspace, fully traceable (kiops' single-substep core without
+    the adaptivity loop). B is (n, p+1) with p ≥ 1; taus > 0 traced
+    scalars (static count)."""
+    from .expv import build_subspace
+    from .kiops import AugmentedOperator, _kiops_x0
+    from .kiops_device import _aug_F
+
+    n, ppo = B.shape
+    p = ppo - 1
+    dt = B.dtype
+    rdt = jnp.finfo(jnp.result_type(dt, jnp.float32)).dtype
+    norm_u = jnp.sum(jnp.abs(B[:, 1:])).astype(rdt)
+    pos = norm_u > 0
+    ex = jnp.ceil(jnp.log2(jnp.maximum(norm_u, jnp.finfo(rdt).tiny)))
+    nu = jnp.where(pos, jnp.exp2(-ex), 1.0).astype(dt)
+    mu = jnp.where(pos, jnp.exp2(ex), 1.0)
+    aug = AugmentedOperator(op, B[:, 1:][:, ::-1] * nu)
+    x0 = _kiops_x0(B[:, 0], jnp.zeros((), rdt), mu, p)
+    Ks = build_subspace(aug, x0, m, iop=iop, hermitian=False)
+    outs = []
+    for tau in taus:
+        F, _ = _aug_F(Ks.H, Ks.m_used, jnp.asarray(tau, rdt), m,
+                      expm_method)
+        coeffs = Ks.beta.astype(rdt) * F[:, 0].astype(rdt)
+        outs.append((coeffs.astype(Ks.V.dtype) @ Ks.V[:, :n]).astype(dt))
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("N", "nsteps", "m",
+                                              "iop", "expm_method"))
+def _etdrk4_scan(L, u0, h, *, N, nsteps: int, m: int, iop: int,
+                 expm_method: str):
+    # L rides as a pytree ARGUMENT (operators must never be closed over
+    # or made static: embedded constants blow the remote-compile request
+    # at scale and id()-hash statics recompile per instance)
+
+    def step(u, _):
+        N1 = N(u)
+        (a,) = _phi_comb_device(L, jnp.stack([u, N1], 1), [h / 2],
+                                m, iop, expm_method)
+        Na = N(a)
+        (b,) = _phi_comb_device(L, jnp.stack([u, Na], 1), [h / 2],
+                                m, iop, expm_method)
+        Nb = N(b)
+        (c,) = _phi_comb_device(L, jnp.stack([a, 2.0 * Nb - N1], 1),
+                                [h / 2], m, iop, expm_method)
+        Nc = N(c)
+        b2 = (-3.0 * N1 + 2.0 * Na + 2.0 * Nb - Nc) / h
+        b3 = (4.0 * N1 - 4.0 * Na - 4.0 * Nb + 4.0 * Nc) / h ** 2
+        (u_new,) = _phi_comb_device(L, jnp.stack([u, N1, b2, b3], 1),
+                                    [h], m, iop, expm_method)
+        return u_new, None
+
+    u, _ = lax.scan(step, u0, None, length=nsteps)
+    return u
+
+
+@mxu_full_precision
+def etdrk4_device(L, N, u0, t_span, dt, *, m: int = 20, iop: int = 2,
+                  expm_method: str = "taylor"):
+    """ETDRK4 with the ENTIRE integration as one compiled program.
+
+    Fixed step AND fixed Krylov size m (no adaptivity, no host work
+    between steps — the device-resident twin of :func:`etdrk4`, same
+    relationship as ``kiops_device`` to ``kiops``). Each stage is one
+    fixed-m augmented-Krylov φ-combination; reduced exponentials use the
+    solver-free Taylor engine (f64-safe on TPU). Validate m once against
+    :func:`etdrk4` at your tolerances, then serve.
+
+    Raises FloatingPointError on a non-finite final state (single sync
+    at the end — the in-scan states are never fetched)."""
+    t0, tf = float(t_span[0]), float(t_span[1])
+    h = float(dt)
+    if h <= 0 or tf <= t0:
+        raise ValueError("need dt > 0 and tf > t0")
+    nsteps = int(round((tf - t0) / h))
+    if abs(nsteps * h - (tf - t0)) > 1e-9 * (tf - t0):
+        raise ValueError("dt must divide tf - t0 (fixed-step method)")
+    op = L if isinstance(L, LinearOperator) else aslinearoperator(L)
+    u = _etdrk4_scan(op, jnp.asarray(u0), h, N=N, nsteps=nsteps, m=m,
+                     iop=iop, expm_method=expm_method)
+    if not bool(jnp.all(jnp.isfinite(u))):
+        raise FloatingPointError(
+            "etdrk4_device: non-finite final state — raise m, reduce dt, "
+            "or validate against the adaptive etdrk4/exprb drivers")
+    return u
+
+
+@functools.partial(jax.jit, static_argnames=("f", "nsteps", "m", "iop",
+                                              "expm_method"))
+def _exprb43_scan(u0, h, *, f, nsteps: int, m: int, iop: int,
+                  expm_method: str):
+    zero = jnp.zeros_like(u0)
+
+    def step(u, _):
+        J = JacobianOperator(f, u)
+        F1 = f(u)
+        gn = F1 - J.matvec(u)
+        U2, U3 = _phi_comb_device(J, jnp.stack([u, gn, zero], 1),
+                                  [h / 2, h], m, iop, expm_method)
+        D2 = f(U2) - J.matvec(U2) - gn
+        D3 = f(U3) - J.matvec(U3) - gn
+        b3 = (16.0 * D2 - 2.0 * D3) / h ** 2
+        b4 = (-48.0 * D2 + 12.0 * D3) / h ** 3
+        (u_new,) = _phi_comb_device(
+            J, jnp.stack([u, gn, zero, b3, b4], 1), [h], m, iop,
+            expm_method)
+        return u_new, None
+
+    u, _ = lax.scan(step, u0, None, length=nsteps)
+    return u
+
+
+@mxu_full_precision
+def exprb43_device(f, u0, t_span, dt, *, m: int = 20, iop: int = 2,
+                   expm_method: str = "taylor"):
+    """Fixed-step exprb43 with the whole integration in one program
+    (see :func:`etdrk4_device`): per step the Jacobian is re-linearized
+    IN-TRACE (``JacobianOperator`` jvp — u is data, not a constant), two
+    fixed-m augmented subspaces serve all five φ-terms."""
+    t0, tf = float(t_span[0]), float(t_span[1])
+    h = float(dt)
+    if h <= 0 or tf <= t0:
+        raise ValueError("need dt > 0 and tf > t0")
+    nsteps = int(round((tf - t0) / h))
+    if abs(nsteps * h - (tf - t0)) > 1e-9 * (tf - t0):
+        raise ValueError("dt must divide tf - t0 (fixed-step method)")
+    u = _exprb43_scan(jnp.asarray(u0), h, f=f, nsteps=nsteps, m=m,
+                      iop=iop, expm_method=expm_method)
+    if not bool(jnp.all(jnp.isfinite(u))):
+        raise FloatingPointError(
+            "exprb43_device: non-finite final state — raise m, reduce "
+            "dt, or validate against the adaptive exprb43 driver")
+    return u

@@ -179,3 +179,41 @@ def test_bad_tspan_raises():
     with pytest.raises(ValueError):
         eu.etdrk4(eu.DiagonalOperator(jnp.ones(4)), lambda u: u,
                   np.ones(4), (0.0, 1.0), 0.3)   # dt does not divide
+
+
+class TestDeviceResident:
+    """Fixed-step serving forms: whole integration as ONE lax.scan
+    program, fixed Krylov size, solver-free reduced exponentials."""
+
+    def test_etdrk4_device_matches_host(self, ac_ref):
+        Dj, f, u0, ref = ac_ref
+        nx = len(u0)
+        dx = 1.0 / (nx + 1)
+        op = eu.StencilOperator(
+            (nx,), ((-1,), (0,), (1,)),
+            jnp.asarray([1.0, -2.0, 1.0]) / dx ** 2 * 0.01,
+            is_hermitian=True)
+        Nf = lambda u: u - u ** 3
+        ud = eu.etdrk4_device(op, Nf, u0, (0.0, 1.5), 0.15, m=24)
+        uh, _ = eu.etdrk4(op, Nf, u0, (0.0, 1.5), 0.15)
+        assert np.linalg.norm(np.asarray(ud) - np.asarray(uh)) \
+            / np.linalg.norm(np.asarray(uh)) < 1e-8
+        assert np.linalg.norm(np.asarray(ud) - ref) \
+            / np.linalg.norm(ref) < 1e-4
+
+    def test_exprb43_device_order4(self, ac_ref):
+        Dj, f, u0, ref = ac_ref
+        errs = []
+        for m in (6, 12):
+            u = eu.exprb43_device(f, u0, (0.0, 1.5), 1.5 / m, m=30)
+            errs.append(np.linalg.norm(np.asarray(u) - ref)
+                        / np.linalg.norm(ref))
+        assert 10.0 < errs[0] / errs[1] < 26.0
+
+    def test_device_nonfinite_raises(self):
+        nx = 32
+        op = eu.StencilOperator((nx,), ((0,),), jnp.asarray([1.0]),
+                                is_hermitian=True)
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            eu.etdrk4_device(op, lambda u: jnp.exp(u) * 1e4,
+                             np.full(nx, 50.0), (0.0, 10.0), 2.0, m=12)
