@@ -63,7 +63,8 @@ class ExpIntStats:
     rejected: int = 0
     n_f_evals: int = 0
     n_kiops: int = 0
-    info: int = 0          # 0 ok; 1 dt underflow; 2 max_steps hit
+    info: int = 0          # 0 ok; 1 dt underflow; 2 max_steps hit;
+                           # 3 non-finite state in fixed-step mode
 
 
 def _norm(v):
@@ -77,21 +78,52 @@ def _phi_comb(J, bs, h, *, tol, kw):
     return w
 
 
-def _controller(dt, enorm, order, *, safety=0.9, fmin=0.2, fmax=5.0):
+def _wrms(err_vec, u, u_new, rtol, atol):
+    """Per-component weighted RMS error norm (the OrdinaryDiffEq /
+    Hairer–Wanner practice): sqrt(mean((err_i / (atol_i + rtol·|u_i|))²))
+    with elementwise |u_i| = max of the old and new state. ``atol`` may
+    be a scalar or a per-component vector, so fields whose components
+    span scales (e.g. u and 1e-6·u blocks) are controlled individually
+    instead of through one global norm."""
+    sc = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
+    return float(jnp.sqrt(jnp.mean(jnp.abs(err_vec / sc) ** 2)))
+
+
+def _controller(dt, enorm, order, *, enorm_prev=None, safety=0.9,
+                fmin=0.2, fmax=5.0):
+    """Step-size factor. PI (Gustafsson) control when the error of the
+    previous ACCEPTED step is available — the production-integrator
+    default (smooths the step sequence, prevents reject/accept
+    oscillation on stiff fields) — falling back to the plain
+    I-controller on the first step and after any rejection:
+
+        PI: dt · safety · enorm^(−0.7/k) · enorm_prev^(0.4/k)
+        I:  dt · safety · enorm^(−1/k)
+    """
     if enorm <= 0:
         return dt * fmax
-    return dt * min(fmax, max(fmin, safety * enorm ** (-1.0 / order)))
+    if enorm_prev is not None and enorm_prev > 0:
+        fac = safety * enorm ** (-0.7 / order) * enorm_prev ** (0.4 / order)
+    else:
+        fac = safety * enorm ** (-1.0 / order)
+    return dt * min(fmax, max(fmin, fac))
 
 
 def _run_rosenbrock(step_fn, order, f, u0, t_span, *, jac, dt0, rtol, atol,
                     max_steps, return_trajectory, phi_tol, kiops_kwargs,
-                    adaptive=True):
+                    adaptive=True, controller="pi"):
     t0, tf = float(t_span[0]), float(t_span[1])
     if tf <= t0:
         raise ValueError("t_span must satisfy tf > t0")
     if not adaptive and not dt0:
         raise ValueError("adaptive=False requires dt0")
+    if controller not in ("pi", "i"):
+        raise ValueError(f"controller must be 'pi' or 'i', got {controller!r}")
     u = jnp.asarray(u0)
+    atol_arr = jnp.asarray(atol)
+    if atol_arr.ndim not in (0, 1) or (atol_arr.ndim == 1
+                                       and atol_arr.shape != u.shape):
+        raise ValueError("atol must be a scalar or match u0's shape")
     stats = ExpIntStats()
     make_jac = (jac if jac is not None
                 else (lambda uu: JacobianOperator(f, uu)))
@@ -99,6 +131,7 @@ def _run_rosenbrock(step_fn, order, f, u0, t_span, *, jac, dt0, rtol, atol,
     t = t0
     ts, us = [t0], [u]
     dt_floor = 1e-12 * (tf - t0)
+    enorm_prev = None                    # last ACCEPTED step's error norm
     while t < tf - 1e-14 * (tf - t0):
         if stats.steps + stats.rejected >= max_steps:
             stats.info = 2
@@ -114,11 +147,12 @@ def _run_rosenbrock(step_fn, order, f, u0, t_span, *, jac, dt0, rtol, atol,
         if not bool(jnp.all(jnp.isfinite(u_new))):
             enorm = math.inf
         else:
-            sc = float(atol + rtol * max(_norm(u), _norm(u_new)))
-            enorm = _norm(err_vec) / sc
+            enorm = _wrms(err_vec, u, u_new, rtol, atol_arr)
         if not adaptive:
             if not math.isfinite(enorm):
-                stats.info = 1
+                # no controller ran: this is fixed-step divergence, not a
+                # step-size underflow (distinct info code — ADVICE r3)
+                stats.info = 3
                 break
             t += dt
             u = u_new
@@ -134,18 +168,28 @@ def _run_rosenbrock(step_fn, order, f, u0, t_span, *, jac, dt0, rtol, atol,
             if return_trajectory:
                 ts.append(t)
                 us.append(u)
+            dt = _controller(dt, enorm, order,
+                             enorm_prev=(enorm_prev if controller == "pi"
+                                         else None))
+            enorm_prev = enorm if enorm > 0 else None
         else:
             stats.rejected += 1
-        dt = _controller(dt, enorm if math.isfinite(enorm) else 100.0,
-                         order)
+            # rejection: plain I-control, and the PI memory resets (the
+            # standard Gustafsson practice — the rejected error is not a
+            # valid smoothness sample)
+            dt = _controller(dt, enorm if math.isfinite(enorm) else 100.0,
+                             order)
+            enorm_prev = None
         if dt < dt_floor:
             stats.info = 1
             break
     if stats.info:
         # no-silent-failure protocol (CLAUDE.md): a truncated integration
         # must never masquerade as a solution
-        reason = ("step size underflow" if stats.info == 1
-                  else f"max_steps={max_steps} exceeded")
+        reason = {1: "step size underflow",
+                  2: f"max_steps={max_steps} exceeded",
+                  3: "non-finite state at fixed dt — reduce dt0"
+                  }[stats.info]
         raise FloatingPointError(
             f"exponential integrator stopped at t={t:.6g} < tf={tf:.6g}: "
             f"{reason} (u finite: {bool(jnp.all(jnp.isfinite(u)))}; "
@@ -190,7 +234,7 @@ def _step_exprb43(f, J, u, h, tol, kw):
 @mxu_full_precision
 def exprb32(f, u0, t_span, *, jac=None, dt0=None, rtol=1e-6, atol=1e-9,
             max_steps=100_000, return_trajectory=False, phi_tol=None,
-            adaptive=True, **kiops_kwargs):
+            adaptive=True, controller="pi", **kiops_kwargs):
     """Adaptive 3(2) exponential Rosenbrock for stiff ``u' = f(u)``.
 
     Args:
@@ -200,12 +244,17 @@ def exprb32(f, u0, t_span, *, jac=None, dt0=None, rtol=1e-6, atol=1e-9,
       jac: ``u -> LinearOperator | matrix`` (default: matrix-free
         ``JacobianOperator(f, u)`` — one jvp per Krylov matvec).
       dt0: initial step (default (tf−t0)/100).
-      rtol/atol: per-step error control on ‖err‖/(atol + rtol‖u‖).
+      rtol/atol: per-component WRMS error control
+        sqrt(mean((err_i/(atol_i + rtol·|u_i|))²)) ≤ 1. ``atol`` may be
+        a scalar or an (n,) vector for fields whose components span
+        scales.
       phi_tol: tolerance for the inner kiops φ-actions (default
         min(rtol, 1e-7)/10 — the φ error must not pollute the
         controller).
       adaptive: False runs fixed steps of dt0 (no controller) — for
         order studies and fully deterministic serving.
+      controller: "pi" (Gustafsson PI, default) or "i" (plain
+        I-control) step-size selection.
       kiops_kwargs: forwarded to kiops (mmin/mmax/iop/two_pass...).
 
     Returns (u_final, ExpIntStats), or (ts, us, stats) with
@@ -213,26 +262,30 @@ def exprb32(f, u0, t_span, *, jac=None, dt0=None, rtol=1e-6, atol=1e-9,
     underflow / step-budget exhaustion (no silent truncation).
     """
     phi_tol = phi_tol if phi_tol is not None else min(rtol, 1e-7) / 10
-    kiops_kwargs.setdefault("return_stats", True)
+    # the step functions require kiops' tuple return form; a user-passed
+    # return_stats=False would crash the unpack with a confusing error
+    kiops_kwargs["return_stats"] = True
     return _run_rosenbrock(_step_exprb32, 3, f, u0, t_span, jac=jac,
                            dt0=dt0, rtol=rtol, atol=atol,
                            max_steps=max_steps, adaptive=adaptive,
                            return_trajectory=return_trajectory,
-                           phi_tol=phi_tol, kiops_kwargs=kiops_kwargs)
+                           phi_tol=phi_tol, kiops_kwargs=kiops_kwargs,
+                           controller=controller)
 
 
 @mxu_full_precision
 def exprb43(f, u0, t_span, *, jac=None, dt0=None, rtol=1e-8, atol=1e-11,
             max_steps=100_000, return_trajectory=False, phi_tol=None,
-            adaptive=True, **kiops_kwargs):
+            adaptive=True, controller="pi", **kiops_kwargs):
     """Adaptive 4(3) exponential Rosenbrock (see :func:`exprb32`)."""
     phi_tol = phi_tol if phi_tol is not None else min(rtol, 1e-7) / 10
-    kiops_kwargs.setdefault("return_stats", True)
+    kiops_kwargs["return_stats"] = True     # tuple form required (ADVICE r3)
     return _run_rosenbrock(_step_exprb43, 4, f, u0, t_span, jac=jac,
                            dt0=dt0, rtol=rtol, atol=atol,
                            max_steps=max_steps, adaptive=adaptive,
                            return_trajectory=return_trajectory,
-                           phi_tol=phi_tol, kiops_kwargs=kiops_kwargs)
+                           phi_tol=phi_tol, kiops_kwargs=kiops_kwargs,
+                           controller=controller)
 
 
 @mxu_full_precision
@@ -259,7 +312,7 @@ def etdrk4(L, N, u0, t_span, dt, *, phi_tol=1e-9, return_trajectory=False,
     if h <= 0 or tf <= t0:
         raise ValueError("need dt > 0 and tf > t0")
     op = L if isinstance(L, LinearOperator) else aslinearoperator(L)
-    kiops_kwargs.setdefault("return_stats", True)
+    kiops_kwargs["return_stats"] = True     # tuple form required (ADVICE r3)
     u = jnp.asarray(u0)
     stats = ExpIntStats()
     nsteps = int(round((tf - t0) / h))

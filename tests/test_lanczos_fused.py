@@ -390,6 +390,26 @@ class Test2DSlabSweep:
         want = np.asarray(vop.matvec(x))
         assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
 
+    def test_variable_2d_matvec_multislab(self, rng):
+        # ny=300 > ys=238 (ghost_grid_for's variable-2-D default at
+        # nx=150), so the masked cross-slab boundary terms (bnd_p/bnd_m
+        # riding the cy± coefficient planes) are actually exercised —
+        # the ny=37 test above collapses to a single slab (ADVICE r3).
+        from exponentialutilities_jl_tpu.ops.stencil import (
+            VariableStencilOperator)
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for, stencil_matvec_fused)
+        ny, nx = 300, 150
+        offs = [(0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)]
+        fields = [jnp.asarray(rng.standard_normal(ny * nx), jnp.float32)
+                  for _ in offs]
+        vop = VariableStencilOperator((ny, nx), offs, fields)
+        assert ghost_grid_for(vop).nslabs > 1   # guard the premise
+        x = jnp.asarray(rng.standard_normal(ny * nx), jnp.float32)
+        y = np.asarray(stencil_matvec_fused(vop, x, interpret=True))
+        want = np.asarray(vop.matvec(x))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
     def test_chebyshev_apply_2d_fused(self, rng):
         from exponentialutilities_jl_tpu.models.chebyshev import (
             _chebyshev_apply_fused, _chebyshev_apply_scan)
