@@ -45,7 +45,7 @@ from .models.timestepping import (expv_timestep, phiv_timestep,
 from .models.kiops import kiops, KiopsStats, AugmentedOperator
 from .models.integrators import (exprb32, exprb43, etdrk4,
                                  ExpIntStats, etdrk4_device,
-                                 exprb43_device)
+                                 exprb43_device, exprb32_device)
 from .models.kiops_device import kiops_device
 from .models.expv_taylor import expv_taylor, expv_taylor_batched
 from .models.chebyshev import (expv_chebyshev, phiv_chebyshev,
@@ -95,7 +95,7 @@ __all__ = [
     "LinearOperator", "DenseOperator", "DiagonalOperator",
     "MatrixFreeOperator", "JacobianOperator", "aslinearoperator",
     "exprb32", "exprb43", "etdrk4", "ExpIntStats",
-    "etdrk4_device", "exprb43_device",
+    "etdrk4_device", "exprb43_device", "exprb32_device",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
     "SellOperator", "HybridOperator",
     "ell_from_scipy", "blockell_from_scipy", "banded_from_scipy",

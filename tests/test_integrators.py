@@ -260,3 +260,78 @@ class TestDeviceResident:
         with pytest.raises(FloatingPointError, match="non-finite"):
             eu.etdrk4_device(op, lambda u: jnp.exp(u) * 1e4,
                              np.full(nx, 50.0), (0.0, 10.0), 2.0, m=12)
+
+
+class TestDeviceAdaptive:
+    """Round-4 (VERDICT r3 #1): the ADAPTIVE exprb controller — WRMS
+    norm, PI step control, rejections, failure protocol — folded into
+    one lax.while_loop per m bucket. The contract: same trajectory and
+    step counts as the host driver, zero host round-trips except
+    m-bucket changes."""
+
+    def test_exprb43_device_adaptive_matches_host(self, ac_ref):
+        Dj, f, u0, ref = ac_ref
+        uh, sth = eu.exprb43(f, u0, (0.0, 1.5), rtol=1e-9, atol=1e-11)
+        ud, std = eu.exprb43_device(f, u0, (0.0, 1.5), rtol=1e-9,
+                                    atol=1e-11, m=30, return_stats=True)
+        # same controller data -> identical accept/reject sequence
+        # (measured: 142 steps / 1 rejection both)
+        assert std.steps == sth.steps and std.rejected == sth.rejected
+        assert np.linalg.norm(np.asarray(ud) - np.asarray(uh)) \
+            / np.linalg.norm(np.asarray(uh)) < 1e-9
+        assert np.linalg.norm(np.asarray(ud) - ref) \
+            / np.linalg.norm(ref) < 1e-8
+
+    def test_exprb32_device_adaptive(self, ac_ref):
+        Dj, f, u0, ref = ac_ref
+        uh, sth = eu.exprb32(f, u0, (0.0, 1.5), rtol=1e-7, atol=1e-9)
+        ud, std = eu.exprb32_device(f, u0, (0.0, 1.5), rtol=1e-7,
+                                    atol=1e-9, m=25, return_stats=True)
+        assert std.steps == sth.steps
+        assert np.linalg.norm(np.asarray(ud) - ref) \
+            / np.linalg.norm(ref) < 1e-6
+
+    def test_exprb32_device_fixed_order3(self, ac_ref):
+        Dj, f, u0, ref = ac_ref
+        errs = []
+        for k in (8, 16):
+            u = eu.exprb32_device(f, u0, (0.0, 1.5), 1.5 / k,
+                                  adaptive=False, m=30)
+            errs.append(np.linalg.norm(np.asarray(u) - ref)
+                        / np.linalg.norm(ref))
+        assert 5.0 < errs[0] / errs[1] < 13.0
+
+    def test_m_bucket_growth(self):
+        # stiff diffusion (||J|| ~ 1.6e5): the kiops-style phi-error
+        # estimate at m=6 breaches phi_tol, so the program exits with
+        # want_m and the host re-enters at larger buckets
+        from scipy.integrate import solve_ivp
+        nx = 200
+        dx = 1.0 / (nx + 1)
+        D = (np.diag(-2.0 * np.ones(nx)) + np.diag(np.ones(nx - 1), 1)
+             + np.diag(np.ones(nx - 1), -1)) / dx ** 2
+        Dj = jnp.asarray(D)
+        f = lambda u: Dj @ u + u - u ** 3
+        u0 = np.sin(np.pi * np.arange(1, nx + 1) * dx) * 0.5
+        u, st = eu.exprb43_device(f, u0, (0.0, 0.05), rtol=1e-8,
+                                  atol=1e-10, m=6, return_stats=True)
+        assert st.final_m > 6 and st.info == 0
+        sol = solve_ivp(lambda t, z: np.asarray(f(jnp.asarray(z))),
+                        (0, 0.05), u0, method="Radau",
+                        rtol=1e-11, atol=1e-13)
+        ref = sol.y[:, -1]
+        assert np.linalg.norm(np.asarray(u) - ref) \
+            / np.linalg.norm(ref) < 1e-8
+
+    def test_device_adaptive_blowup_raises(self):
+        f = lambda u: u ** 2
+        with pytest.raises(FloatingPointError, match="stopped at"):
+            eu.exprb32_device(f, np.full(4, 3.0), (0.0, 5.0), rtol=1e-6,
+                              atol=1e-9, max_steps=200, m=8)
+
+    def test_device_adaptive_bad_args(self):
+        f = lambda u: -u
+        with pytest.raises(ValueError, match="controller"):
+            eu.exprb43_device(f, np.ones(4), (0.0, 1.0), controller="x")
+        with pytest.raises(ValueError, match="requires dt"):
+            eu.exprb43_device(f, np.ones(4), (0.0, 1.0), adaptive=False)
