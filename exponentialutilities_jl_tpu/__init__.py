@@ -29,6 +29,7 @@ Distributed             parallel/ (shard_map + GSPMD; multi-host meshes)
 from .ops.expm import (expm, expm_higham2005, expm_generic,
                        expm_diagonalization, expm_native, expm_taylor,
                        balance_matrix)
+from .ops.funm import funm, funm_schur_parlett
 from .ops.phi_dense import (phi, phi_scalar, phi_taylor, phi_with_info,
                             phiv_dense)
 from .ops.phi_almohy import phi_pade, phi_pade_with_info
@@ -76,6 +77,7 @@ __version__ = "0.1.0"
 __all__ = [
     "expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
     "expm_native", "expm_taylor", "balance_matrix",
+    "funm", "funm_schur_parlett",
     "phi", "phi_scalar", "phi_taylor", "phi_pade", "phi_pade_with_info",
     "phi_with_info", "phiv_dense",
     "KrylovBasis", "arnoldi", "arnoldi_extend", "lanczos", "build_subspace",

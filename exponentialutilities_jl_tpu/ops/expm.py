@@ -319,7 +319,10 @@ def expm_diagonalization(A, *, is_hermitian: bool = False):
                 "expm_diagonalization(general) inside jit is CPU-only: "
                 "XLA lowers eig only on CPU and the host staging cannot "
                 "run under a trace — use method='higham2005' or "
-                "'taylor' inside jitted code on this backend")
+                "'taylor' inside jitted code on this backend; OUTSIDE "
+                "the trace, method='schur' (funm's Schur–Parlett) covers "
+                "every general matrix, including defective input where "
+                "eig does not exist (ops/funm.py)")
         import numpy as np
         Ah = np.asarray(A, np.complex128 if jnp.issubdtype(
             A.dtype, jnp.complexfloating) else np.float64)
@@ -374,12 +377,22 @@ def expm_taylor(A, *, order: int | None = None, max_squarings: int = 48,
     return _masked_squaring(E, s, max_squarings, differentiable)
 
 
+def _expm_schur(A, **kwargs):
+    """exp(A) by blocked Schur–Parlett (ops/funm.py) — the general-
+    matrix route that exists on every backend (host-staged) and handles
+    defective input; reference parity: src/exp.jl:75-130's method family
+    without the diagonalizability requirement."""
+    from .funm import funm
+    return funm(A, "exp", **kwargs)
+
+
 _METHODS = {
     "higham2005": expm_higham2005,
     "generic": expm_generic,
     "diagonalization": expm_diagonalization,
     "native": expm_native,
     "taylor": expm_taylor,
+    "schur": _expm_schur,
 }
 
 

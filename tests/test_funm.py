@@ -1,0 +1,154 @@
+"""Blocked Schur–Parlett general matrix functions (ops/funm.py) —
+VERDICT r3 missing #1: the reference's any-matrix diagonalization family
+(src/exp.jl:75-130) without the diagonalizability requirement. Done
+criterion: an adversarial nonnormal set matches (or beats) the CPU
+eig path at f64 roundoff; host-staged between-jits contract documented
+and enforced."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import scipy.linalg as sla
+
+import exponentialutilities_jl_tpu as eu
+
+
+def _relerr(X, Y):
+    return np.linalg.norm(np.asarray(X) - Y) / max(np.linalg.norm(Y),
+                                                   1e-300)
+
+
+def _grcar(n):
+    G = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            if j == i - 1:
+                G[i, j] = -1
+            elif i <= j <= i + 3:
+                G[i, j] = 1
+    return G
+
+
+def _eig_path_err(A, want):
+    w, R = np.linalg.eig(A.astype(np.complex128))
+    return _relerr(((R * np.exp(w)) @ np.linalg.inv(R)).real, want)
+
+
+class TestAdversarialExp:
+    """funm(A, 'exp') on nonnormal matrices vs the scipy f64 oracle,
+    required to match-or-beat the eig/diagonalization route."""
+
+    def test_grcar(self):
+        G = _grcar(60)
+        want = sla.expm(G)
+        e = _relerr(eu.funm(G, "exp"), want)
+        # measured: funm 3.9e-14 (delta=0.2) vs eig path 7.9e-8
+        # (cond(R) ~ 1.5e10)
+        assert e < 1e-12
+        assert e <= _eig_path_err(G, want)
+
+    def test_defective_jordan(self, rng):
+        # a true Jordan block: NO eigendecomposition exists; the eig
+        # path loses ~13 digits (measured 1.1e-2), Schur-Parlett is
+        # exact to roundoff (measured 3.4e-15)
+        J = 0.5 * np.eye(12) + np.diag(np.ones(11), 1)
+        Q = sla.qr(rng.standard_normal((12, 12)))[0]
+        A = Q @ J @ Q.T
+        want = sla.expm(A)
+        assert _relerr(eu.funm(A, "exp"), want) < 1e-12
+        assert _eig_path_err(A, want) > 1e-6    # eig genuinely fails here
+
+    def test_clustered_eigenvalues(self, rng):
+        lam = np.concatenate([np.full(10, 1.0)
+                              + 1e-9 * rng.standard_normal(10),
+                              rng.standard_normal(20)])
+        R = rng.standard_normal((30, 30))
+        A = sla.solve(R, (R * lam).T).T
+        assert _relerr(eu.funm(A, "exp"), sla.expm(A)) < 1e-12
+
+    def test_triangular_nonnormal(self, rng):
+        A = np.triu(rng.standard_normal((50, 50))) / 2
+        want = sla.expm(A)
+        e = _relerr(eu.funm(A, "exp"), want)
+        assert e < 1e-11
+
+    def test_complex_input(self, rng):
+        A = (rng.standard_normal((20, 20))
+             + 1j * rng.standard_normal((20, 20))) / 5
+        assert _relerr(eu.funm(A, "exp"), sla.expm(A)) < 1e-13
+        assert np.asarray(eu.funm(A, "exp")).dtype == np.complex128
+
+    def test_real_in_real_out(self, rng):
+        A = rng.standard_normal((30, 30)) / 4
+        X = np.asarray(eu.funm(A, "exp"))
+        assert X.dtype == np.float64
+        assert _relerr(X, sla.expm(A)) < 1e-13
+
+    def test_expm_schur_front_door(self):
+        G = _grcar(40)
+        assert _relerr(eu.expm(G, method="schur"), sla.expm(G)) < 1e-9
+
+
+class TestOtherFunctions:
+    def test_sqrt(self, rng):
+        B = rng.standard_normal((40, 40)) / 3
+        A = B @ B.T / 10 + 3 * np.eye(40)
+        S = np.asarray(eu.funm(A, "sqrt"))
+        assert _relerr(S @ S, A) < 1e-13
+
+    def test_log_inverts_exp(self, rng):
+        A = rng.standard_normal((30, 30)) / 8
+        L = np.asarray(eu.funm(sla.expm(A), "log"))
+        assert _relerr(L, A) < 1e-13
+
+    def test_sin_cos_identity(self, rng):
+        A = rng.standard_normal((20, 20)) / 3
+        s = np.asarray(eu.funm(A, "sin"))
+        c = np.asarray(eu.funm(A, "cos"))
+        assert _relerr(s @ s + c @ c, np.eye(20)) < 1e-13
+
+    def test_phi_k(self, rng):
+        A = rng.standard_normal((25, 25)) / 4
+        for k in (1, 2):
+            got = np.asarray(eu.funm(A, f"phi{k}"))
+            want = np.asarray(eu.phi(A, k))[k]
+            assert _relerr(got, want) < 1e-13
+
+    def test_scalar_callable(self, rng):
+        # resolvent via a plain python scalar function (distinct eigs)
+        A = np.diag(np.arange(1.0, 9.0)) \
+            + np.triu(rng.standard_normal((8, 8)), 1)
+        F = np.asarray(eu.funm(A, lambda z: 1.0 / (1.0 + z)))
+        assert _relerr(F, np.linalg.inv(np.eye(8) + A)) < 1e-12
+
+    def test_scalar_callable_cluster_raises(self):
+        # a Jordan block clusters into one 5x5 atomic block; a scalar
+        # callable cannot evaluate it and must say so, not mis-evaluate
+        A = np.eye(5) + np.diag(np.ones(4), 1)
+        with pytest.raises(ValueError, match="atomic block"):
+            eu.funm(A, lambda z: np.exp(z))
+
+    def test_matfunc_override(self):
+        # the same Jordan block works when a block evaluator is supplied
+        A = np.eye(5) + np.diag(np.ones(4), 1)
+        X = np.asarray(eu.funm(A, lambda z: np.exp(z),
+                               matfunc=sla.expm))
+        assert _relerr(X, sla.expm(A)) < 1e-13
+
+
+class TestContract:
+    def test_rejects_tracer(self):
+        # host-staged between-jits contract (same as host_phi): inside
+        # a trace it must refuse loudly, pointing at the staging pattern
+        A = np.eye(4)
+        with pytest.raises(Exception, match="host-staged"):
+            jax.jit(lambda M: eu.funm(M, "exp"))(jnp.asarray(A))
+
+    def test_unknown_name_raises(self):
+        with pytest.raises(ValueError, match="unknown named"):
+            eu.funm(np.eye(3), "exp2")
+
+    def test_nonsquare_raises(self):
+        with pytest.raises(ValueError, match="square"):
+            eu.funm(np.ones((3, 4)), "exp")
