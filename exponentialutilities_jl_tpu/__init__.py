@@ -28,7 +28,7 @@ Distributed             parallel/ (shard_map + GSPMD; multi-host meshes)
 
 from .ops.expm import (expm, expm_higham2005, expm_generic,
                        expm_diagonalization, expm_native, expm_taylor,
-                       balance_matrix)
+                       balance_matrix, gebal, expm_gebal)
 from .ops.funm import funm, funm_schur_parlett
 from .ops.phi_dense import (phi, phi_scalar, phi_taylor, phi_with_info,
                             phiv_dense)
@@ -76,7 +76,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
-    "expm_native", "expm_taylor", "balance_matrix",
+    "expm_native", "expm_taylor", "balance_matrix", "gebal", "expm_gebal",
     "funm", "funm_schur_parlett",
     "phi", "phi_scalar", "phi_taylor", "phi_pade", "phi_pade_with_info",
     "phi_with_info", "phiv_dense",

@@ -395,8 +395,12 @@ def _phi_comb_device(op, B, taus, m: int, iop: int, expm_method: str,
     norm_u = jnp.sum(jnp.abs(B[:, 1:])).astype(rdt)
     pos = norm_u > 0
     ex = jnp.ceil(jnp.log2(jnp.maximum(norm_u, jnp.finfo(rdt).tiny)))
-    nu = jnp.where(pos, jnp.exp2(-ex), 1.0).astype(dt)
-    mu = jnp.where(pos, jnp.exp2(ex), 1.0)
+    # ldexp, not exp2: XLA's exp2 is exp(x·ln2) (not correctly rounded),
+    # and nu/mu must be exact inverses for the normalization to cancel
+    one_r = jnp.ones((), rdt)
+    nu = jnp.where(pos, jnp.ldexp(one_r, -ex.astype(jnp.int32)),
+                   1.0).astype(dt)
+    mu = jnp.where(pos, jnp.ldexp(one_r, ex.astype(jnp.int32)), 1.0)
     aug = AugmentedOperator(op, B[:, 1:][:, ::-1] * nu)
     x0 = _kiops_x0(B[:, 0], jnp.zeros((), rdt), mu, p)
     Ks = build_subspace(aug, x0, m, iop=iop, hermitian=False)

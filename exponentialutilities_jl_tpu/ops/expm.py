@@ -125,36 +125,156 @@ def _pq_solve(U, V):
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps",))
-def balance_matrix(A, *, sweeps: int = 5):
-    """Power-of-two Osborne balancing: returns ``(Ab, d)`` with
-    ``Ab = D⁻¹ A D``, ``D = diag(d)``, d exact powers of two (no rounding
-    error in the similarity). TPU-native replacement for the reference's
-    LAPACK ``?gebal`` ccall (src/exp_baseexp.jl:10-36): a fixed number of
-    vectorized Jacobi-style sweeps instead of the sequential per-column
-    LAPACK loop, so the whole balance is a handful of fused VPU ops.
-    """
+def _balance_window(A, ilo, ihi, *, sweeps: int = 5):
+    """Osborne power-of-two scaling restricted to the diagonal window
+    [ilo, ihi) — rows/cols outside it (gebal-isolated eigenvalues) keep
+    d = 1. ilo/ihi are traced scalars so one compiled program serves
+    every permutation outcome."""
     A = jnp.asarray(A)
     n = A.shape[-1]
     real_dt = jnp.finfo(A.dtype).dtype
     eye = jnp.eye(n, dtype=jnp.bool_)
+    idx = jnp.arange(n)
+    active = (idx >= ilo) & (idx < ihi)
+    win = active[:, None] & active[None, :]
 
     def sweep(carry, _):
         Ab, d = carry
-        absA = jnp.where(eye, 0, jnp.abs(Ab)).astype(real_dt)
-        c = jnp.sum(absA, axis=0)   # column norms (off-diagonal)
+        absA = jnp.where(eye | ~win, 0, jnp.abs(Ab)).astype(real_dt)
+        c = jnp.sum(absA, axis=0)   # column norms (off-diag, in-window)
         r = jnp.sum(absA, axis=1)   # row norms
-        ok = (c > 0) & (r > 0)
+        ok = (c > 0) & (r > 0) & active
         ratio = jnp.where(ok, r / jnp.where(ok, c, 1), 1.0)
         # f = 2^round(log2 sqrt(r/c)); exact powers of two keep the
         # similarity transform error-free (LAPACK's radix trick).
+        # ldexp, not exp2: XLA lowers exp2 as exp(e·ln2), which is NOT
+        # correctly rounded — the resulting d would be off by ~eps and
+        # the similarity no longer exact.
         e = jnp.clip(jnp.round(0.5 * jnp.log2(ratio)), -48, 48)
-        f = jnp.exp2(e).astype(real_dt)
+        f = jnp.ldexp(jnp.ones((), real_dt), e.astype(jnp.int32))
         Ab = Ab * (f[None, :] / f[:, None]).astype(Ab.dtype)
         return (Ab, d * f), None
 
     (Ab, d), _ = lax.scan(sweep, (A, jnp.ones((n,), dtype=real_dt)),
                           None, length=sweeps)
     return Ab, d
+
+
+def balance_matrix(A, *, sweeps: int = 5):
+    """Power-of-two Osborne balancing: returns ``(Ab, d)`` with
+    ``Ab = D⁻¹ A D``, ``D = diag(d)``, d exact powers of two (no rounding
+    error in the similarity). TPU-native replacement for the SCALING
+    phase of the reference's LAPACK ``?gebal`` ccall
+    (src/exp_baseexp.jl:10-36): a fixed number of vectorized
+    Jacobi-style sweeps instead of the sequential per-column LAPACK
+    loop, so the whole balance is a handful of fused VPU ops. For the
+    full gebal (permutation + scaling) see :func:`gebal`.
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    return _balance_window(A, jnp.asarray(0), jnp.asarray(n),
+                           sweeps=sweeps)
+
+
+def _gebal_permutation(pattern):
+    """The PERMUTATION phase of LAPACK ``?gebal`` on a nonzero pattern
+    (host): symmetric row/col swaps isolating eigenvalues, so that
+    ``B = A[p][:, p]`` is block upper triangular with 1×1 diagonal
+    blocks outside the irreducible window [ilo, ihi):
+
+        B = [T₁  X   Y ]
+            [0   C   Z ]      T₁, T₂ upper triangular.
+            [0   0   T₂]
+
+    Returns ``(p, ilo, ihi)``. Mirrors the reference's use of the gebal
+    permutation output and its ``rcswap!`` undo
+    (src/exp_baseexp.jl:10-36, 193-215)."""
+    import numpy as np
+
+    M = np.asarray(pattern, bool).copy()
+    n = M.shape[0]
+    p = list(range(n))
+    ilo, ihi = 0, n
+
+    def swap(k, l):
+        if k == l:
+            return
+        M[[k, l], :] = M[[l, k], :]
+        M[:, [k, l]] = M[:, [l, k]]
+        p[k], p[l] = p[l], p[k]
+
+    # rows with no off-diagonal entry in the active columns → bottom
+    changed = True
+    while changed and ihi > ilo:
+        changed = False
+        for i in range(ihi - 1, ilo - 1, -1):
+            row = M[i, ilo:ihi].copy()
+            row[i - ilo] = False
+            if not row.any():
+                swap(i, ihi - 1)
+                ihi -= 1
+                changed = True
+                break
+    # columns with no off-diagonal entry in the active rows → top
+    changed = True
+    while changed and ihi > ilo:
+        changed = False
+        for j in range(ilo, ihi):
+            col = M[ilo:ihi, j].copy()
+            col[j - ilo] = False
+            if not col.any():
+                swap(j, ilo)
+                ilo += 1
+                changed = True
+                break
+    return np.asarray(p), ilo, ihi
+
+
+def gebal(A, *, sweeps: int = 5):
+    """Full LAPACK ``?gebal`` analogue: permutation + windowed scaling.
+
+    Returns ``(B, d, p)`` with ``B = D⁻¹ (A[p][:, p]) D``,
+    ``D = diag(d)`` power-of-two with ``d = 1`` on the isolated
+    (permutation-deflated) rows/cols. The exact undo for any matrix
+    function is ``f(A) = (D f(B) D⁻¹)[q][:, q]`` with ``q = argsort(p)``
+    — permutation and power-of-two scaling are both error-free
+    similarities (the reference undoes them at
+    src/exp_baseexp.jl:193-215).
+
+    The permutation search runs on the HOST on the boolean nonzero
+    pattern (one n² bool fetch; the swaps are O(n²) index work), so this
+    is a host-level entry like ``funm`` — call it between jits; the
+    gather and the Osborne sweeps run on device.
+    """
+    import numpy as np
+
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    p, ilo, ihi = _gebal_permutation(np.asarray(A) != 0)
+    pj = jnp.asarray(p)
+    Ap = jnp.take(jnp.take(A, pj, axis=0), pj, axis=1)
+    B, d = _balance_window(Ap, jnp.asarray(ilo), jnp.asarray(ihi),
+                           sweeps=sweeps)
+    return B, d, p
+
+
+def expm_gebal(A, *, sweeps: int = 5, **kwargs):
+    """``exp(A)`` = Higham-2005 Padé preconditioned by the FULL gebal
+    (permutation + windowed scaling) — the reference's default CPU path
+    (src/exp_baseexp.jl:162, 193-215). Host-level (the permutation
+    search needs the concrete pattern): call between jits. The isolated
+    triangular borders of near-triangular matrices stop polluting the
+    Osborne scaling, which is the cheap big win gebal's permutation
+    exists for."""
+    import numpy as np
+
+    A = jnp.asarray(A)
+    B, d, p = gebal(A, sweeps=sweeps)
+    E = expm_higham2005(B, balance=False, **kwargs)
+    # exp(A[p][:,p]) = D exp(B) D⁻¹  (B = D⁻¹ A[p][:,p] D)
+    E = (d[:, None].astype(E.dtype) * E) * (1.0 / d)[None, :].astype(E.dtype)
+    q = jnp.asarray(np.argsort(p))
+    return jnp.take(jnp.take(E, q, axis=0), q, axis=1)
 
 
 def _masked_squaring(X, s, max_squarings, differentiable: bool = False):
@@ -393,6 +513,7 @@ _METHODS = {
     "native": expm_native,
     "taylor": expm_taylor,
     "schur": _expm_schur,
+    "gebal": expm_gebal,
 }
 
 
