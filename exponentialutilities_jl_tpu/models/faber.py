@@ -315,10 +315,45 @@ def expv_faber(t, A, b, *, ellipse=None, tol: float = 1e-7,
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
     b = jnp.asarray(b)
+    setup = _faber_expv_setup(op, t, ellipse, tol, m, max_z,
+                              complex_b=bool(np.iscomplexobj(b)))
+    if setup is None:                   # A ≈ cI
+        c0 = _resolve_ellipse(op, ellipse)[0]
+        return (jnp.exp(jnp.asarray(float(t) * c0, b.dtype)) * b)
+    a, c, gamma, rho, q, m_used, log_sup = setup
+    from .leja import _fused_poly_ok
+    if not np.iscomplexobj(a) and _fused_poly_ok(op, b.dtype, fused):
+        out = _apply_fused_faber(op, b, a[:m_used], c, 1.0 / gamma,
+                                 rho, q)
+    else:
+        cdt = (jnp.result_type(b.dtype, jnp.complex64)
+               if np.iscomplexobj(a) or np.iscomplexobj(b)
+               else jnp.result_type(b.dtype))
+        aj = jnp.asarray(a[:m_used], cdt)
+        out = _faber_apply(op, b, aj, c, 1.0 / gamma, rho, m_used, q)
+    # real input + real operator: exp(tA)b is real; drop the series'
+    # roundoff-level imaginary dust only when the math says it is dust
+    if not jnp.iscomplexobj(b) and jnp.iscomplexobj(out):
+        out = jnp.real(out).astype(b.dtype)
+    bnorm = float(jnp.linalg.norm(b))
+    log_bound = q * (np.log(_CROUZEIX) + log_sup) \
+        + np.log(max(bnorm, 1e-300))
+    return _check_finite_faber(out, "expv_faber", log_bound)
+
+
+def _faber_expv_setup(op, t, ellipse, tol, m, max_z, *,
+                      complex_b: bool = False):
+    """Host-side coefficient setup shared by :func:`expv_faber` and the
+    sharded twin (parallel/poly.py). Returns
+    ``(a, c, gamma, rho, q, m_used, log_sup)`` — Faber coefficients
+    (realified when their imaginary part is roundoff dust and b is
+    real), map parameters, substep count, degree, and log of the sup of
+    |exp| on the ellipse boundary (for the Crouzeix guard) — or ``None``
+    when A ≈ cI."""
     c, alpha, beta, gamma, rho = _resolve_ellipse(op, ellipse)
     tf = float(t)
-    if gamma <= 0:                      # A ≈ cI
-        return (jnp.exp(jnp.asarray(tf * c, b.dtype)) * b)
+    if gamma <= 0:
+        return None
 
     q = max(1, int(np.ceil(abs(tf) * gamma / max_z)))
     tau = tf / q
@@ -335,28 +370,11 @@ def expv_faber(t, A, b, *, ellipse=None, tol: float = 1e-7,
     a, sup = faber_coeffs(vals, rho, m_probe)
     m_used = _truncate_dd(np.abs(a) * sup, tol, m_probe, m,
                           f"expv_faber (z = {z:.1f} per substep)")
-    if np.iscomplexobj(b) or abs(np.imag(a[:m_used])).max() > \
+    if not complex_b and abs(np.imag(a[:m_used])).max() <= \
             1e-12 * max(np.abs(a[:m_used]).max(), 1e-300):
-        cdt = jnp.result_type(b.dtype, jnp.complex64)
-    else:
         a = np.real(a)
-        cdt = jnp.result_type(b.dtype)
-    from .leja import _fused_poly_ok
-    if not np.iscomplexobj(a) and _fused_poly_ok(op, b.dtype, fused):
-        out = _apply_fused_faber(op, b, a[:m_used], c, 1.0 / gamma,
-                                 rho, q)
-    else:
-        aj = jnp.asarray(a[:m_used], cdt)
-        out = _faber_apply(op, b, aj, c, 1.0 / gamma, rho, m_used, q)
-    # real input + real operator: exp(tA)b is real; drop the series'
-    # roundoff-level imaginary dust only when the math says it is dust
-    if not jnp.iscomplexobj(b) and jnp.iscomplexobj(out):
-        out = jnp.real(out).astype(b.dtype)
-    bnorm = float(jnp.linalg.norm(b))
-    log_bound = (q * (np.log(_CROUZEIX)
-                      + np.log(max(float(np.abs(vals).max()), 1e-300)))
-                 + np.log(max(bnorm, 1e-300)))
-    return _check_finite_faber(out, "expv_faber", log_bound)
+    log_sup = np.log(max(float(np.abs(vals).max()), 1e-300))
+    return a, c, gamma, rho, q, m_used, log_sup
 
 
 _CROUZEIX = 1.0 + np.sqrt(2.0)     # ‖f(A)‖ ≤ (1+√2)·sup_{W(A)}|f|

@@ -262,6 +262,33 @@ def _apply_fused_newton(op, b, D, xi, c, inv_s, q: int,
     return jnp.stack(cols, axis=-1)
 
 
+def _leja_expv_setup(op, t, interval, tol, m, max_z):
+    """Host-side coefficient setup shared by :func:`expv_leja` and the
+    sharded twin (parallel/poly.py). Returns ``(d, xi, c, s, q)`` with
+    ``d`` the truncated divided differences; ``d is None`` signals
+    A ≈ cI (caller shortcut: exp(tc)·b)."""
+    if interval is None:
+        interval = real_interval(op)
+    a_lo, b_hi = float(interval[0]), float(interval[1])
+    tf = float(t)
+    c = 0.5 * (b_hi + a_lo)
+    s = 0.25 * (b_hi - a_lo)           # capacity of [a, b]
+    if s <= 0:
+        return None, None, c, s, 0
+    q = max(1, int(np.ceil(abs(tf) * s / max_z)))
+    tau = tf / q
+    z = abs(tau) * s
+    # Degree from the divided-difference tail: compute a generous table
+    # and truncate where the trailing |d_k| stay below tol·max|d|.
+    m_probe = _probe_degree(z, tol)
+    xi, sup = _leja_points_sup(m_probe)
+    d = _divided_differences(tau, c, s, xi)
+    # uniform-remainder magnitudes: |d_k| · sup|Π_{i<k}(x − ξ_i)|
+    m_used = _truncate_dd(np.abs(d) * sup, tol, m_probe, m,
+                          f"expv_leja (z = {z:.1f} per substep)")
+    return d[:m_used], xi[:m_used], c, s, q
+
+
 def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
               m: int | None = None, max_z: float = 40.0,
               fused: bool | None = None):
@@ -280,27 +307,10 @@ def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
     b = jnp.asarray(b)
-    if interval is None:
-        interval = real_interval(op)
-    a_lo, b_hi = float(interval[0]), float(interval[1])
-    tf = float(t)
-    c = 0.5 * (b_hi + a_lo)
-    s = 0.25 * (b_hi - a_lo)           # capacity of [a, b]
-    if s <= 0:                          # A ≈ cI (real-shift only)
-        return (jnp.exp(jnp.asarray(tf * c, b.dtype)) * b)
-
-    q = max(1, int(np.ceil(abs(tf) * s / max_z)))
-    tau = tf / q
-    z = abs(tau) * s
-
-    # Degree from the divided-difference tail: compute a generous table
-    # and truncate where the trailing |d_k| stay below tol·max|d|.
-    m_probe = _probe_degree(z, tol)
-    xi, sup = _leja_points_sup(m_probe)
-    d = _divided_differences(tau, c, s, xi)
-    # uniform-remainder magnitudes: |d_k| · sup|Π_{i<k}(x − ξ_i)|
-    m_used = _truncate_dd(np.abs(d) * sup, tol, m_probe, m,
-                          f"expv_leja (z = {z:.1f} per substep)")
+    d, xi, c, s, q = _leja_expv_setup(op, t, interval, tol, m, max_z)
+    if d is None:                       # A ≈ cI (real-shift only)
+        return (jnp.exp(jnp.asarray(float(t) * c, b.dtype)) * b)
+    m_used = len(d)
     if _fused_poly_ok(op, b.dtype, fused):
         return _apply_fused_newton(op, b, d[:m_used], xi[:m_used],
                                    c, 1.0 / s, q)

@@ -383,3 +383,96 @@ class TestGspmdChebyshev:
                                 bounds=(-4.0, 0.0))
             np.testing.assert_allclose(np.asarray(wb[i]), np.asarray(w1),
                                        rtol=1e-10, atol=1e-12)
+
+
+class TestShardedPoly:
+    """Sharded NON-HERMITIAN polynomial actions (parallel/poly.py —
+    VERDICT r3 #2): Leja and Faber under shard_map with halo-only
+    communication, plus the GSPMD route for the adaptive phi drivers."""
+
+    def _op(self):
+        from exponentialutilities_jl_tpu import advection_diffusion_3d_stencil
+        return advection_diffusion_3d_stencil(16, 8, 8, peclet=4.0)
+
+    def _dense(self, op, n):
+        A = np.zeros((n, n))
+        for i in range(n):
+            e = np.zeros(n)
+            e[i] = 1
+            A[:, i] = np.asarray(op.matvec(jnp.asarray(e)))
+        return A
+
+    def test_leja_sharded_vs_single_and_oracle(self, mesh, rng):
+        from exponentialutilities_jl_tpu import expv_leja
+        from exponentialutilities_jl_tpu.parallel import expv_leja_sharded
+        op = self._op()
+        n = 16 * 8 * 8
+        b = jnp.asarray(rng.standard_normal(n))
+        t = 0.004
+        ws = expv_leja_sharded(t, op, b, mesh)
+        w1 = expv_leja(t, op, b)
+        # same coefficients, same recurrence: f64-roundoff-identical
+        assert float(jnp.linalg.norm(jnp.asarray(ws) - w1)
+                     / jnp.linalg.norm(w1)) < 1e-13
+        want = sla.expm(t * self._dense(op, n)) @ np.asarray(b)
+        assert (np.linalg.norm(np.asarray(ws) - want)
+                / np.linalg.norm(want)) < 1e-6
+
+    def test_faber_sharded_vs_single_and_oracle(self, mesh, rng):
+        from exponentialutilities_jl_tpu import expv_faber
+        from exponentialutilities_jl_tpu.parallel import expv_faber_sharded
+        op = self._op()
+        n = 16 * 8 * 8
+        b = jnp.asarray(rng.standard_normal(n))
+        t = 0.004
+        wf = expv_faber_sharded(t, op, b, mesh)
+        w1 = expv_faber(t, op, b)
+        assert float(jnp.linalg.norm(jnp.asarray(wf) - w1)
+                     / jnp.linalg.norm(w1)) < 1e-13
+        want = sla.expm(t * self._dense(op, n)) @ np.asarray(b)
+        assert (np.linalg.norm(np.asarray(wf) - want)
+                / np.linalg.norm(want)) < 1e-6
+
+    def test_leja_sharded_zero_allreduce(self, mesh, rng):
+        # the selling point: the compiled per-iteration body has NO
+        # all-reduce at all — communication is the halo permute alone
+        import re
+        import functools
+        from jax.sharding import PartitionSpec as P
+        from exponentialutilities_jl_tpu.models.leja import _leja_apply
+        from exponentialutilities_jl_tpu.parallel.krylov import _shard_op
+        op = self._op()
+        n = 16 * 8 * 8
+        params, make_local, pspec = _shard_op(op, mesh, "shard")
+        d = jnp.asarray(rng.standard_normal(12))
+        xi = jnp.asarray(rng.standard_normal(12))
+
+        @jax.jit
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(pspec, P("shard")),
+                           out_specs=P("shard"))
+        def run(c, b_local):
+            return _leja_apply(make_local(c), b_local, d, xi, 0.0, 1.0,
+                               12, 1)
+
+        b = shard_vector(jnp.ones(n), mesh)
+        hlo = run.lower(params, b).compile().as_text()
+        assert "all-reduce" not in hlo
+        assert "collective-permute" in hlo      # the halo exchange
+
+    def test_gspmd_phiv_timestep_leja_faber(self, mesh, rng):
+        # the adaptive phi drivers inherit multi-chip execution through
+        # sharding annotations alone: shard B, call the ordinary driver
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from exponentialutilities_jl_tpu import (phiv_timestep_faber,
+                                                 phiv_timestep_leja)
+        op = self._op()
+        n = 16 * 8 * 8
+        b = jnp.asarray(rng.standard_normal(n))
+        B = jnp.stack([b, 0.1 * b], axis=1)
+        Bs = jax.device_put(B, NamedSharding(mesh, P("shard", None)))
+        for drv in (phiv_timestep_leja, phiv_timestep_faber):
+            U1 = drv([0.003], op, B)
+            U2 = drv([0.003], op, Bs)
+            assert float(jnp.linalg.norm(jnp.asarray(U2) - jnp.asarray(U1))
+                         / jnp.linalg.norm(jnp.asarray(U1))) < 1e-13
