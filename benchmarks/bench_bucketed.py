@@ -21,19 +21,26 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 from exponentialutilities_jl_tpu.ops.kernels.sell import (
-    sell_pack, sell_spmv, sell_pack_bucketed, sell_spmv_bucketed)
+    sell_pack, sell_spmv, sell_pack_bucketed, sell_spmv_bucketed,
+    sell_pack_seg, sell_spmv_seg)
 
 BAND = int(os.environ.get('SELL_BAND', '700'))
 
 
-def gen_clustered(n, band, rng):
+def gen_clustered(n, band, rng, shuffle_deg=False):
     """85% of rows degree 6 (k=1), 10% degree 20 (k=3), 5% degree 40
     (k=5) in contiguous regions — maxdeg 40 pushes the single uniform-k
     repack past its 2x padding bail-out, so plain sell_pack lands on the
-    dynamic schedule."""
+    dynamic schedule. ``shuffle_deg=True`` scatters the degree
+    ASSIGNMENT across rows (columns stay banded): the r3 bucketed-pack
+    failure case — every 128-row group contains a degree-40 row, the
+    class split degenerates, and only the lane-compacted seg pack keeps
+    the static uniform-k rate (VERDICT r3 #3)."""
     deg = np.full(n, 6, np.int64)
     deg[int(0.85 * n):int(0.95 * n)] = 20
     deg[int(0.95 * n):] = 40
+    if shuffle_deg:
+        deg = deg[rng.permutation(n)]
     rows = np.repeat(np.arange(n, dtype=np.int64), deg)
     cols = np.clip(rows + rng.integers(-band // 2, band // 2, len(rows)),
                    0, n - 1)
@@ -110,6 +117,36 @@ def main():
           f"tiles={du.vals.shape[0]}", flush=True)
     t = chain_time(sell_spmv, du, x)
     report("uniform-padded", t, nnz, n)
+
+    t0 = time.time()
+    sg = sell_pack_seg((rows, cols, vals), n)
+    print(f"seg pack (clustered) {time.time()-t0:.1f}s steps="
+          f"{sg.base.seg} tiles={sg.base.vals.shape[0]}", flush=True)
+    t = chain_time(sell_spmv_seg, sg, x)
+    report("seg (clustered)", t, nnz, n)
+
+    # ---- SCATTERED degree assignment (VERDICT r3 #3): bucketing
+    # degenerates (every group holds a degree-40 row); the seg pack is
+    # degree-layout-blind.
+    del rows, cols, vals, sg, dd, du, bk
+    rows, cols, vals = gen_clustered(n, BAND, rng, shuffle_deg=True)
+    nnz = len(vals)
+
+    t0 = time.time()
+    sg = sell_pack_seg((rows, cols, vals), n)
+    print(f"seg pack (scattered) {time.time()-t0:.1f}s steps="
+          f"{sg.base.seg} tiles={sg.base.vals.shape[0]}", flush=True)
+    t = chain_time(sell_spmv_seg, sg, x)
+    report("seg (scattered)", t, nnz, n)
+    del sg
+
+    t0 = time.time()
+    bk = sell_pack_bucketed((rows, cols, vals), n)
+    print(f"bucketed pack (scattered) {time.time()-t0:.1f}s classes="
+          f"{[(b.uk, b.group_ptr.shape[0]-1) for b in bk.buckets]}",
+          flush=True)
+    t = chain_time(sell_spmv_bucketed, bk, x)
+    report("bucketed (scattered)", t, nnz, n)
 
 
 if __name__ == "__main__":

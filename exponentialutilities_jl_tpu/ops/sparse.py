@@ -411,9 +411,14 @@ class SellOperator(LinearOperator):
         return self.data.nnz
 
     def matvec(self, x):
-        from .kernels.sell import (SellBucketed, sell_spmv, sell_spmv_ref,
-                                   sell_spmv_bucketed,
-                                   sell_spmv_bucketed_ref)
+        from .kernels.sell import (SellBucketed, SellSeg, sell_spmv,
+                                   sell_spmv_ref, sell_spmv_bucketed,
+                                   sell_spmv_bucketed_ref, sell_spmv_seg,
+                                   sell_spmv_seg_ref)
+        if isinstance(self.data, SellSeg):
+            if jax.default_backend() == "tpu":
+                return sell_spmv_seg(self.data, x)
+            return sell_spmv_seg_ref(self.data, x)
         if isinstance(self.data, SellBucketed):
             if jax.default_backend() == "tpu":
                 return sell_spmv_bucketed(self.data, x)
@@ -434,7 +439,21 @@ class SellOperator(LinearOperator):
         return jnp.max(rowsum)
 
     def opnorm_hint(self):
-        from .kernels.sell import SellBucketed
+        from .kernels.sell import _LANES, _W, SellBucketed, SellSeg
+        if isinstance(self.data, SellSeg):
+            # lanes are row segments: per-lane |v| sums, then the same
+            # segmented suffix-sum + head gather as the matvec
+            base = self.data.base
+            a = jnp.sum(jnp.abs(base.vals), axis=1)       # (T, 128)
+            segid = base.lidx[:, 0, :] >> 10
+            lane = jnp.arange(_LANES)[None, :]
+            for st in range(base.seg):
+                sh = 1 << st
+                ok = ((lane + sh < _LANES)
+                      & (segid == jnp.roll(segid, -sh, 1)))
+                a = a + jnp.where(ok, jnp.roll(a, -sh, 1), 0)
+            flat = a.reshape(-1)
+            return jnp.max(flat[self.data.h1] + flat[self.data.h2])
         if isinstance(self.data, SellBucketed):
             # every row lives in exactly one bucket
             return functools_reduce(
@@ -461,7 +480,10 @@ class SellOperator(LinearOperator):
             inv = np.empty_like(perm)
             inv[perm] = np.arange(n)
             rows, cols = inv[rows], inv[cols]
-        if mode == "bucketed":
+        if mode == "seg":
+            from .kernels.sell import sell_pack_seg
+            data = sell_pack_seg((rows, cols, vals), n, dtype=dtype)
+        elif mode == "bucketed":
             from .kernels.sell import sell_pack_bucketed
             data = sell_pack_bucketed((rows, cols, vals), n, dtype=dtype,
                                       window=window)

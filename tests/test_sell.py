@@ -604,3 +604,107 @@ class TestBucketed:
         with pytest.raises(ValueError, match="subroll"):
             sell_pack_bucketed((rows, cols, vals.astype(np.float32)), n,
                                window=4096)
+
+
+class TestSegmented:
+    """Lane-compacted ("segmented") SELL (VERDICT r3 #3): rows become
+    ceil(deg/8)-lane segments, every group is uniform k=1 for ANY degree
+    mix — the scattered-degree fix degree-SORTING cannot deliver (128
+    same-class rows of a sparse class span far beyond the 1024-column
+    gather window)."""
+
+    @staticmethod
+    def _scattered_mixed(rng, n, band=700):
+        # the bench shape with SHUFFLED (non-clustered) degrees 6/20/40
+        deg = np.full(n, 6, np.int64)
+        hi = rng.permutation(n)
+        deg[hi[:n // 10]] = 20
+        deg[hi[n // 10:int(0.15 * n)]] = 40
+        deg[hi[int(0.15 * n):int(0.15 * n) + 3]] = 0     # empty rows too
+        rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+        cols = np.clip(rows + rng.integers(-band // 2, band // 2,
+                                           len(rows)), 0, n - 1)
+        vals = rng.standard_normal(len(rows)).astype(np.float32) / 8
+        return rows, cols, vals
+
+    def test_matches_scipy_kernel_and_ref(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            sell_pack_seg, sell_spmv_seg, sell_spmv_seg_ref)
+        for n, band in ((3000, 700), (513, 64)):
+            r, c, v = self._scattered_mixed(rng, n, band)
+            A = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+            pk = sell_pack_seg((r, c, v), n)
+            assert pk.base.uk == 1 and pk.base.seg >= 3
+            x = rng.standard_normal(n).astype(np.float32)
+            want = A @ x
+            for y in (sell_spmv_seg_ref(pk, jnp.asarray(x)),
+                      sell_spmv_seg(pk, jnp.asarray(x), interpret=True)):
+                err = (np.max(np.abs(np.asarray(y) - want))
+                       / np.max(np.abs(want)))
+                assert err < 5e-6
+
+    def test_long_segments_straddle_groups(self, rng):
+        # rows of up to ~50 lanes, many straddling a 128-lane boundary:
+        # the two-head gather (h1 + h2) must reassemble exactly
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            sell_pack_seg, sell_spmv_seg)
+        n = 2000
+        deg = np.full(n, 4, np.int64)
+        deg[::97] = 900                  # dedup brings it to ~380
+        rows = np.repeat(np.arange(n), deg)
+        cols = np.clip(rows + rng.integers(-200, 200, len(rows)),
+                       0, n - 1)
+        vals = rng.standard_normal(len(rows)).astype(np.float32) / 30
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        co = A.tocoo()
+        pk = sell_pack_seg((co.row, co.col, co.data), n)
+        assert pk.base.seg >= 6          # genuinely long segments
+        x = rng.standard_normal(n).astype(np.float32)
+        want = A @ x
+        y = np.asarray(sell_spmv_seg(pk, jnp.asarray(x), interpret=True))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 5e-6
+
+    def test_span_violation_raises(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            sell_pack_seg)
+        n = 4000
+        rows = np.arange(n, dtype=np.int64)
+        cols = (rows + 1500) % n          # span 1500 > 1024 window
+        vals = np.ones(n, np.float32)
+        with pytest.raises(ValueError, match="span"):
+            sell_pack_seg((rows, cols, vals), n)
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        from exponentialutilities_jl_tpu.ops.kernels.sell import (
+            SellSeg, sell_pack_seg, sell_spmv_seg_ref)
+        r, c, v = self._scattered_mixed(rng, 1500, 300)
+        pk = sell_pack_seg((r, c, v), 1500)
+        path = str(tmp_path / "seg.npz")
+        pk.save(path)
+        pk2 = SellSeg.load(path)
+        x = jnp.asarray(rng.standard_normal(1500).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(sell_spmv_seg_ref(pk, x)),
+            np.asarray(sell_spmv_seg_ref(pk2, x)))
+
+    def test_operator_mode_seg_in_expv(self, rng):
+        import exponentialutilities_jl_tpu as eu
+        import scipy.linalg as sla
+        n = 400
+        r, c, v = self._scattered_mixed(rng, n, 64)
+        # symmetrize for a clean expv test
+        A = sp.coo_matrix((v, (r, c)), shape=(n, n))
+        A = ((A + A.T) / 2).tocoo()
+        A.data = A.data.astype(np.float64) / 4
+        op = eu.SellOperator.from_coo(A.row, A.col, A.data, n,
+                                      mode="seg", dtype=np.float64,
+                                      is_hermitian=True)
+        b = rng.standard_normal(n)
+        w = np.asarray(eu.expv(0.7, op, b, m=60))
+        want = sla.expm(0.7 * A.toarray()) @ b
+        assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-9
+        # opnorm hint is a true inf-norm bound
+        hint = float(op.opnorm_hint())
+        true_inf = np.max(np.abs(A.toarray()).sum(axis=1))
+        assert hint >= true_inf - 1e-10
+        assert hint < 2 * true_inf + 1e-10
