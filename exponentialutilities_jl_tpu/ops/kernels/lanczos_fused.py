@@ -208,7 +208,19 @@ def ghost_grid_for(op):
             return GhostGrid(*gs)
         tgt = 700 if len(op.offsets) > 7 else 1100
         S = -(-((gs[1] + 2) * (-(-(gs[2] + 1) // _LANES))) // 8) * 8
-        return GhostGrid(*gs, zb=max(1, tgt // S))
+        zb = max(1, tgt // S)
+        if any(abs(off[0]) == 2 for off in op.offsets):
+            # second-neighbour z offsets need >= 2 layers per slab (the
+            # 3-plane ring's reach); beyond ~1450 rows/plane the scoped
+            # VMEM would overflow — let the caller fall back to scan
+            if 2 * S > 1456:
+                raise ValueError(
+                    "|dz| = 2 offsets need 2 layers per slab but the "
+                    f"xy plane is too large ({S} rows/layer) for the "
+                    "16 MB scoped-VMEM budget — falling back to the "
+                    "XLA scan path")
+            zb = max(2, zb)
+        return GhostGrid(*gs, zb=zb)
     if len(gs) == 2:
         P = -(-(gs[1] + 1) // _LANES)
         if isinstance(op, VariableStencilOperator):
@@ -220,20 +232,22 @@ def ghost_grid_for(op):
 
 
 def _lane_shift_full(buf, s: int):
-    """±1 element shift of the flat (rows, 128) plane; row wraps land in
-    the guaranteed x-pad/ghost zero lanes, so the result is exact
-    Dirichlet. Built from native lane rotates + a sublane-aligned row
-    shift + one lane-mask select (Mosaic rejects lane-offset concats)."""
+    """±1/±2 element shift of the flat (rows, 128) plane; row wraps land
+    in the guaranteed x-pad/ghost zero lanes, so the result is exact
+    Dirichlet (|s| = 2 requires ≥ 2 pad lanes — checked at dispatch).
+    Built from native lane rotates + a sublane-aligned row shift + one
+    lane-mask select (Mosaic rejects lane-offset concats)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    if s == 1:
-        # S[r, l] = buf[r, l+1] (l < 127); S[r, 127] = buf[r+1, 0]
-        same = pltpu.roll(buf, _LANES - 1, 1)       # [r, l] <- buf[r, l+1]
-        nxt = pltpu.roll(_row_shift_full(buf, 1), _LANES - 1, 1)
-        return jnp.where(lane < _LANES - 1, same, nxt)
-    # S[r, l] = buf[r, l-1] (l > 0); S[r, 0] = buf[r-1, 127]
-    same = pltpu.roll(buf, 1, 1)                    # [r, l] <- buf[r, l-1]
-    prv = pltpu.roll(_row_shift_full(buf, -1), 1, 1)
-    return jnp.where(lane > 0, same, prv)
+    a = abs(s)
+    if s > 0:
+        # S[r, l] = buf[r, l+a] (l < 128−a); else buf[r+1, l+a−128]
+        same = pltpu.roll(buf, _LANES - a, 1)       # [r, l] <- buf[r, l+a]
+        nxt = pltpu.roll(_row_shift_full(buf, 1), _LANES - a, 1)
+        return jnp.where(lane < _LANES - a, same, nxt)
+    # S[r, l] = buf[r, l−a] (l ≥ a); else buf[r−1, l−a+128]
+    same = pltpu.roll(buf, a, 1)                    # [r, l] <- buf[r, l-a]
+    prv = pltpu.roll(_row_shift_full(buf, -1), a, 1)
+    return jnp.where(lane >= a, same, prv)
 
 
 def _row_shift_full(buf, off: int):
@@ -409,14 +423,20 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
                 zn = (zn + cbuf[cpar, 5] * zp + cbuf[cpar, 6] * zm) \
                     * mask_ref[:, :]
         else:
-            # static (ds, rs, dx, c) couplings — any nearest-neighbour
-            # box stencil (7/27-point 3-D, 5/9-point 2-D; asymmetric
-            # allowed): one shift-multiply-add per nonzero coupling
-            # inside the slab (row-shift results shared per (plane,
-            # shift)); slab-axis ds = ±1 couplings additionally read the
-            # masked boundary layer of the neighbour plane. L == 1
-            # degenerates exactly to whole-plane neighbour coupling
+            # static (ds, rs, dx, c) couplings — any box stencil with
+            # per-axis offsets in {-2..2} (13-point 4th-order FD,
+            # 9/27-point compact HOC; asymmetric allowed): one
+            # shift-multiply-add per nonzero coupling inside the slab
+            # (row-shift results shared per (plane, shift)); slab-axis
+            # couplings additionally read the masked boundary layer(s)
+            # of the neighbour plane — |ds| = 2 reads TWO edge layers
+            # and requires L ≥ 2 (checked at dispatch) so sources stay
+            # within the 3-plane ring. L == 1 degenerates exactly to
+            # whole-plane neighbour coupling for |ds| ≤ 1
             # (mlast = mfirst = the full layer, shift = rs).
+            m2last = (rowi2 >= B0 + max(L - 2, 0) * S) \
+                & (rowi2 < B0 + L * S)
+            m2first = (rowi2 >= B0) & (rowi2 < B0 + min(2, L) * S)
             cache = {}
 
             def sh(tag, base, rshift, dx):
@@ -431,7 +451,7 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
             for ds, rs, dx, cv in cpairs:
                 if cv == 0.0:
                     continue
-                if L > 1 or ds == 0:
+                if L > abs(ds) or ds == 0:
                     zn = zn + cv * sh("c", yc, rs + ds * S, dx)
                 if ds == 1:
                     zn = zn + cv * jnp.where(
@@ -439,6 +459,14 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
                 elif ds == -1:
                     zn = zn + cv * jnp.where(
                         mfirst, sh("m", zm, rs + (L - 1) * S, dx), 0.0)
+                elif ds == 2:
+                    # layers L−2, L−1 read zp layers 0, 1 (shift
+                    # (2−L)·S), exactly the whole slab when L == 2
+                    zn = zn + cv * jnp.where(
+                        m2last, sh("p", zp, rs + (2 - L) * S, dx), 0.0)
+                elif ds == -2:
+                    zn = zn + cv * jnp.where(
+                        m2first, sh("m", zm, rs + (L - 2) * S, dx), 0.0)
             zn = zn * mask_ref[:, :]
         if NL % L:
             zn = jnp.where(
@@ -545,6 +573,20 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
         else:
             cpairs = tuple((dz, dy * grid_desc.P, dx, c)
                            for (dz, dy, dx), c in pairs3)
+        if any(abs(ds) == 2 for ds, _, _, c in cpairs if c != 0.0) \
+                and grid_desc.L < 2:
+            raise ValueError(
+                "second-neighbour slab-axis offsets need >= 2 layers "
+                "per slab so sources stay within the 3-plane ring — "
+                "build the GhostGrid with zb >= 2 (ghost_grid_for does "
+                "this automatically when the plane budget allows)")
+        if any(abs(dx) == 2 for _, _, dx, c in cpairs if c != 0.0) \
+                and grid_desc.nxp - grid_desc.nx < 2:
+            raise ValueError(
+                "|dx| = 2 lane shifts need >= 2 zero pad lanes per grid "
+                f"row (nx = {grid_desc.nx} leaves "
+                f"{grid_desc.nxp - grid_desc.nx}) — pad nx or fall back "
+                "to the XLA scan path")
     nsteps = nz + 1
     ns8 = -(-nsteps // 8) * 8
     dt = Zg.dtype
@@ -626,14 +668,17 @@ _FIVE_POINT = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
 
 def _stencil_coeffs_static(op, hermitian: bool = True) -> tuple:
     """Static ((dz, dy, dx), coeff) pairs from a constant-coefficient
-    StencilOperator whose offsets lie in the 27-point box {-1,0,1}³
-    (3-D) / the 9-point box {-1,0,1}² (2-D, lifted to dz = 0) — compact
-    high-order discretizations (9/27-point HOC) ride the same sweep as
-    the 7/5-point Laplacians, one shift-multiply-add per nonzero
-    coupling. ``hermitian=True`` (the Lanczos-path consumers)
-    additionally requires a symmetric stencil; the polynomial
-    recurrences (Chebyshev/Newton/Faber applies) pass ``False`` and run
-    asymmetric stencils (advection–diffusion) through the same sweep."""
+    StencilOperator whose offsets lie in the {-2..2}³ box (3-D) / the
+    {-2..2}² box (2-D, lifted to dz = 0) — nearest-neighbour Laplacians,
+    compact high-order 9/27-point HOC, AND wide 4th-order FD stencils
+    (13-point) all ride the same sweep, one shift-multiply-add per
+    nonzero coupling. Second-neighbour slab-axis offsets read TWO masked
+    boundary layers of the ring neighbours and need L ≥ 2 layers per
+    slab (``ghost_grid_for`` arranges it; ``fused_lanczos_step`` checks).
+    ``hermitian=True`` (the Lanczos-path consumers) additionally
+    requires a symmetric stencil; the polynomial recurrences
+    (Chebyshev/Newton/Faber applies) pass ``False`` and run asymmetric
+    stencils (advection–diffusion) through the same sweep."""
     from ..stencil import StencilOperator
 
     if not isinstance(op, StencilOperator) \
@@ -642,10 +687,11 @@ def _stencil_coeffs_static(op, hermitian: bool = True) -> tuple:
                          "StencilOperator")
     cmap = {off: float(c) for off, c in
             zip(op.offsets, np.asarray(op.coeffs))}
-    if any(any(abs(o) > 1 for o in off) for off in cmap):
+    if any(any(abs(o) > 2 for o in off) for off in cmap):
         raise ValueError(
-            "fused sweep supports nearest-neighbour box stencils only "
-            "(offsets within the 27-point / 9-point {-1,0,1} box)")
+            "fused sweep supports box stencils with per-axis offsets "
+            "in {-2..2} (up to second neighbours); wider offsets fall "
+            "back to the XLA scan path")
     if hermitian and any(
             cmap.get(off, 0.0) != cmap.get(tuple(-o for o in off), 0.0)
             for off in cmap):

@@ -339,6 +339,7 @@ def _subroll_transform(lidx_all, group_ptr, g_of, indices, wsb_group,
 
 
 _UK_MAX = 8          # uniform-k static unroll cap (8 gather seqs/group)
+_SEG_DIRECT_MAX = 8  # seg pack: max segment length for DIRECT-sum compaction
 _UK_PAD = 2.0        # auto repack only if k·G <= _UK_PAD · T (pad traffic)
 
 
@@ -722,28 +723,28 @@ def _sell_kernel(group_ptr_ref, win_row_ref, pptr_ref, vals_hbm, lidx_hbm,
                 gathered = _gather_tile(sub, li, wr, "subroll", sid)
                 term = vbuf[par, jloc] * gathered
                 acc = term if acc is None else acc + term
-            rowsum = jnp.sum(acc, axis=0, keepdims=True)    # (1, 128)
             if seg:
                 # Lane-compacted pack: lanes are ROW SEGMENTS (a row of
-                # degree d occupies ceil(d/8) adjacent lanes; the seg id
-                # rides lidx bits 10+ — harmless to the gather, whose
-                # q/jd extraction masks to 3 bits). Segmented SUFFIX sum
-                # by doubling: after step 2^k, lane l holds
+                # degree d occupies ceil(d/8) adjacent lanes). Segmented
+                # SUFFIX sum by doubling: after step 2^k, lane l holds
                 # Σ x[l .. min(l + 2^k − 1, segment end)] — the HEAD
-                # lane of each segment ends with the full row sum, and
-                # the host-precomputed head gather (SellSeg.h1/h2) picks
-                # it up. seg = ceil(log2(max segment length)) static
-                # steps; the in-group ids are strictly increasing so one
-                # equality compare is an exact same-segment test.
-                segid = li0[0:1, :] >> 10
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+                # lane of each segment ends with the full row sum, which
+                # the compaction kernel (_seg_compact_call) picks up.
+                # The same-segment decision for step k is PRECOMPUTED at
+                # pack time as bit 17+k of lidx (all sublanes of a lane
+                # agree; bits 0..9 are the gather index, 10..16 the seg
+                # id for the XLA reference path — both harmless to the
+                # gather, whose q/jd extraction masks to 3 bits), so the
+                # hot loop is one lane-roll + one bit-test + one masked
+                # add per step on the native (8, 128) layout — the
+                # segid-roll/compare variant measured +4.1 ms and a
+                # (1, 128) variant relayouts (14.4 vs ~5 ms) at 10M.
                 for st in range(seg):
                     sh = 1 << st
-                    seg_s = pltpu.roll(segid, _LANES - sh, 1)
-                    row_s = pltpu.roll(rowsum, _LANES - sh, 1)
-                    ok = (lane + sh < _LANES) & (segid == seg_s)
-                    rowsum = rowsum + jnp.where(ok, row_s, 0)
-            out_ref[g, :] = rowsum[0]
+                    acc_s = pltpu.roll(acc, _LANES - sh, 1)
+                    ok = (li0 & (1 << (17 + st))) > 0
+                    acc = acc + jnp.where(ok, acc_s, 0)
+            out_ref[g, :] = jnp.sum(acc, axis=0)
         return
 
     tbase = group_ptr_ref[b * _GPB]
@@ -1119,13 +1120,26 @@ def sell_spmv_bucketed_ref(data: SellBucketed, x):
 # Groups are plain 128-lane slices of the lane sequence (rows may
 # straddle a group boundary), each with its own aligned x-subwindow
 # (span = ~91 rows of the band — tighter than the row-per-lane pack).
-# The kernel finishes each tile with a segmented lane SUFFIX-SUM
-# (log2(max segment) doubling steps on the (1, 128) row sums; seg ids
-# ride lidx bits 10+) so segment-head lanes hold the row totals, and the
-# host-precomputed head gather reassembles y with ONE fused
-# out[h1] + out[h2] (h2 = the straddle continuation head, or a
-# guaranteed-zero pad lane) — the element-granular generalization of
-# SellBucketed's group regather.
+# The per-row totals are reassembled by a SECOND small Pallas pass
+# (_seg_compact_kernel) over the lane-sum array — an XLA element gather
+# here measured 150 ms at 10M rows (the TPU has no scalar-gather path),
+# and in-main-kernel segmented suffix-sums cost a lane-axis roll per
+# doubling step per tile (+2 ms/step at 78k tiles). The compaction runs
+# on ~8·avg_seg× fewer tiles, so it absorbs the segment logic almost
+# for free: per 1024 output rows, eight per-sublane (D, 128) window
+# DMAs + one packed index tile; DIRECT mode (segments ≤ 8 lanes, i.e.
+# degree ≤ 64) sums each row's consecutive lane sums right there
+# (rows may straddle any boundary — lanes are globally contiguous);
+# longer segments fall back to in-kernel doubling + two-head pickup.
+#
+# Measured (v5e, 10M rows, band 700, degrees 6/20/40 SHUFFLED):
+#   dynamic subroll 12.8 ms (63 GB/s) | bucketed 10.4 (78) |
+#   seg 8.08 ms (100 GB/s effective-CSR, 11.3 Gnnz/s) — and the same
+#   8.2 ms for the clustered layout (degree-layout-blind).
+# Container guidance: CLUSTERED degree mixes → SellBucketed (4.9 ms:
+# zero slot padding per class beats seg's 1.4× lane inflation);
+# uniform maxdeg ≤ 8 → plain uniform pack (3.9 ms); SCATTERED mixes /
+# anything the bucketed split degenerates on → this pack.
 # ---------------------------------------------------------------------------
 
 
@@ -1134,16 +1148,28 @@ class SellSeg:
 
     base:  SellData (mode="subroll", uk=1, seg=doubling steps) whose
            lanes are row segments.
-    h1/h2: (n,) int32 flat output positions of each row's head lane and
-           its straddle-continuation head (h2 points at a guaranteed
-           zero pad lane when the row does not straddle), so
-           y = out[h1] + out[h2] with no mask.
+    h1/h2: (n,) int32 flat lane-sum positions of each row's head lane
+           and its straddle-continuation head (h2 = h1's group-boundary
+           continuation, or h1 itself when unused — the flag lives in
+           ``cidx``); used by the pure-XLA reference path.
+    cws:   (nblk,) int32 compaction window starts (128-element rows of
+           the lane-sum array) per 1024-output block.
+    cidx:  (nblk, 8, 128) int32 packed compaction indices:
+           rel1 | rel2 << 13 | straddle << 26 (window-relative).
+    cwr:   static compaction window size in 128-element rows.
     """
 
-    def __init__(self, base: SellData, h1, h2):
+    def __init__(self, base: SellData, h1, h2, cws, cidx, cwr: int,
+                 lmax: int = 0):
         self.base = base
         self.h1 = h1
         self.h2 = h2
+        self.cws = cws
+        self.cidx = cidx
+        self.cwr = int(cwr)
+        self.lmax = int(lmax)    # >0: DIRECT compaction (sum lmax
+                                 # consecutive lane sums per row);
+                                 # 0: two-head mode (doubling pack)
 
     @property
     def n(self):
@@ -1154,10 +1180,10 @@ class SellSeg:
         return self.base.nnz
 
     def tree_flatten(self):
-        return ((self.base, self.h1, self.h2), ())
+        return ((self.base, self.h1, self.h2, self.cws, self.cidx),
+                (self.cwr, self.lmax))
 
     def save(self, path: str) -> None:
-        import io
         import os
         self.base.save(path)
         p = path if os.path.exists(path) else (
@@ -1166,6 +1192,9 @@ class SellSeg:
             arrs = dict(z)
         arrs["h1"] = np.asarray(self.h1)
         arrs["h2"] = np.asarray(self.h2)
+        arrs["cws"] = np.asarray(self.cws)
+        arrs["cidx"] = np.asarray(self.cidx)
+        arrs["cmeta"] = np.asarray([self.cwr, self.lmax], np.int64)
         np.savez(p, **arrs)
 
     @classmethod
@@ -1176,13 +1205,17 @@ class SellSeg:
         base = SellData.load(p)
         with np.load(p, allow_pickle=False) as z:
             h1, h2 = jnp.asarray(z["h1"]), jnp.asarray(z["h2"])
-        return cls(base, h1, h2)
+            cws, cidx = jnp.asarray(z["cws"]), jnp.asarray(z["cidx"])
+            cm = [int(v) for v in z["cmeta"]]
+            cwr = cm[0]
+            lmax = cm[1] if len(cm) > 1 else 0
+        return cls(base, h1, h2, cws, cidx, cwr, lmax)
 
 
 jax.tree_util.register_pytree_node(
     SellSeg,
     lambda s: s.tree_flatten(),
-    lambda aux, ch: SellSeg(*ch),
+    lambda aux, ch: SellSeg(*ch, *aux),
 )
 
 
@@ -1235,61 +1268,224 @@ def sell_pack_seg(rows_cols_vals, n: int, dtype=np.float32) -> SellSeg:
             "gather window — RCM-permute first, or use the roll/chunked "
             "modes / banded containers for bandwidth over ~900")
 
-    # seg id = the row's first lane within this group (monotone + unique
-    # per group); pad lanes take their own lane index (unique too).
-    gl = np.arange(G * _LANES, dtype=np.int64) % _LANES
-    first_lane = np.repeat(lane_start[:-1], k)              # (L,)
-    grp_start = (np.arange(L, dtype=np.int64) // _LANES) * _LANES
-    seg_full = gl.copy()
-    seg_full[:L] = np.maximum(first_lane, grp_start) % _LANES
+    max_seg = int(np.max(np.minimum(k, _LANES))) if n else 1
+    if max_seg <= _SEG_DIRECT_MAX:
+        # DIRECT mode: the main kernel emits raw lane sums (seg = 0 —
+        # the pure uniform-k=1 fast path) and the compaction kernel sums
+        # each row's ≤ Lmax consecutive lane sums itself: it runs on
+        # ~avg_seg·8× fewer tiles, so Lmax·D gathers there cost a few
+        # percent of one in-kernel doubling step (a lane-axis roll per
+        # tile measured +2 ms at 78k tiles). Rows may straddle ANY
+        # boundary — lanes are globally contiguous.
+        steps = 0
+        bits2d = None
+    else:
+        # DOUBLING mode (segments up to 128 lanes): in-kernel segmented
+        # suffix-sum; head positions compacted afterwards.
+        # seg id = the row's first lane within this group (monotone +
+        # unique per group); pad lanes take their own lane index.
+        gl = np.arange(G * _LANES, dtype=np.int64) % _LANES
+        first_lane = np.repeat(lane_start[:-1], k)          # (L,)
+        grp_start = (np.arange(L, dtype=np.int64) // _LANES) * _LANES
+        seg_full = gl.copy()
+        seg_full[:L] = np.maximum(first_lane, grp_start) % _LANES
+        ms = min(max_seg, _LANES)
+        steps = 0
+        while (1 << steps) < ms:
+            steps += 1
+        # per-step same-segment masks (kernel bit 17+st):
+        # ok[l] = (l + 2^st < 128) & (seg[l] == seg[l + 2^st])
+        seg2d = seg_full.reshape(G, _LANES)
+        bits = np.zeros((G, _LANES), np.int64)
+        for st in range(steps):
+            sh = 1 << st
+            ok = np.zeros((G, _LANES), bool)
+            ok[:, :_LANES - sh] = seg2d[:, :_LANES - sh] == seg2d[:, sh:]
+            bits |= ok.astype(np.int64) << (17 + st)
+        bits2d = (seg2d << 10) | bits
 
-    li = np.broadcast_to(
-        (seg_full.reshape(G, _LANES) << 10)[:, None, :],
-        (G, _SUB, _LANES)).astype(np.int32)
     li_all = np.zeros((T, _SUB, _LANES), np.int32)
-    li_all[:G] = li
+    if bits2d is not None:
+        li_all[:G] = np.broadcast_to(
+            bits2d[:, None, :], (G, _SUB, _LANES)).astype(np.int32)
     va = np.zeros((T, _SUB, _LANES), dtype)
     widx = (idx64 - ws[g_of] * _LANES).astype(np.int32)
     li_all[g_of, sub, l_of] |= widx
     va[g_of, sub, l_of] = A.data
 
-    # head positions: output flat index == global lane index
+    # head positions: lane-sum flat index == global lane index
     h1 = lane_start[:-1]
     last_lane = lane_start[1:] - 1
     straddle = (h1 // _LANES) != (last_lane // _LANES)
-    dummy = (G - 1) * _LANES                     # all-pad dummy group
-    h2 = np.where(straddle, (h1 // _LANES + 1) * _LANES, dummy)
+    h2 = np.where(straddle, (h1 // _LANES + 1) * _LANES, h1)
 
-    max_seg = int(np.max(np.minimum(k, _LANES))) if n else 1
-    # segments are clipped at group boundaries, so the in-group maximum
-    # is min(max_seg, 128); steps = ceil(log2(that))
-    ms = min(max_seg, _LANES)
-    steps = 0
-    while (1 << steps) < ms:
-        steps += 1
+    # --- compaction plan: PER-SUBLANE lane-sum windows + packed
+    # (lane, row-delta) indices (banner). 128 consecutive outputs span
+    # ~128·avg_seg lane-sum positions, so each sublane needs only
+    # D = ceil(span/128)+1 window rows — D lane-gathers + selects per
+    # candidate instead of a full-window roll pass.
+    nblk = max(1, -(-n // (_SUB * _LANES)))
+    npad = nblk * _SUB * _LANES
+    h1p = np.full(npad, h1[-1] if n else 0, np.int64)
+    h1p[:n] = h1
+    sg = np.arange(npad) // _LANES          # global sublane index
+    lo = np.full(nblk * _SUB, np.iinfo(np.int64).max)
+    np.minimum.at(lo, sg, h1p)
+    cws = lo // _LANES
+    rel1 = h1p - cws[sg] * _LANES
+    if steps == 0:
+        # DIRECT mode: rel0 | segment length (lanes) in bits 10..13;
+        # the window must also cover each row's LAST lane
+        lmax = max_seg
+        lenp = np.ones(npad, np.int64)
+        lenp[:n] = k
+        rel_last = rel1 + lenp - 1
+        D = int(rel_last.max()) // _LANES + 1
+        cidx = (rel1 | (lenp << 10)) \
+            .reshape(nblk, _SUB, _LANES).astype(np.int32)
+    else:
+        # DOUBLING mode: head + straddle-continuation head + flag
+        lmax = 0
+        h2p = h1p.copy()
+        h2p[:n] = h2
+        flagp = np.zeros(npad, bool)
+        flagp[:n] = straddle
+        rel2 = h2p - cws[sg] * _LANES
+        D = int(max(rel1.max(), rel2.max())) // _LANES + 1
+        cidx = (rel1 | (rel2 << 10) | (flagp.astype(np.int64) << 20)) \
+            .reshape(nblk, _SUB, _LANES).astype(np.int32)
+    if D > 8:
+        raise ValueError(
+            f"seg pack: 128 consecutive rows span {D * _LANES} lane-sum "
+            "positions — average degree too high for the compaction "
+            "window; use the bucketed/dynamic modes")
+    cwr = D
+
+    # the compaction window DMA reads lane-sum rows [cws, cws + cwr):
+    # grow the pack with empty trailing groups so the main kernel's
+    # output (whose row count _sell_call derives from group_ptr) covers
+    # every window
+    B = max(B, -(-int(cws.max() + cwr) // _GPB))
+    T2 = B * _GPB
+    if T2 > T:
+        va = np.concatenate(
+            [va, np.zeros((T2 - T,) + va.shape[1:], va.dtype)])
+        li_all = np.concatenate(
+            [li_all, np.zeros((T2 - T,) + li_all.shape[1:],
+                              li_all.dtype)])
+    G = T2                            # empty phantom groups included
 
     wrow = np.zeros(B * _GPB, np.int32)
-    wrow[:G] = ws.astype(np.int32)
+    wrow[:len(ws)] = ws.astype(np.int32)
     gp = (np.arange(G + 1, dtype=np.int64)).astype(np.int32)
     base = SellData(jnp.asarray(va), jnp.asarray(li_all),
                     jnp.asarray(gp), jnp.asarray(wrow), n, nnz,
                     win_rows=_SUB * 2, mode="subroll", cap=_GPB,
                     uniform=1, seg=steps)
     return SellSeg(base, jnp.asarray(h1.astype(np.int32)),
-                   jnp.asarray(h2.astype(np.int32)))
+                   jnp.asarray(h2.astype(np.int32)),
+                   jnp.asarray(cws.astype(np.int32)), jnp.asarray(cidx),
+                   cwr, lmax)
+
+
+def _seg_compact_kernel(cws_ref, cidx_hbm, src_hbm, out_ref, win2, ibuf,
+                        sems, *, D: int, nblocks: int, lmax: int):
+    """Compaction (banner): per 1024 output rows, eight PER-SUBLANE
+    lane-sum windows of D rows + one packed index tile. DIRECT mode
+    (lmax > 0): sum each row's ≤ lmax consecutive lane sums (the main
+    kernel emitted RAW lane sums). Head mode (lmax == 0): pick the two
+    suffix-summed head lanes. Every candidate is one of D
+    lane-gather+select reads (positions within a sublane span at most
+    D·128)."""
+    b = pl.program_id(0)
+    par = b % 2
+
+    def dmas(p, blk):
+        cps = tuple(
+            pltpu.make_async_copy(
+                src_hbm.at[pl.ds(cws_ref[blk * _SUB + s], D)],
+                win2.at[p, s], sems.at[p * (_SUB + 1) + s])
+            for s in range(_SUB))
+        return cps + (pltpu.make_async_copy(
+            cidx_hbm.at[blk], ibuf.at[p],
+            sems.at[p * (_SUB + 1) + _SUB]),)
+
+    @pl.when(b == 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    @pl.when(b + 1 < nblocks)
+    def _():
+        for cp in dmas((b + 1) % 2, b + 1):
+            cp.start()
+
+    for cp in dmas(par, b):
+        cp.wait()
+    packed = ibuf[par]
+
+    def gather(rel):
+        r, dsel = rel & 0x7F, rel >> 7
+        g = jnp.zeros((_SUB, _LANES), win2.dtype)
+        for d in range(D):
+            Wd = win2[par, :, d, :]            # (8, 128): row d per sublane
+            Gd = jnp.take_along_axis(Wd, r, axis=1,
+                                     mode="promise_in_bounds")
+            g = jnp.where(dsel == d, Gd, g)
+        return g
+
+    if lmax:
+        rel0 = packed & 0x3FF
+        ln = packed >> 10
+        acc = gather(rel0)                     # j = 0 always in range
+        for j in range(1, lmax):
+            acc = acc + jnp.where(j < ln, gather(rel0 + j), 0)
+        out_ref[...] = acc
+    else:
+        g1 = gather(packed & 0x3FF)
+        g2 = gather((packed >> 10) & 0x3FF)
+        out_ref[...] = g1 + jnp.where((packed >> 20) > 0, g2, 0)
+
+
+def _seg_compact_call(data: "SellSeg", src, *, interpret: bool = False):
+    """Run the compaction pass over the (rows, 128) lane-sum array."""
+    nblk = data.cidx.shape[0]
+    D = data.cwr
+    out = pl.pallas_call(
+        functools.partial(_seg_compact_kernel, D=D, nblocks=nblk,
+                          lmax=data.lmax),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),    # cidx (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),    # lane sums
+            ],
+            out_specs=pl.BlockSpec((_SUB, _LANES), lambda b, *_: (b, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, _SUB, D, _LANES), src.dtype),
+                pltpu.VMEM((2, _SUB, _LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA((2 * (_SUB + 1),)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblk * _SUB, _LANES), src.dtype),
+        interpret=interpret,
+    )(data.cws, data.cidx, src)
+    return out.reshape(-1)[:data.n]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def sell_spmv_seg(data: SellSeg, x, *, interpret: bool = False):
     """y = A @ x for a lane-compacted SELL pack: ONE static uniform-k=1
-    kernel pass + the fused two-head gather."""
+    kernel pass + the windowed head-compaction pass."""
     base = data.base
     n = base.n
     G = base.group_ptr.shape[0] - 1
     W = base.win_rows * _LANES
     x2 = jnp.pad(x, (0, G * _LANES - n + W)).reshape(-1, _LANES)
-    out = _sell_call(base, x2, interpret=interpret).reshape(-1)
-    return out[data.h1] + out[data.h2]
+    out = _sell_call(base, x2, interpret=interpret)
+    return _seg_compact_call(data, out, interpret=interpret)
 
 
 @jax.jit
@@ -1304,11 +1500,21 @@ def sell_spmv_seg_ref(data: SellSeg, x):
                           jnp.zeros((T - G,), jnp.int32)])
     gidx = (base.lidx & (_W - 1)) + (ws * _LANES)[:, None, None]
     lanesum = jnp.sum(base.vals * x_pad[gidx], axis=1)       # (T, 128)
-    segid = base.lidx[:, 0, :] >> 10
+    flat0 = lanesum.reshape(-1)
+    if data.lmax:
+        # DIRECT mode: sum each row's consecutive lane sums
+        ln = data.cidx.reshape(-1)[:base.n] >> 10
+        y = flat0[data.h1]
+        for j in range(1, data.lmax):
+            y = y + jnp.where(j < ln, flat0[jnp.minimum(
+                data.h1 + j, flat0.shape[0] - 1)], 0)
+        return y
+    segid = (base.lidx[:, 0, :] >> 10) & (_LANES - 1)
     lane = jnp.arange(_LANES)[None, :]
     for st in range(base.seg):
         sh = 1 << st
         ok = (lane + sh < _LANES) & (segid == jnp.roll(segid, -sh, 1))
         lanesum = lanesum + jnp.where(ok, jnp.roll(lanesum, -sh, 1), 0)
     flat = lanesum.reshape(-1)
-    return flat[data.h1] + flat[data.h2]
+    straddle = (data.cidx.reshape(-1)[:base.n] >> 20) > 0
+    return flat[data.h1] + jnp.where(straddle, flat[data.h2], 0)

@@ -442,10 +442,21 @@ class SellOperator(LinearOperator):
         from .kernels.sell import _LANES, _W, SellBucketed, SellSeg
         if isinstance(self.data, SellSeg):
             # lanes are row segments: per-lane |v| sums, then the same
-            # segmented suffix-sum + head gather as the matvec
+            # per-row reassembly as the matvec (direct consecutive-lane
+            # sum, or segmented suffix-sum + two-head gather)
             base = self.data.base
             a = jnp.sum(jnp.abs(base.vals), axis=1)       # (T, 128)
-            segid = base.lidx[:, 0, :] >> 10
+            flat = a.reshape(-1)
+            if self.data.lmax:
+                ln = self.data.cidx.reshape(-1)[:base.n] >> 10
+                y = flat[self.data.h1]
+                for j in range(1, self.data.lmax):
+                    y = y + jnp.where(
+                        j < ln,
+                        flat[jnp.minimum(self.data.h1 + j,
+                                         flat.shape[0] - 1)], 0)
+                return jnp.max(y)
+            segid = (base.lidx[:, 0, :] >> 10) & (_LANES - 1)
             lane = jnp.arange(_LANES)[None, :]
             for st in range(base.seg):
                 sh = 1 << st
@@ -453,7 +464,9 @@ class SellOperator(LinearOperator):
                       & (segid == jnp.roll(segid, -sh, 1)))
                 a = a + jnp.where(ok, jnp.roll(a, -sh, 1), 0)
             flat = a.reshape(-1)
-            return jnp.max(flat[self.data.h1] + flat[self.data.h2])
+            straddle = (self.data.cidx.reshape(-1)[:base.n] >> 20) > 0
+            return jnp.max(flat[self.data.h1]
+                           + jnp.where(straddle, flat[self.data.h2], 0))
         if isinstance(self.data, SellBucketed):
             # every row lives in exactly one bucket
             return functools_reduce(

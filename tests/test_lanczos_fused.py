@@ -510,13 +510,13 @@ class TestBoxStencilsAndSlabs:
         assert float(jnp.max(jnp.abs(a1 - a2))) / scale < 1e-4
         assert float(jnp.max(jnp.abs(b1 - b2))) / scale < 1e-4
 
-    def test_second_neighbour_rejected(self, rng):
+    def test_third_neighbour_rejected(self, rng):
         from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
         from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
             _stencil_coeffs_static)
-        op = StencilOperator((8, 130), [(0, 0), (0, 2)],
+        op = StencilOperator((8, 130), [(0, 0), (0, 3)],
                              jnp.asarray([1.0, 1.0], jnp.float32))
-        with pytest.raises(ValueError, match="box"):
+        with pytest.raises(ValueError, match="-2..2"):
             _stencil_coeffs_static(op, hermitian=False)
 
     def test_replay_zslab(self, rng):
@@ -531,3 +531,132 @@ class TestBoxStencilsAndSlabs:
         w1 = np.asarray(lanczos_replay_fused(op, b, co, interpret=True))
         w2 = np.asarray(lanczos_replay(op, b, co, al, be, 8))
         assert np.max(np.abs(w1 - w2)) / np.max(np.abs(w2)) < 1e-4
+
+
+class TestWideOffsets:
+    """Second-neighbour (|o| = 2) offsets through the fused sweep
+    (VERDICT r3 #4): wide 4th-order FD stencils (13-point) ride the
+    flagship kernel via two-layer boundary masks on the same 3-plane
+    ring (sources stay within adjacent slabs when L >= 2; ghost_grid_for
+    arranges zb >= 2 automatically)."""
+
+    @staticmethod
+    def _wide13(shape, rng, symmetric=False):
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        offs = [(0, 0, 0)]
+        for ax in range(3):
+            for o in (1, -1, 2, -2):
+                off = [0, 0, 0]
+                off[ax] = o
+                offs.append(tuple(off))
+        co = rng.standard_normal(len(offs)).astype(np.float32) / 4
+        if symmetric:
+            cmap = dict(zip(offs, co))
+            for off in offs:
+                mo = tuple(-v for v in off)
+                cmap[off] = cmap[mo] = cmap[mo]
+            co = np.asarray([cmap[o] for o in offs], np.float32)
+        return StencilOperator(shape, offs, jnp.asarray(co),
+                               is_hermitian=symmetric)
+
+    def _matvec_via(self, gg, op, x):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            fused_lanczos_step, _stencil_coeffs_static)
+        c = _stencil_coeffs_static(op, hermitian=False)
+        mask = jnp.asarray(gg.xmask())
+        Xg = gg.to_ghost(jnp.asarray(x))
+        zeros = jnp.zeros_like(Xg)
+        _, Zn, _, _ = fused_lanczos_step(Xg, zeros, zeros,
+                                         (1.0, 0.0, 0.0), mask,
+                                         grid_desc=gg, coeffs_static=c,
+                                         interpret=True)
+        return np.asarray(gg.from_ghost(Zn))
+
+    @pytest.mark.parametrize("zb", [2, 3, 12])
+    def test_13pt_matvec(self, rng, zb):
+        shape = (12, 9, 140)
+        op = self._wide13(shape, rng)
+        x = rng.standard_normal(np.prod(shape)).astype(np.float32)
+        y = self._matvec_via(GhostGrid(*shape, zb=zb), op, x)
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_125pt_box_matvec(self, rng):
+        import itertools
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        offs = list(itertools.product((-2, -1, 0, 1, 2), repeat=3))
+        co = (rng.standard_normal(len(offs)) / 25).astype(np.float32)
+        op = StencilOperator((10, 8, 130), offs, jnp.asarray(co))
+        x = rng.standard_normal(10 * 8 * 130).astype(np.float32)
+        y = self._matvec_via(GhostGrid(10, 8, 130, zb=3), op, x)
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_25pt_2d_matvec(self, rng):
+        import itertools
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            GhostGrid2D)
+        ny, nx = 61, 140
+        offs = list(itertools.product((-2, -1, 0, 1, 2), repeat=2))
+        co = (rng.standard_normal(len(offs)) / 8).astype(np.float32)
+        op = StencilOperator((ny, nx), offs, jnp.asarray(co))
+        x = rng.standard_normal(ny * nx).astype(np.float32)
+        y = self._matvec_via(GhostGrid2D(ny, nx, ys=8), op, x)
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_ghost_grid_for_picks_multilayer(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for, stencil_matvec_fused)
+        op = self._wide13((12, 9, 140), rng)
+        gg = ghost_grid_for(op)
+        assert gg.zb >= 2
+        x = rng.standard_normal(12 * 9 * 140).astype(np.float32)
+        y = np.asarray(stencil_matvec_fused(op, jnp.asarray(x),
+                                            interpret=True))
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_single_layer_slab_raises(self, rng):
+        op = self._wide13((12, 9, 140), rng)
+        x = rng.standard_normal(12 * 9 * 140).astype(np.float32)
+        with pytest.raises(ValueError, match="layers"):
+            self._matvec_via(GhostGrid(12, 9, 140, zb=1), op, x)
+
+    def test_pad_lane_guard(self, rng):
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        op = StencilOperator((8, 8, 127), [(0, 0, 2), (0, 0, 0)],
+                             jnp.asarray([1.0, 2.0], jnp.float32))
+        x = rng.standard_normal(8 * 8 * 127).astype(np.float32)
+        with pytest.raises(ValueError, match="pad lanes"):
+            self._matvec_via(GhostGrid(8, 8, 127, zb=2), op, x)
+
+    def test_wide_symmetric_lanczos(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            lanczos_coeffs_fused)
+        op = self._wide13((10, 9, 140), rng, symmetric=True)
+        b = jnp.asarray(rng.standard_normal(10 * 9 * 140), jnp.float32)
+        a1, b1, _, mu1, _ = lanczos_coeffs(op, b, 8)
+        a2, b2, _, mu2, _ = lanczos_coeffs_fused(op, b, 8, interpret=True)
+        scale = float(jnp.max(jnp.abs(a1)))
+        assert float(jnp.max(jnp.abs(a1 - a2))) / scale < 1e-4
+        assert float(jnp.max(jnp.abs(b1 - b2))) / scale < 1e-4
+
+    def test_wide_chebyshev_recurrence(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            recurrence_apply_fused)
+        op = self._wide13((10, 9, 140), rng)
+        b = rng.standard_normal(10 * 9 * 140).astype(np.float32)
+        rows = (rng.standard_normal((6, 4)) / 3).astype(np.float32)
+        wf = np.asarray(recurrence_apply_fused(op, jnp.asarray(b),
+                                               jnp.asarray(rows),
+                                               interpret=True))
+        om_p = np.zeros_like(b)
+        om = b.copy()
+        w = np.zeros_like(b)
+        for ca, cb, cc, cw in rows:
+            w = w + cw * om
+            om, om_p = (ca * np.asarray(op.matvec(jnp.asarray(om)))
+                        + cb * om + cc * om_p), om
+        assert np.max(np.abs(wf - w)) / np.max(np.abs(w)) < 1e-4
