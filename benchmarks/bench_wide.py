@@ -1,0 +1,116 @@
+"""Wide-offset (second-neighbour) fused sweep benchmark — VERDICT r3 #4.
+
+13-point 4th-order FD Laplacian at 10M rows (216³-class grid): one
+Chebyshev-style recurrence iteration through the fused plane sweep
+(|o| ≤ 2 box support, two-layer boundary masks, zb ≥ 2 slabs) vs the
+XLA scan path (the r3 fallback for wide stencils). Done criterion:
+fused ≥ 2× scan. Chained-slope timing per
+.claude/skills/verify/SKILL.md.
+"""
+import functools
+import sys
+import time
+
+import jax
+jax.config.update('jax_compilation_cache_dir', '/tmp/jaxcache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+    ghost_grid_for, recurrence_apply_fused)
+
+
+def wide13(shape, dtype=jnp.float32):
+    """4th-order accurate 13-point Laplacian: per axis
+    (-1/12, 4/3, -5/2, 4/3, -1/12) / h² at offsets (-2..2)."""
+    h = 1.0 / (shape[-1] + 1)
+    offs = [(0, 0, 0)]
+    co = [3 * (-5.0 / 2.0) / h ** 2]
+    for ax in range(3):
+        for o, c in ((1, 4 / 3), (-1, 4 / 3), (2, -1 / 12), (-2, -1 / 12)):
+            off = [0, 0, 0]
+            off[ax] = o
+            offs.append(tuple(off))
+            co.append(c / h ** 2)
+    return StencilOperator(shape, offs, jnp.asarray(co, dtype),
+                           is_hermitian=True)
+
+
+def slope(fn, ks=(3, 13), reps=3):
+    out = {}
+    for k in ks:
+        float(fn(k))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            float(fn(k))
+            best = min(best, time.time() - t0)
+        out[k] = best
+    k0, k1 = ks
+    return (out[k1] - out[k0]) / (k1 - k0)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    shape = (216, 216, 216)                 # 10.08M rows
+    n = int(np.prod(shape))
+    op = wide13(shape)
+    sc = 1.0 / float(op.opnorm_hint())      # keep the chain finite
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    rows = jnp.asarray(np.stack([np.full(8, sc, np.float32),
+                                 np.zeros(8, np.float32),
+                                 np.full(8, -0.98, np.float32),
+                                 np.full(8, 0.1, np.float32)], axis=1))
+
+    gg = ghost_grid_for(op)
+    print(f"ghost grid: zb={gg.zb} rows/plane={gg.rows_per_plane}",
+          flush=True)
+
+    # correctness guard (on-chip, one iteration vs the scan recurrence)
+    @jax.jit
+    def one_scan(op, b, rows):
+        def step(c, r):
+            om, om_p, w = c
+            ca, cb, cc, cw = r[0], r[1], r[2], r[3]
+            w = w + cw * om
+            om, om_p = ca * op.matvec(om) + cb * om + cc * om_p, om
+            return (om, om_p, w), None
+        (om, _, w), _ = jax.lax.scan(step, (b, jnp.zeros_like(b),
+                                            jnp.zeros_like(b)), rows)
+        return w
+    wf = recurrence_apply_fused(op, b, rows)
+    ws = one_scan(op, b, rows)
+    rel = float(jnp.max(jnp.abs(wf - ws)) / jnp.max(jnp.abs(ws)))
+    print(f"fused vs scan correctness (8 iters): {rel:.2e}", flush=True)
+
+    # per-iteration slope: chain K recurrence_apply_fused(8 iters) calls
+    # op rides in the CLOSURE: the fused dispatch builds static cpairs
+    # from concrete coefficients (13 floats — safe to embed)
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain_fused(b, rows, k):
+        def body(i, x):
+            w = recurrence_apply_fused(op, x, rows)
+            return w / jnp.max(jnp.abs(w))
+        return jnp.sum(jax.lax.fori_loop(0, k, body, b))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain_scan(op, b, rows, k):
+        def body(i, x):
+            w = one_scan(op, x, rows)
+            return w / jnp.max(jnp.abs(w))
+        return jnp.sum(jax.lax.fori_loop(0, k, body, b))
+
+    tf = slope(lambda k: chain_fused(b, rows, k)) / 8
+    print(f"fused 13-pt per-iter: {tf*1e3:.3f} ms | "
+          f"{5*4*n/tf/1e9:.0f} GB/s (5n traffic)", flush=True)
+    ts = slope(lambda k: chain_scan(op, b, rows, k)) / 8
+    print(f"scan  13-pt per-iter: {ts*1e3:.3f} ms", flush=True)
+    print(f"speedup: {ts/tf:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -311,6 +311,14 @@ def expm_higham2005(A, *, max_squarings: int = 32, balance: bool = False,
     ``differentiable=True`` selects the bounded masked squaring loop so the
     result supports reverse-mode AD; the default runs exactly s squaring
     GEMMs (see ``_masked_squaring``).
+
+    BATCHED serving note: under ``vmap`` the degree ``lax.switch``
+    computes ALL branches and selects, and the dynamic squaring count
+    becomes a batch-max masked loop — measured 0.6–5 TF/s at
+    (512, 128²)–(32, 512²) on a v5e vs 19–36 TF/s (71–116% of the
+    measured matmul roofline) for ``expm_taylor``, whose structure is
+    static. Prefer ``expm_taylor`` for fleets of dense exponentials
+    (benchmarks/bench_dense_mfu.py).
     """
     A = jnp.asarray(A)
     if balance:
