@@ -317,10 +317,9 @@ def expv_faber(t, A, b, *, ellipse=None, tol: float = 1e-7,
     b = jnp.asarray(b)
     setup = _faber_expv_setup(op, t, ellipse, tol, m, max_z,
                               complex_b=bool(np.iscomplexobj(b)))
-    if setup is None:                   # A ≈ cI
-        c0 = _resolve_ellipse(op, ellipse)[0]
-        return (jnp.exp(jnp.asarray(float(t) * c0, b.dtype)) * b)
     a, c, gamma, rho, q, m_used, log_sup = setup
+    if a is None:                       # A ≈ cI (c already resolved)
+        return (jnp.exp(jnp.asarray(float(t) * c, b.dtype)) * b)
     from .leja import _fused_poly_ok
     if not np.iscomplexobj(a) and _fused_poly_ok(op, b.dtype, fused):
         out = _apply_fused_faber(op, b, a[:m_used], c, 1.0 / gamma,
@@ -348,12 +347,14 @@ def _faber_expv_setup(op, t, ellipse, tol, m, max_z, *,
     ``(a, c, gamma, rho, q, m_used, log_sup)`` — Faber coefficients
     (realified when their imaginary part is roundoff dust and b is
     real), map parameters, substep count, degree, and log of the sup of
-    |exp| on the ellipse boundary (for the Crouzeix guard) — or ``None``
-    when A ≈ cI."""
+    |exp| on the ellipse boundary (for the Crouzeix guard). ``a`` is
+    None when A ≈ cI (the caller shortcuts to exp(tc)·b with the
+    already-resolved c — re-resolving would re-run the fov_ellipse
+    probe)."""
     c, alpha, beta, gamma, rho = _resolve_ellipse(op, ellipse)
     tf = float(t)
     if gamma <= 0:
-        return None
+        return None, c, gamma, rho, 0, 0, 0.0
 
     q = max(1, int(np.ceil(abs(tf) * gamma / max_z)))
     tau = tf / q

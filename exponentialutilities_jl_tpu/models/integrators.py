@@ -87,7 +87,11 @@ def _wrms(err_vec, u, u_new, rtol, atol):
     span scales (e.g. u and 1e-6·u blocks) are controlled individually
     instead of through one global norm."""
     sc = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
-    return float(jnp.sqrt(jnp.mean(jnp.abs(err_vec / sc) ** 2)))
+    # guard sc == 0 (atol = 0 with a component zero in BOTH states):
+    # err = 0 there contributes 0, err != 0 blows up to inf (a zero
+    # tolerance demands exactness) — never 0/0 = NaN
+    ratio = err_vec / jnp.maximum(sc, jnp.finfo(sc.dtype).tiny)
+    return float(jnp.sqrt(jnp.mean(jnp.abs(ratio) ** 2)))
 
 
 def _controller(dt, enorm, order, *, enorm_prev=None, safety=0.9,
@@ -526,7 +530,12 @@ def exprb43_device(f, u0, t_span, dt=None, *, adaptive=None, m: int = 20,
         not a constant); each φ-combination carries kiops' own error
         estimate, and a φ-accuracy failure requests the next m bucket
         (ONE host re-entry, state preserved) instead of burning steps.
-        Returns ``u`` or ``(u, ExpIntStats)`` with ``return_stats``.
+
+    Both modes return ``u``, or ``(u, ExpIntStats)`` with
+    ``return_stats``. rtol/atol/phi_tol/controller/max_steps only act
+    in adaptive mode; fixed-step requires ``dt`` to divide the span
+    exactly (``exprb32_device`` clamps the final step instead — its
+    fixed mode runs in the while-loop program, this one in a scan).
 
     Host round-trips in adaptive mode: 0–2 per solve (m-bucket changes
     only) vs one per kiops TRIAL in :func:`exprb43` — the same
@@ -555,6 +564,9 @@ def exprb43_device(f, u0, t_span, dt=None, *, adaptive=None, m: int = 20,
         raise FloatingPointError(
             "exprb43_device: non-finite final state — raise m, reduce "
             "dt, or validate against the adaptive exprb43 driver")
+    if return_stats:
+        return u, ExpIntStats(steps=nsteps, n_f_evals=3 * nsteps,
+                              n_kiops=3 * nsteps, final_m=m)
     return u
 
 
@@ -639,6 +651,8 @@ def _exprb_device_loop(state, tf, t_eps, dt_floor, rtol, atol, phi_tol, *,
         finite = (jnp.all(jnp.isfinite(u_new))
                   & jnp.all(jnp.isfinite(err_vec)))
         sc = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u_new))
+        # sc == 0 guard as in the host _wrms (atol = 0 + zero component)
+        sc = jnp.maximum(sc, jnp.finfo(sc.dtype).tiny)
         enorm = jnp.where(
             finite,
             jnp.sqrt(jnp.mean(jnp.abs(

@@ -248,6 +248,12 @@ def gebal(A, *, sweeps: int = 5):
     """
     import numpy as np
 
+    if isinstance(A, jax.core.Tracer):
+        raise NotImplementedError(
+            "gebal is host-staged (the permutation search needs the "
+            "concrete nonzero pattern): call it between jitted programs "
+            "and pass the result in as data — the same contract as "
+            "funm/host_phi; inside jit use balance_matrix (scaling only)")
     A = jnp.asarray(A)
     n = A.shape[-1]
     p, ilo, ihi = _gebal_permutation(np.asarray(A) != 0)

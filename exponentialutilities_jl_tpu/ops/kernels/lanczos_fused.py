@@ -749,7 +749,24 @@ def _fused_dispatch(op, hermitian: bool = True):
             return stacked
 
         return None, builder
-    return _stencil_coeffs_static(op, hermitian=hermitian), None
+    cs = _stencil_coeffs_static(op, hermitian=hermitian)
+    # Wide-offset feasibility must be decided HERE, not at apply time:
+    # the auto-dispatch gates (_fused_poly_ok, _fused_two_pass_supported,
+    # chebyshev's _fused_ok) probe this function inside try/except and
+    # fall back to the XLA scan path on ValueError — a late raise in
+    # fused_lanczos_step would crash auto mode instead.
+    if any(abs(off[-1]) == 2 for off, c in cs if c != 0.0):
+        gs = op.grid_shape
+        nxp = -(-(gs[-1] + 1) // _LANES) * _LANES
+        if nxp - gs[-1] < 2:
+            raise ValueError(
+                "|dx| = 2 lane shifts need >= 2 zero pad lanes per grid "
+                f"row (nx = {gs[-1]} leaves {nxp - gs[-1]}) — pad nx or "
+                "fall back to the XLA scan path")
+    if len(op.grid_shape) == 3 and any(
+            abs(off[0]) == 2 for off, c in cs if c != 0.0):
+        ghost_grid_for(op)      # raises when 2 layers/slab exceed VMEM
+    return cs, None
 
 
 def lanczos_coeffs_fused(op, b, m: int, *, tol: float = 1e-7,

@@ -35,26 +35,17 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.faber import (_check_finite_faber, _CROUZEIX, _faber_apply,
-                            _faber_expv_setup, _resolve_ellipse)
+                            _faber_expv_setup)
 from ..models.leja import _leja_apply, _leja_expv_setup
 from ..utils.linop import LinearOperator, aslinearoperator
-from .krylov import _shard_op
+from .krylov import _sharded_call
 from .ops import shard_vector
 
 __all__ = ["expv_leja_sharded", "expv_faber_sharded"]
 
 
 def _run_sharded(op, mesh: Mesh, axis: str, body, b):
-    params, make_local, pspec = _shard_op(op, mesh, axis)
-
-    @jax.jit
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(pspec, P(axis)),
-        out_specs=P(axis))
-    def run(params_local, b_local):
-        return body(make_local(params_local), b_local)
-
+    run, params = _sharded_call(op, mesh, axis, body)
     return run(params, shard_vector(b, mesh, axis))
 
 
@@ -101,11 +92,10 @@ def expv_faber_sharded(t, op, b, mesh: Mesh, *, ellipse=None,
     b = jnp.asarray(b)
     setup = _faber_expv_setup(op, t, ellipse, tol, m, max_z,
                               complex_b=bool(np.iscomplexobj(b)))
-    if setup is None:                   # A ≈ cI
-        c0 = _resolve_ellipse(op, ellipse)[0]
-        return shard_vector(jnp.exp(jnp.asarray(float(t) * c0, b.dtype))
-                            * b, mesh, axis)
     a, c, gamma, rho, q, m_used, log_sup = setup
+    if a is None:                       # A ≈ cI (c already resolved)
+        return shard_vector(jnp.exp(jnp.asarray(float(t) * c, b.dtype))
+                            * b, mesh, axis)
     cdt = (jnp.result_type(b.dtype, jnp.complex64)
            if np.iscomplexobj(a) or np.iscomplexobj(b)
            else jnp.result_type(b.dtype))

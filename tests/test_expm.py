@@ -285,3 +285,14 @@ class TestGebal:
         e2 = np.linalg.norm(np.asarray(expm(A, method="gebal")) - want) \
             / np.linalg.norm(want)
         assert e2 < 1e-13
+
+
+def test_gebal_rejects_tracer():
+    # host-staged contract (review r4): inside jit the permutation
+    # search cannot run — fail with the actionable message, like funm
+    import jax
+    from exponentialutilities_jl_tpu import expm, gebal
+    with pytest.raises(NotImplementedError, match="host-staged"):
+        jax.jit(gebal)(jnp.eye(4))
+    with pytest.raises(NotImplementedError, match="host-staged"):
+        jax.jit(lambda A: expm(A, method="gebal"))(jnp.eye(4))

@@ -335,3 +335,25 @@ class TestDeviceAdaptive:
             eu.exprb43_device(f, np.ones(4), (0.0, 1.0), controller="x")
         with pytest.raises(ValueError, match="requires dt"):
             eu.exprb43_device(f, np.ones(4), (0.0, 1.0), adaptive=False)
+
+
+def test_wrms_atol_zero_with_zero_component():
+    # review r4: atol=0 plus a component zero in both states made the
+    # WRMS scale 0/0 = NaN and every step spuriously rejected
+    f = lambda u: -u
+    u, st = eu.exprb32(f, np.array([1.0, 0.0, 2.0]), (0.0, 1.0),
+                       rtol=1e-6, atol=0.0)
+    want = np.exp(-1.0) * np.array([1.0, 0.0, 2.0])
+    assert np.linalg.norm(np.asarray(u) - want) < 1e-5
+    ud = eu.exprb32_device(f, np.array([1.0, 0.0, 2.0]), (0.0, 1.0),
+                           rtol=1e-6, atol=0.0, m=3)
+    assert np.linalg.norm(np.asarray(ud) - want) < 1e-5
+
+
+def test_exprb43_device_fixed_return_stats(ac_ref):
+    # review r4: fixed-step mode silently ignored return_stats
+    Dj, f, u0, ref = ac_ref
+    u, st = eu.exprb43_device(f, u0, (0.0, 0.3), 0.1, adaptive=False,
+                              m=20, return_stats=True)
+    assert st.steps == 3 and st.n_kiops == 9 and st.final_m == 20
+    assert np.all(np.isfinite(np.asarray(u)))

@@ -660,3 +660,38 @@ class TestWideOffsets:
             om, om_p = (ca * np.asarray(op.matvec(jnp.asarray(om)))
                         + cb * om + cc * om_p), om
         assert np.max(np.abs(wf - w)) / np.max(np.abs(w)) < 1e-4
+
+
+class TestWideDispatchGate:
+    """Review r4: infeasible wide-offset operators must be rejected at
+    DISPATCH time (ValueError from _fused_dispatch) so the auto gates
+    (_fused_poly_ok & co) fall back to the XLA scan path instead of
+    crashing at apply time."""
+
+    def test_pad_lane_infeasible_rejected_at_dispatch(self):
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            _fused_dispatch)
+        from exponentialutilities_jl_tpu.models.leja import _fused_poly_ok
+        op = StencilOperator((8, 8, 127), [(0, 0, 2), (0, 0, 0)],
+                             jnp.asarray([1.0, 2.0], jnp.float32))
+        with pytest.raises(ValueError, match="pad lanes"):
+            _fused_dispatch(op, hermitian=False)
+        assert _fused_poly_ok(op, jnp.float32, None) is False
+        with pytest.raises(ValueError):
+            _fused_poly_ok(op, jnp.float32, True)
+
+    def test_big_plane_wide_z_rejected_at_dispatch(self):
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            _fused_dispatch)
+        from exponentialutilities_jl_tpu.models.expv import (
+            _fused_two_pass_supported)
+        # xy plane too large for 2 layers/slab under the VMEM budget
+        op = StencilOperator((16, 1024, 1024),
+                             [(2, 0, 0), (-2, 0, 0), (0, 0, 0)],
+                             jnp.asarray([1.0, 1.0, -2.0], jnp.float32),
+                             is_hermitian=True)
+        with pytest.raises(ValueError, match="too large"):
+            _fused_dispatch(op)
+        assert _fused_two_pass_supported(op) is False
