@@ -513,7 +513,7 @@ def exprb43_device(f, u0, t_span, dt=None, *, adaptive=None, m: int = 20,
                    iop: int = 2, expm_method: str = "taylor",
                    m_max: int = 128, rtol=1e-8, atol=1e-11, phi_tol=None,
                    controller: str = "pi", max_steps: int = 100_000,
-                   return_stats: bool = False):
+                   return_stats: bool = False, snapshots=None):
     """exprb43 with the whole integration in one compiled program.
 
     Two modes:
@@ -537,6 +537,16 @@ def exprb43_device(f, u0, t_span, dt=None, *, adaptive=None, m: int = 20,
     exactly (``exprb32_device`` clamps the final step instead — its
     fixed mode runs in the while-loop program, this one in a scan).
 
+    ``snapshots`` (adaptive mode): strictly increasing times in
+    (t0, tf] ending at tf — each becomes a forced step endpoint
+    (dt is clamped to land an accepted step exactly on it) and the
+    return becomes the (n, nt) state matrix at those times, the
+    :func:`timestepping.expv_timestep` output contract. Implementation:
+    one while-loop dispatch per snapshot reusing the SAME compiled
+    program (tf is traced data); controller memory, dt and the m
+    bucket carry across segments, so the cost over a plain solve is
+    nt extra dispatches, not nt recompiles.
+
     Host round-trips in adaptive mode: 0–2 per solve (m-bucket changes
     only) vs one per kiops TRIAL in :func:`exprb43` — the same
     dispatch-latency fix that took config-4 from 82 s to 1.03 s
@@ -548,7 +558,12 @@ def exprb43_device(f, u0, t_span, dt=None, *, adaptive=None, m: int = 20,
             "exprb43", 4, f, u0, t_span, dt, m=m, m_max=m_max, iop=iop,
             expm_method=expm_method, rtol=rtol, atol=atol,
             phi_tol=phi_tol, controller=controller, max_steps=max_steps,
-            return_stats=return_stats, adaptive=True)
+            return_stats=return_stats, adaptive=True, snapshots=snapshots)
+    if snapshots is not None:
+        raise ValueError(
+            "snapshots requires adaptive=True in exprb43_device (the "
+            "fixed-step mode runs as one lax.scan; use exprb32_device "
+            "for fixed-step snapshots, or slice the span)")
     t0, tf = float(t_span[0]), float(t_span[1])
     if dt is None:
         raise ValueError("adaptive=False requires dt")
@@ -724,12 +739,26 @@ def _exprb_device_loop(state, tf, t_eps, dt_floor, rtol, atol, phi_tol, *,
 
 def _run_exprb_device(scheme, order, f, u0, t_span, dt0, *, m, m_max, iop,
                       expm_method, rtol, atol, phi_tol, controller,
-                      max_steps, return_stats, adaptive):
+                      max_steps, return_stats, adaptive, snapshots=None):
     t0, tf = float(t_span[0]), float(t_span[1])
     if tf <= t0:
         raise ValueError("t_span must satisfy tf > t0")
     if controller not in ("pi", "i"):
         raise ValueError(f"controller must be 'pi' or 'i', got {controller!r}")
+    if snapshots is not None:
+        snaps = [float(s) for s in np.asarray(snapshots).ravel()]
+        if not snaps or any(b <= a for a, b in zip(snaps, snaps[1:])):
+            raise ValueError("snapshots must be strictly increasing")
+        if snaps[0] <= t0 or snaps[-1] > tf + 1e-14 * (tf - t0):
+            raise ValueError("snapshots must lie in (t0, tf]")
+        if abs(snaps[-1] - tf) > 1e-14 * (tf - t0):
+            raise ValueError(
+                "snapshots[-1] must equal t_span[1] (the driver "
+                "integrates to tf; include it as the last snapshot)")
+        snaps[-1] = tf
+        seg_ends = snaps
+    else:
+        seg_ends = [tf]
     u = jnp.asarray(u0)
     atol_arr = jnp.asarray(atol)
     if atol_arr.ndim not in (0, 1) or (atol_arr.ndim == 1
@@ -744,20 +773,31 @@ def _run_exprb_device(scheme, order, f, u0, t_span, dt0, *, m, m_max, iop,
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     stats = ExpIntStats()
-    for _ in range(len(_EXPRB_M_LADDER) + 2):     # bucket-change bound
-        state = _exprb_device_loop(
-            state, jnp.asarray(tf, rdt),
-            jnp.asarray(1e-14 * (tf - t0), rdt),
-            jnp.asarray(1e-12 * (tf - t0), rdt),
-            jnp.asarray(rtol, rdt), atol_arr.astype(rdt),
-            jnp.asarray(phi_tol, rdt),
-            f=f, scheme=scheme, m=m, iop=iop, expm_method=expm_method,
-            max_steps=max_steps, use_pi=(controller == "pi"),
-            at_mmax=(m >= m_max), adaptive=adaptive)
-        if int(state[7]) == 0:
-            break
-        m = _next_bucket(m, m_max)
-        state = state[:7] + (jnp.zeros((), jnp.int32),) + state[8:]
+    cols = []
+    for tf_seg in seg_ends:
+        # each snapshot time is a forced step endpoint: the in-program
+        # clamp dt = min(dt, tf_seg - t) lands an accepted step EXACTLY
+        # on it. tf_seg is traced data, so every segment re-dispatches
+        # the SAME compiled program (one cheap dispatch per snapshot);
+        # controller memory, dt, and the m bucket carry across segments.
+        for _ in range(len(_EXPRB_M_LADDER) + 2):     # bucket-change bound
+            state = _exprb_device_loop(
+                state, jnp.asarray(tf_seg, rdt),
+                jnp.asarray(1e-14 * (tf - t0), rdt),
+                jnp.asarray(1e-12 * (tf - t0), rdt),
+                jnp.asarray(rtol, rdt), atol_arr.astype(rdt),
+                jnp.asarray(phi_tol, rdt),
+                f=f, scheme=scheme, m=m, iop=iop, expm_method=expm_method,
+                max_steps=max_steps, use_pi=(controller == "pi"),
+                at_mmax=(m >= m_max), adaptive=adaptive)
+            if int(state[7]) == 0:
+                break
+            m = _next_bucket(m, m_max)
+            state = state[:7] + (jnp.zeros((), jnp.int32),) + state[8:]
+        if int(state[8]) != 0 or float(state[1]) < tf_seg - 1e-14 * (tf - t0):
+            break                       # failure — raised below, no silence
+        if snapshots is not None:
+            cols.append(state[0])
     (u, t, _, _, steps, rejected, nk, want, info) = state
     stats.steps = int(steps)
     stats.rejected = int(rejected)
@@ -779,7 +819,8 @@ def _run_exprb_device(scheme, order, f, u0, t_span, dt0, *, m, m_max, iop,
             f"{scheme}_device stopped at t={t_f:.6g} < tf={tf:.6g}: "
             f"{reason} (final m={m}; loosen tolerances, raise max_steps/"
             "m_max, or check f)")
-    return (u, stats) if return_stats else u
+    out = u if snapshots is None else jnp.stack(cols, axis=1)   # (n, nt)
+    return (out, stats) if return_stats else out
 
 
 @mxu_full_precision
@@ -787,11 +828,14 @@ def exprb32_device(f, u0, t_span, dt=None, *, adaptive=None, m: int = 20,
                    iop: int = 2, expm_method: str = "taylor",
                    m_max: int = 128, rtol=1e-6, atol=1e-9, phi_tol=None,
                    controller: str = "pi", max_steps: int = 100_000,
-                   return_stats: bool = False):
+                   return_stats: bool = False, snapshots=None):
     """Device-resident exprb32 (see :func:`exprb43_device`): adaptive
     3(2) controller in one ``lax.while_loop`` per m bucket when
     ``adaptive=True`` (the default with ``dt=None``); finite-checked
-    fixed steps of ``dt`` in the same program otherwise."""
+    fixed steps of ``dt`` in the same program otherwise. ``snapshots``
+    works in BOTH modes here (the fixed mode runs in the while-loop
+    program, so forced endpoints just clamp the step that lands on
+    each snapshot time)."""
     if adaptive is None:
         adaptive = dt is None
     if not adaptive and dt is None:
@@ -802,4 +846,4 @@ def exprb32_device(f, u0, t_span, dt=None, *, adaptive=None, m: int = 20,
         "exprb32", 3, f, u0, t_span, dt, m=m, m_max=m_max, iop=iop,
         expm_method=expm_method, rtol=rtol, atol=atol, phi_tol=phi_tol,
         controller=controller, max_steps=max_steps,
-        return_stats=return_stats, adaptive=adaptive)
+        return_stats=return_stats, adaptive=adaptive, snapshots=snapshots)

@@ -337,6 +337,73 @@ class TestDeviceAdaptive:
             eu.exprb43_device(f, np.ones(4), (0.0, 1.0), adaptive=False)
 
 
+class TestDeviceSnapshots:
+    """Round-4 gap closure: trajectory snapshots IN the device-resident
+    adaptive drivers. Each requested time is a forced step endpoint;
+    the segments re-dispatch the same compiled program with controller
+    state carried across, so the output contract matches
+    expv_timestep's (n, nt)."""
+
+    SNAPS = (0.375, 0.75, 1.5)
+
+    @pytest.fixture(scope="class")
+    def snap_ref(self, ac_ref):
+        from scipy.integrate import solve_ivp
+        Dj, f, u0, _ = ac_ref
+        sol = solve_ivp(lambda t, u: np.asarray(f(jnp.asarray(u))),
+                        (0.0, 1.5), u0, method="Radau",
+                        rtol=1e-11, atol=1e-13, t_eval=self.SNAPS)
+        return sol.y                                     # (n, 3)
+
+    def test_exprb43_device_snapshots(self, ac_ref, snap_ref):
+        Dj, f, u0, _ = ac_ref
+        U, st = eu.exprb43_device(f, u0, (0.0, 1.5), rtol=1e-9,
+                                  atol=1e-11, m=30, return_stats=True,
+                                  snapshots=self.SNAPS)
+        assert U.shape == (len(u0), 3) and st.info == 0
+        for k in range(3):
+            err = np.linalg.norm(np.asarray(U[:, k]) - snap_ref[:, k]) \
+                / np.linalg.norm(snap_ref[:, k])
+            assert err < 1e-8, (k, err)
+
+    def test_exprb32_device_fixed_snapshots(self, ac_ref, snap_ref):
+        # fixed-step mode runs in the while-loop program, so snapshots
+        # work there too (the step landing on each time is clamped)
+        Dj, f, u0, _ = ac_ref
+        U = eu.exprb32_device(f, u0, (0.0, 1.5), 0.05, adaptive=False,
+                              m=30, snapshots=self.SNAPS)
+        assert U.shape == (len(u0), 3)
+        for k in range(3):
+            err = np.linalg.norm(np.asarray(U[:, k]) - snap_ref[:, k]) \
+                / np.linalg.norm(snap_ref[:, k])
+            assert err < 1e-4, (k, err)
+
+    def test_snapshot_validation(self, ac_ref):
+        Dj, f, u0, _ = ac_ref
+        with pytest.raises(ValueError, match="strictly increasing"):
+            eu.exprb43_device(f, u0, (0.0, 1.5), snapshots=[0.8, 0.5, 1.5])
+        with pytest.raises(ValueError, match="include it"):
+            eu.exprb43_device(f, u0, (0.0, 1.5), snapshots=[0.5, 0.8])
+        with pytest.raises(ValueError, match="adaptive=True"):
+            eu.exprb43_device(f, u0, (0.0, 1.5), 0.1, adaptive=False,
+                              snapshots=[0.5, 1.5])
+
+    def test_snapshots_carry_controller_state(self, ac_ref):
+        # splitting the span must not restart the controller: the total
+        # attempt count with 3 forced endpoints stays close to the
+        # plain solve's (a restart would re-ramp dt from (tf-t0)/100
+        # three times and blow the count up)
+        Dj, f, u0, _ = ac_ref
+        _, st0 = eu.exprb43_device(f, u0, (0.0, 1.5), rtol=1e-7,
+                                   atol=1e-9, m=30, return_stats=True)
+        U, st1 = eu.exprb43_device(f, u0, (0.0, 1.5), rtol=1e-7,
+                                   atol=1e-9, m=30, return_stats=True,
+                                   snapshots=self.SNAPS)
+        total0 = st0.steps + st0.rejected
+        total1 = st1.steps + st1.rejected
+        assert total1 <= total0 + 8, (total0, total1)
+
+
 def test_wrms_atol_zero_with_zero_component():
     # review r4: atol=0 plus a component zero in both states made the
     # WRMS scale 0/0 = NaN and every step spuriously rejected
