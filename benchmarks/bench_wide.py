@@ -1,10 +1,12 @@
-"""Wide-offset (second-neighbour) fused sweep benchmark — VERDICT r3 #4.
+"""Wide-offset (second/third-neighbour) fused sweep benchmark.
 
-13-point 4th-order FD Laplacian at 10M rows (216³-class grid): one
-Chebyshev-style recurrence iteration through the fused plane sweep
-(|o| ≤ 2 box support, two-layer boundary masks, zb ≥ 2 slabs) vs the
-XLA scan path (the r3 fallback for wide stencils). Done criterion:
-fused ≥ 2× scan. Chained-slope timing per
+Part 1 (VERDICT r3 #4): 13-point 4th-order FD Laplacian at 10M rows
+(216³-class grid): one Chebyshev-style recurrence iteration through the
+fused plane sweep (boundary-band masks, zb ≥ 2 slabs) vs the XLA scan
+path (the r3 fallback for wide stencils). Done criterion: fused ≥ 2×
+scan. Part 2 (round-4 generalization): the 19-point 6th-order FD star
+(|o| = 3: three-layer boundary bands, ypad = 3 pad rows, xpad = 3 pad
+lanes) through the same kernel. Chained-slope timing per
 .claude/skills/verify/SKILL.md.
 """
 import functools
@@ -39,6 +41,24 @@ def wide13(shape, dtype=jnp.float32):
                            is_hermitian=True)
 
 
+def wide19(shape, dtype=jnp.float32):
+    """6th-order accurate 19-point Laplacian star: per axis
+    (1/90, -3/20, 3/2, -49/18, 3/2, -3/20, 1/90) / h² at offsets
+    (-3..3)."""
+    h = 1.0 / (shape[-1] + 1)
+    offs = [(0, 0, 0)]
+    co = [3 * (-49.0 / 18.0) / h ** 2]
+    for ax in range(3):
+        for o, c in ((1, 3 / 2), (-1, 3 / 2), (2, -3 / 20), (-2, -3 / 20),
+                     (3, 1 / 90), (-3, 1 / 90)):
+            off = [0, 0, 0]
+            off[ax] = o
+            offs.append(tuple(off))
+            co.append(c / h ** 2)
+    return StencilOperator(shape, offs, jnp.asarray(co, dtype),
+                           is_hermitian=True)
+
+
 def slope(fn, ks=(3, 13), reps=3):
     out = {}
     for k in ks:
@@ -53,11 +73,8 @@ def slope(fn, ks=(3, 13), reps=3):
     return (out[k1] - out[k0]) / (k1 - k0)
 
 
-def main():
-    print("devices:", jax.devices(), flush=True)
-    shape = (216, 216, 216)                 # 10.08M rows
+def run_case(name, op, shape):
     n = int(np.prod(shape))
-    op = wide13(shape)
     sc = 1.0 / float(op.opnorm_hint())      # keep the chain finite
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -67,7 +84,8 @@ def main():
                                  np.full(8, 0.1, np.float32)], axis=1))
 
     gg = ghost_grid_for(op)
-    print(f"ghost grid: zb={gg.zb} rows/plane={gg.rows_per_plane}",
+    print(f"[{name}] ghost grid: zb={gg.zb} rows/plane="
+          f"{gg.rows_per_plane} ypad={gg.ypad} xpad={gg.nxp - gg.nx}",
           flush=True)
 
     # correctness guard (on-chip, one iteration vs the scan recurrence)
@@ -85,7 +103,8 @@ def main():
     wf = recurrence_apply_fused(op, b, rows)
     ws = one_scan(op, b, rows)
     rel = float(jnp.max(jnp.abs(wf - ws)) / jnp.max(jnp.abs(ws)))
-    print(f"fused vs scan correctness (8 iters): {rel:.2e}", flush=True)
+    print(f"[{name}] fused vs scan correctness (8 iters): {rel:.2e}",
+          flush=True)
 
     # per-iteration slope: chain K recurrence_apply_fused(8 iters) calls
     # op rides in the CLOSURE: the fused dispatch builds static cpairs
@@ -105,11 +124,21 @@ def main():
         return jnp.sum(jax.lax.fori_loop(0, k, body, b))
 
     tf = slope(lambda k: chain_fused(b, rows, k)) / 8
-    print(f"fused 13-pt per-iter: {tf*1e3:.3f} ms | "
+    print(f"[{name}] fused per-iter: {tf*1e3:.3f} ms | "
           f"{5*4*n/tf/1e9:.0f} GB/s (5n traffic)", flush=True)
     ts = slope(lambda k: chain_scan(op, b, rows, k)) / 8
-    print(f"scan  13-pt per-iter: {ts*1e3:.3f} ms", flush=True)
-    print(f"speedup: {ts/tf:.2f}x", flush=True)
+    print(f"[{name}] scan  per-iter: {ts*1e3:.3f} ms", flush=True)
+    print(f"[{name}] speedup: {ts/tf:.2f}x", flush=True)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    shape = (216, 216, 216)                 # 10.08M rows
+    if which in ("13", "both"):
+        run_case("13pt-4th", wide13(shape), shape)
+    if which in ("19", "both"):
+        run_case("19pt-6th", wide19(shape), shape)
 
 
 if __name__ == "__main__":

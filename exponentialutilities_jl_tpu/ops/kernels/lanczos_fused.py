@@ -67,11 +67,18 @@ class GhostGrid:
     Hashable → usable as a static jit arg.
     """
 
-    def __init__(self, nz, ny, nx, zb: int = 1):
+    def __init__(self, nz, ny, nx, zb: int = 1, ypad: int = 2,
+                 xpad: int = 1):
         self.nz, self.ny, self.nx = int(nz), int(ny), int(nx)
-        self.P = -(-(self.nx + 1) // _LANES)   # ≥1 pad lane always
+        self.ypad = max(2, int(ypad))          # max |dy| the layout absorbs
+        self.xpad = max(1, int(xpad))          # min zero pad lanes (max |dx|)
+        self.P = -(-(self.nx + self.xpad) // _LANES)
         self.nxp = self.P * _LANES
-        rp = (self.ny + 2) * self.P
+        # S >= (ny + max|dy|)·P keeps every |dy|-shifted read inside this
+        # layer's ghost/pad rows or the neighbour layer's bottom ghost
+        # row (see the wide-offset analysis in _fused_kernel); the two
+        # ghost rows alone cover |dy| <= 2 (the historical layout)
+        rp = (self.ny + self.ypad) * self.P
         self._lr = -(-rp // 8) * 8             # geometric rows per layer
         self.S = self._lr                      # kernel layer stride
         self.zb = max(1, min(int(zb), self.nz))
@@ -85,14 +92,17 @@ class GhostGrid:
     d2 = False                   # 2-D slab mode (GhostGrid2D)
 
     def __hash__(self):
-        return hash((self.nz, self.ny, self.nx, self.zb))
+        return hash((self.nz, self.ny, self.nx, self.zb, self.ypad,
+                     self.xpad))
 
     def __eq__(self, other):
         # type-strict: a GhostGrid2D with (nz, ys, nx) matching a true
         # 3-D grid must NOT hit the same jit cache entry
         return (type(other) is type(self)
-                and (self.nz, self.ny, self.nx, self.zb)
-                == (other.nz, other.ny, other.nx, other.zb))
+                and (self.nz, self.ny, self.nx, self.zb, self.ypad,
+                     self.xpad)
+                == (other.nz, other.ny, other.nx, other.zb, other.ypad,
+                    other.xpad))
 
     def to_ghost(self, x):
         """(n,) flat row-major grid vector → (nslabs, rows_per_plane,
@@ -158,13 +168,13 @@ class GhostGrid2D(GhostGrid):
 
     d2 = True
 
-    def __init__(self, ny, nx, ys=None):
+    def __init__(self, ny, nx, ys=None, xpad: int = 1):
         ny, nx = int(ny), int(nx)
         if ys is None:
-            P = -(-(nx + 1) // _LANES)
+            P = -(-(nx + max(1, xpad)) // _LANES)
             ys = max(8, 1100 // P - 2)
         ys = int(min(ys, ny))
-        super().__init__(-(-ny // ys), ys, nx)
+        super().__init__(-(-ny // ys), ys, nx, xpad=xpad)
         self.ys = ys
         self.nyg = ny
         self.n = ny * nx                 # override the nz·ys·nx of super
@@ -174,12 +184,12 @@ class GhostGrid2D(GhostGrid):
         self.B0 = self.P                 # ghost row above the first layer
 
     def __hash__(self):
-        return hash((2, self.nyg, self.nx, self.ys))
+        return hash((2, self.nyg, self.nx, self.ys, self.xpad))
 
     def __eq__(self, other):
         return (type(other) is type(self)
-                and (self.nyg, self.nx, self.ys)
-                == (other.nyg, other.nx, other.ys))
+                and (self.nyg, self.nx, self.ys, self.xpad)
+                == (other.nyg, other.nx, other.ys, other.xpad))
 
     def to_ghost(self, x):
         """(ny·nx,) flat row-major vector → (nslabs, rows_per_plane,
@@ -206,37 +216,50 @@ def ghost_grid_for(op):
     if len(gs) == 3:
         if isinstance(op, VariableStencilOperator):
             return GhostGrid(*gs)
+        maxdz = max((abs(o[0]) for o in op.offsets), default=0)
+        maxdy = max((abs(o[1]) for o in op.offsets), default=0)
+        maxdx = max((abs(o[2]) for o in op.offsets), default=0)
+        xpad, ypad = max(1, maxdx), max(2, maxdy)
         tgt = 700 if len(op.offsets) > 7 else 1100
-        S = -(-((gs[1] + 2) * (-(-(gs[2] + 1) // _LANES))) // 8) * 8
+        P = -(-(gs[2] + xpad) // _LANES)
+        S = -(-((gs[1] + ypad) * P) // 8) * 8
         zb = max(1, tgt // S)
-        if any(abs(off[0]) == 2 for off in op.offsets):
-            # second-neighbour z offsets need >= 2 layers per slab (the
-            # 3-plane ring's reach); beyond ~1450 rows/plane the scoped
-            # VMEM would overflow — let the caller fall back to scan
-            if 2 * S > 1456:
+        if maxdz >= 2:
+            # |dz| = d offsets need >= d layers per slab (the 3-plane
+            # ring reaches only the adjacent slabs); beyond ~1450
+            # rows/plane the scoped VMEM would overflow — let the
+            # caller fall back to scan
+            if maxdz * S > 1456:
                 raise ValueError(
-                    "|dz| = 2 offsets need 2 layers per slab but the "
-                    f"xy plane is too large ({S} rows/layer) for the "
-                    "16 MB scoped-VMEM budget — falling back to the "
-                    "XLA scan path")
-            zb = max(2, zb)
-        return GhostGrid(*gs, zb=zb)
+                    f"|dz| = {maxdz} offsets need {maxdz} layers per "
+                    f"slab but the xy plane is too large ({S} rows/"
+                    "layer) for the 16 MB scoped-VMEM budget — falling "
+                    "back to the XLA scan path")
+            zb = max(maxdz, zb)
+        return GhostGrid(*gs, zb=zb, ypad=ypad, xpad=xpad)
     if len(gs) == 2:
-        P = -(-(gs[1] + 1) // _LANES)
         if isinstance(op, VariableStencilOperator):
+            P = -(-(gs[1] + 1) // _LANES)
             return GhostGrid2D(*gs, ys=max(8, 480 // P - 2))
-        if len(op.offsets) > 5:          # 9-point: larger shift cache
-            return GhostGrid2D(*gs, ys=max(8, 700 // P - 2))
-        return GhostGrid2D(*gs)
+        maxdy = max((abs(o[0]) for o in op.offsets), default=0)
+        maxdx = max((abs(o[1]) for o in op.offsets), default=0)
+        xpad = max(1, maxdx)
+        P = -(-(gs[1] + xpad) // _LANES)
+        if len(op.offsets) > 5:          # 9-point+: larger shift cache
+            ys = max(8, maxdy, 700 // P - 2)
+        else:
+            ys = max(8, maxdy, 1100 // P - 2)
+        return GhostGrid2D(*gs, ys=ys, xpad=xpad)
     raise ValueError("fused sweep requires a 2-D or 3-D grid")
 
 
 def _lane_shift_full(buf, s: int):
-    """±1/±2 element shift of the flat (rows, 128) plane; row wraps land
-    in the guaranteed x-pad/ghost zero lanes, so the result is exact
-    Dirichlet (|s| = 2 requires ≥ 2 pad lanes — checked at dispatch).
-    Built from native lane rotates + a sublane-aligned row shift + one
-    lane-mask select (Mosaic rejects lane-offset concats)."""
+    """±s element shift of the flat (rows, 128) plane (any |s| < 128);
+    row wraps land in the guaranteed x-pad/ghost zero lanes, so the
+    result is exact Dirichlet (|s| pad lanes required — checked at
+    dispatch; GhostGrid(xpad=...) provides them). Built from native
+    lane rotates + a sublane-aligned row shift + one lane-mask select
+    (Mosaic rejects lane-offset concats)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     a = abs(s)
     if s > 0:
@@ -423,20 +446,20 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
                 zn = (zn + cbuf[cpar, 5] * zp + cbuf[cpar, 6] * zm) \
                     * mask_ref[:, :]
         else:
-            # static (ds, rs, dx, c) couplings — any box stencil with
-            # per-axis offsets in {-2..2} (13-point 4th-order FD,
-            # 9/27-point compact HOC; asymmetric allowed): one
-            # shift-multiply-add per nonzero coupling inside the slab
-            # (row-shift results shared per (plane, shift)); slab-axis
-            # couplings additionally read the masked boundary layer(s)
-            # of the neighbour plane — |ds| = 2 reads TWO edge layers
-            # and requires L ≥ 2 (checked at dispatch) so sources stay
-            # within the 3-plane ring. L == 1 degenerates exactly to
-            # whole-plane neighbour coupling for |ds| ≤ 1
-            # (mlast = mfirst = the full layer, shift = rs).
-            m2last = (rowi2 >= B0 + max(L - 2, 0) * S) \
-                & (rowi2 < B0 + L * S)
-            m2first = (rowi2 >= B0) & (rowi2 < B0 + min(2, L) * S)
+            # static (ds, rs, dx, c) couplings — any box stencil whose
+            # slab-axis offsets satisfy |ds| <= L (13-point 4th-order,
+            # 19-point 6th-order FD, 9/27/125-point boxes; asymmetric
+            # allowed): one shift-multiply-add per nonzero coupling
+            # inside the slab (row-shift results shared per
+            # (plane, shift)); a slab-axis coupling of |ds| = d
+            # additionally reads the d masked edge layers of the
+            # neighbour plane already in the 3-plane ring — layer
+            # l ∈ [L−d, L) reads zp layer l+d−L, a single row shift of
+            # rs + (d−L)·S for the whole band (and mirrored for zm).
+            # The within-slab shift pulls zeros past the plane edge for
+            # those band layers, so the two terms never double-count.
+            # L == 1 degenerates exactly to whole-plane neighbour
+            # coupling for |ds| <= 1 (band = the full layer, shift = rs).
             cache = {}
 
             def sh(tag, base, rshift, dx):
@@ -453,20 +476,16 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
                     continue
                 if L > abs(ds) or ds == 0:
                     zn = zn + cv * sh("c", yc, rs + ds * S, dx)
-                if ds == 1:
+                if ds > 0:
+                    mk = (rowi2 >= B0 + max(L - ds, 0) * S) \
+                        & (rowi2 < B0 + L * S)
                     zn = zn + cv * jnp.where(
-                        mlast, sh("p", zp, rs - (L - 1) * S, dx), 0.0)
-                elif ds == -1:
+                        mk, sh("p", zp, rs + (ds - L) * S, dx), 0.0)
+                elif ds < 0:
+                    mk = (rowi2 >= B0) \
+                        & (rowi2 < B0 + min(-ds, L) * S)
                     zn = zn + cv * jnp.where(
-                        mfirst, sh("m", zm, rs + (L - 1) * S, dx), 0.0)
-                elif ds == 2:
-                    # layers L−2, L−1 read zp layers 0, 1 (shift
-                    # (2−L)·S), exactly the whole slab when L == 2
-                    zn = zn + cv * jnp.where(
-                        m2last, sh("p", zp, rs + (2 - L) * S, dx), 0.0)
-                elif ds == -2:
-                    zn = zn + cv * jnp.where(
-                        m2first, sh("m", zm, rs + (L - 2) * S, dx), 0.0)
+                        mk, sh("m", zm, rs + (L + ds) * S, dx), 0.0)
             zn = zn * mask_ref[:, :]
         if NL % L:
             zn = jnp.where(
@@ -573,20 +592,33 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
         else:
             cpairs = tuple((dz, dy * grid_desc.P, dx, c)
                            for (dz, dy, dx), c in pairs3)
-        if any(abs(ds) == 2 for ds, _, _, c in cpairs if c != 0.0) \
-                and grid_desc.L < 2:
+        live = [p for p in cpairs if p[3] != 0.0]
+        maxds = max((abs(p[0]) for p in live), default=0)
+        maxdx = max((abs(p[2]) for p in live), default=0)
+        if maxds > grid_desc.L:
             raise ValueError(
-                "second-neighbour slab-axis offsets need >= 2 layers "
-                "per slab so sources stay within the 3-plane ring — "
-                "build the GhostGrid with zb >= 2 (ghost_grid_for does "
-                "this automatically when the plane budget allows)")
-        if any(abs(dx) == 2 for _, _, dx, c in cpairs if c != 0.0) \
-                and grid_desc.nxp - grid_desc.nx < 2:
+                f"|slab-axis offset| = {maxds} needs >= {maxds} layers "
+                f"per slab (got {grid_desc.L}) so sources stay within "
+                "the 3-plane ring — build the GhostGrid with zb >= "
+                f"{maxds} / ys >= {maxds} (ghost_grid_for does this "
+                "automatically when the plane budget allows)")
+        if maxdx > grid_desc.nxp - grid_desc.nx:
             raise ValueError(
-                "|dx| = 2 lane shifts need >= 2 zero pad lanes per grid "
-                f"row (nx = {grid_desc.nx} leaves "
-                f"{grid_desc.nxp - grid_desc.nx}) — pad nx or fall back "
-                "to the XLA scan path")
+                f"|dx| = {maxdx} lane shifts need >= {maxdx} zero pad "
+                f"lanes per grid row (nx = {grid_desc.nx} leaves "
+                f"{grid_desc.nxp - grid_desc.nx}) — build the GhostGrid "
+                f"with xpad >= {maxdx} (ghost_grid_for does) or fall "
+                "back to the XLA scan path")
+        if not grid_desc.d2:
+            maxdy = max((abs(p[1]) // grid_desc.P for p in live),
+                        default=0)
+            if maxdy > 2 and grid_desc.S < \
+                    (grid_desc.ny + maxdy) * grid_desc.P:
+                raise ValueError(
+                    f"|dy| = {maxdy} row shifts leak past this layer's "
+                    "ghost/pad rows into the neighbour layer — build "
+                    f"the GhostGrid with ypad >= {maxdy} "
+                    "(ghost_grid_for does)")
     nsteps = nz + 1
     ns8 = -(-nsteps // 8) * 8
     dt = Zg.dtype
@@ -668,13 +700,16 @@ _FIVE_POINT = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
 
 def _stencil_coeffs_static(op, hermitian: bool = True) -> tuple:
     """Static ((dz, dy, dx), coeff) pairs from a constant-coefficient
-    StencilOperator whose offsets lie in the {-2..2}³ box (3-D) / the
-    {-2..2}² box (2-D, lifted to dz = 0) — nearest-neighbour Laplacians,
-    compact high-order 9/27-point HOC, AND wide 4th-order FD stencils
-    (13-point) all ride the same sweep, one shift-multiply-add per
-    nonzero coupling. Second-neighbour slab-axis offsets read TWO masked
-    boundary layers of the ring neighbours and need L ≥ 2 layers per
-    slab (``ghost_grid_for`` arranges it; ``fused_lanczos_step`` checks).
+    StencilOperator — any box stencil: nearest-neighbour Laplacians,
+    compact 9/27-point HOC, wide 4th-order (13-point, |o| = 2) AND
+    6th-/8th-order FD stars (|o| = 3, 4, …), one shift-multiply-add per
+    nonzero coupling. A slab-axis offset of |d| reads d masked boundary
+    layers of the ring neighbours and needs L ≥ d layers per slab; |dy|
+    > 2 needs extra zero pad rows per layer; |dx| > 1 needs that many
+    pad lanes (``ghost_grid_for`` arranges all three from the offsets;
+    ``fused_lanczos_step`` validates against the grid it is given —
+    only an xy plane too large for |dz| layers under the VMEM budget
+    falls back to the XLA scan path).
     ``hermitian=True`` (the Lanczos-path consumers) additionally
     requires a symmetric stencil; the polynomial recurrences
     (Chebyshev/Newton/Faber applies) pass ``False`` and run asymmetric
@@ -687,11 +722,6 @@ def _stencil_coeffs_static(op, hermitian: bool = True) -> tuple:
                          "StencilOperator")
     cmap = {off: float(c) for off, c in
             zip(op.offsets, np.asarray(op.coeffs))}
-    if any(any(abs(o) > 2 for o in off) for off in cmap):
-        raise ValueError(
-            "fused sweep supports box stencils with per-axis offsets "
-            "in {-2..2} (up to second neighbours); wider offsets fall "
-            "back to the XLA scan path")
     if hermitian and any(
             cmap.get(off, 0.0) != cmap.get(tuple(-o for o in off), 0.0)
             for off in cmap):
@@ -754,18 +784,13 @@ def _fused_dispatch(op, hermitian: bool = True):
     # the auto-dispatch gates (_fused_poly_ok, _fused_two_pass_supported,
     # chebyshev's _fused_ok) probe this function inside try/except and
     # fall back to the XLA scan path on ValueError — a late raise in
-    # fused_lanczos_step would crash auto mode instead.
-    if any(abs(off[-1]) == 2 for off, c in cs if c != 0.0):
-        gs = op.grid_shape
-        nxp = -(-(gs[-1] + 1) // _LANES) * _LANES
-        if nxp - gs[-1] < 2:
-            raise ValueError(
-                "|dx| = 2 lane shifts need >= 2 zero pad lanes per grid "
-                f"row (nx = {gs[-1]} leaves {nxp - gs[-1]}) — pad nx or "
-                "fall back to the XLA scan path")
-    if len(op.grid_shape) == 3 and any(
-            abs(off[0]) == 2 for off, c in cs if c != 0.0):
-        ghost_grid_for(op)      # raises when 2 layers/slab exceed VMEM
+    # fused_lanczos_step would crash auto mode instead. Pad lanes / pad
+    # rows are always arrangeable (ghost_grid_for sizes xpad/ypad from
+    # the offsets, at worst one extra 128-lane piece per row); the only
+    # genuine infeasibility is an xy plane too large to hold max|dz|
+    # layers per slab under the 16 MB scoped-VMEM budget.
+    if any(abs(o) > 1 for off, c in cs if c != 0.0 for o in off):
+        ghost_grid_for(op)      # raises when |dz| layers/slab > VMEM
     return cs, None
 
 

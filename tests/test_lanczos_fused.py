@@ -510,14 +510,18 @@ class TestBoxStencilsAndSlabs:
         assert float(jnp.max(jnp.abs(a1 - a2))) / scale < 1e-4
         assert float(jnp.max(jnp.abs(b1 - b2))) / scale < 1e-4
 
-    def test_third_neighbour_rejected(self, rng):
+    def test_third_neighbour_now_supported(self, rng):
+        # |o| = 3 used to be rejected at coeff extraction; it now rides
+        # the generalized sweep (TestThirdNeighbourOffsets covers the
+        # numerics — this pins the dispatch accepting it)
         from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
         from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
-            _stencil_coeffs_static)
+            _fused_dispatch, ghost_grid_for)
         op = StencilOperator((8, 130), [(0, 0), (0, 3)],
                              jnp.asarray([1.0, 1.0], jnp.float32))
-        with pytest.raises(ValueError, match="-2..2"):
-            _stencil_coeffs_static(op, hermitian=False)
+        cs, _ = _fused_dispatch(op, hermitian=False)
+        assert ((0, 0, 3), 1.0) in cs
+        assert ghost_grid_for(op).nxp - 130 >= 3
 
     def test_replay_zslab(self, rng):
         from exponentialutilities_jl_tpu.ops.krylov import lanczos_replay
@@ -662,24 +666,134 @@ class TestWideOffsets:
         assert np.max(np.abs(wf - w)) / np.max(np.abs(w)) < 1e-4
 
 
+class TestThirdNeighbourOffsets:
+    """Arbitrary per-axis offsets (round-4 gap closure): the slab-axis
+    boundary band generalizes to |ds| <= L, |dy| > 2 rides extra zero
+    pad rows (GhostGrid ypad), |dx| > 1 extra pad lanes (xpad) —
+    6th-order 19-point FD stars and beyond run the flagship sweep.
+    ghost_grid_for sizes all three from the operator's offsets."""
+
+    @staticmethod
+    def _star(shape, rng, reach=3, symmetric=False):
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        nd = len(shape)
+        offs = [(0,) * nd]
+        for ax in range(nd):
+            for o in range(1, reach + 1):
+                for s in (o, -o):
+                    off = [0] * nd
+                    off[ax] = s
+                    offs.append(tuple(off))
+        co = rng.standard_normal(len(offs)).astype(np.float32) / 6
+        if symmetric:
+            cmap = dict(zip(offs, co))
+            for off in offs:
+                cmap[off] = cmap[tuple(-v for v in off)]
+            co = np.asarray([cmap[o] for o in offs], np.float32)
+        return StencilOperator(shape, offs, jnp.asarray(co),
+                               is_hermitian=symmetric)
+
+    def _matvec_via(self, gg, op, x):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            fused_lanczos_step, _stencil_coeffs_static)
+        c = _stencil_coeffs_static(op, hermitian=False)
+        mask = jnp.asarray(gg.xmask())
+        Xg = gg.to_ghost(jnp.asarray(x))
+        zeros = jnp.zeros_like(Xg)
+        _, Zn, _, _ = fused_lanczos_step(Xg, zeros, zeros,
+                                         (1.0, 0.0, 0.0), mask,
+                                         grid_desc=gg, coeffs_static=c,
+                                         interpret=True)
+        return np.asarray(gg.from_ghost(Zn))
+
+    def test_19pt_6th_order_star_3d(self, rng):
+        # |o| = 3 on every axis: dz=3 boundary bands, dy=3 pad rows,
+        # dx=3 pad lanes, all sized by ghost_grid_for
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for)
+        shape = (13, 9, 140)
+        op = self._star(shape, rng, reach=3)
+        gg = ghost_grid_for(op)
+        assert gg.zb >= 3 and gg.ypad >= 3 and gg.nxp - gg.nx >= 3
+        x = rng.standard_normal(np.prod(shape)).astype(np.float32)
+        y = self._matvec_via(gg, op, x)
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+    @pytest.mark.parametrize("zb", [3, 4, 13])
+    def test_star_3d_any_slabbing(self, rng, zb):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            GhostGrid)
+        shape = (13, 9, 140)
+        op = self._star(shape, rng, reach=3)
+        gg = GhostGrid(*shape, zb=zb, ypad=3, xpad=3)
+        x = rng.standard_normal(np.prod(shape)).astype(np.float32)
+        y = self._matvec_via(gg, op, x)
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_star_2d(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for)
+        ny, nx = 37, 140
+        op = self._star((ny, nx), rng, reach=3)
+        gg = ghost_grid_for(op)
+        x = rng.standard_normal(ny * nx).astype(np.float32)
+        y = self._matvec_via(gg, op, x)
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_auto_pad_piece_for_tight_nx(self, rng):
+        # nx = 127 leaves one pad lane at P=1; a |dx| = 2 offset now
+        # gets a second 128-lane piece automatically instead of falling
+        # back to scan (the round-4 gate rejected this case)
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for, stencil_matvec_fused)
+        from exponentialutilities_jl_tpu.models.leja import _fused_poly_ok
+        op = StencilOperator((8, 8, 127), [(0, 0, 2), (0, 0, 0)],
+                             jnp.asarray([1.0, 2.0], jnp.float32))
+        gg = ghost_grid_for(op)
+        assert gg.P == 2 and gg.nxp - gg.nx >= 2
+        x = rng.standard_normal(8 * 8 * 127).astype(np.float32)
+        y = np.asarray(stencil_matvec_fused(op, jnp.asarray(x),
+                                            interpret=True))
+        want = np.asarray(op.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
+
+    def test_wide_symmetric_lanczos_3rd(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            lanczos_coeffs_fused)
+        op = self._star((10, 9, 140), rng, reach=3, symmetric=True)
+        b = jnp.asarray(rng.standard_normal(10 * 9 * 140), jnp.float32)
+        a1, b1, _, _, _ = lanczos_coeffs(op, b, 8)
+        a2, b2, _, _, _ = lanczos_coeffs_fused(op, b, 8, interpret=True)
+        scale = float(jnp.max(jnp.abs(a1)))
+        assert float(jnp.max(jnp.abs(a1 - a2))) / scale < 1e-4
+        assert float(jnp.max(jnp.abs(b1 - b2))) / scale < 1e-4
+
+    def test_ypad_guard_without_ghost_grid_for(self, rng):
+        # a manually-built GhostGrid without ypad must be rejected for
+        # |dy| = 3 (the shift would leak into the neighbour layer)
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            GhostGrid)
+        # ny = 14, P = 2: (ny+2)·P = 32 rows is already a multiple of 8,
+        # so the default layout has NO spare pad rows and |dy| = 3 leaks
+        # (a geometry where round-to-8 happens to leave enough zero rows
+        # is correctly accepted — the check is exact, not conservative)
+        op = self._star((10, 14, 140), rng, reach=3)
+        x = rng.standard_normal(10 * 14 * 140).astype(np.float32)
+        with pytest.raises(ValueError, match="ypad"):
+            self._matvec_via(GhostGrid(10, 14, 140, zb=3, xpad=3), op, x)
+
+
 class TestWideDispatchGate:
     """Review r4: infeasible wide-offset operators must be rejected at
     DISPATCH time (ValueError from _fused_dispatch) so the auto gates
     (_fused_poly_ok & co) fall back to the XLA scan path instead of
-    crashing at apply time."""
-
-    def test_pad_lane_infeasible_rejected_at_dispatch(self):
-        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
-        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
-            _fused_dispatch)
-        from exponentialutilities_jl_tpu.models.leja import _fused_poly_ok
-        op = StencilOperator((8, 8, 127), [(0, 0, 2), (0, 0, 0)],
-                             jnp.asarray([1.0, 2.0], jnp.float32))
-        with pytest.raises(ValueError, match="pad lanes"):
-            _fused_dispatch(op, hermitian=False)
-        assert _fused_poly_ok(op, jnp.float32, None) is False
-        with pytest.raises(ValueError):
-            _fused_poly_ok(op, jnp.float32, True)
+    crashing at apply time. (The round-4 pad-lane infeasibility is gone:
+    ghost_grid_for now sizes xpad from the offsets — see
+    TestThirdNeighbourOffsets.test_auto_pad_piece_for_tight_nx.)"""
 
     def test_big_plane_wide_z_rejected_at_dispatch(self):
         from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
