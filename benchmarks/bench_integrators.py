@@ -51,7 +51,11 @@ def _best(fn, reps=3):
 
 def main():
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     Nf = lambda u: u - u ** 3
+    if which == "adaptive":
+        run_adaptive()
+        return
 
     # --- correctness at 256²: device-resident vs the host driver (the
     # host driver itself is Radau-pinned at small scale in
@@ -94,6 +98,10 @@ def main():
                       "device_speedup": round(host_ms / dev_ms, 1)}),
           flush=True)
 
+    run_adaptive()
+
+
+def run_adaptive():
     # --- round-4: ADAPTIVE exprb43, host controller vs the
     # device-resident controller (VERDICT r3 #1 done-criterion: same
     # trajectory/step counts, >= 10x wall time on-chip)
@@ -125,6 +133,22 @@ def main():
                       "traj_rel": rel,
                       "adaptive_device_speedup":
                       round(host_s / dev_s, 1)}), flush=True)
+
+    # --- round-4 late: trajectory snapshots in the device driver — 8
+    # forced endpoints re-dispatch the SAME compiled program, so the
+    # cost over the plain solve should be ~8 dispatches, not recompiles
+    snaps = tuple(float(s) for s in np.linspace(tf / 8, tf, 8))
+    t0 = time.perf_counter()
+    Us, sts = eu.exprb43_device(f, u0a, (0.0, tf), rtol=rtol, atol=atol,
+                                m=24, return_stats=True, snapshots=snaps)
+    snap_s = time.perf_counter() - t0
+    rel_last = float(jnp.linalg.norm(Us[:, -1] - ud)
+                     / jnp.linalg.norm(ud))
+    print(json.dumps({"exprb43_device_snapshots8_s": round(snap_s, 3),
+                      "snap_steps": sts.steps,
+                      "snap_rejected": sts.rejected,
+                      "overhead_vs_plain": round(snap_s / dev_s, 3),
+                      "final_col_vs_plain_rel": rel_last}), flush=True)
 
 
 if __name__ == "__main__":

@@ -123,22 +123,44 @@ def run_case(name, op, shape):
             return w / jnp.max(jnp.abs(w))
         return jnp.sum(jax.lax.fori_loop(0, k, body, b))
 
+    from exponentialutilities_jl_tpu.ops.stencil import (
+        VariableStencilOperator)
+    tr = 5 + (len(op.offsets) if isinstance(op, VariableStencilOperator)
+              else 0)                        # coefficient planes stream
     tf = slope(lambda k: chain_fused(b, rows, k)) / 8
     print(f"[{name}] fused per-iter: {tf*1e3:.3f} ms | "
-          f"{5*4*n/tf/1e9:.0f} GB/s (5n traffic)", flush=True)
+          f"{tr*4*n/tf/1e9:.0f} GB/s ({tr}n traffic)", flush=True)
     ts = slope(lambda k: chain_scan(op, b, rows, k)) / 8
     print(f"[{name}] scan  per-iter: {ts*1e3:.3f} ms", flush=True)
     print(f"[{name}] speedup: {ts/tf:.2f}x", flush=True)
 
 
+def var9_2d(ny, nx, seed=0):
+    """Variable-coefficient 9-point 2-D box (anisotropic diffusion with
+    cross terms): per-cell fields for all 9 offsets — the round-4
+    variable-box generalization (the r3 kernel was 5-point-only in
+    variable mode)."""
+    import itertools
+    from exponentialutilities_jl_tpu.ops.stencil import (
+        VariableStencilOperator)
+    rng = np.random.default_rng(seed)
+    offs = list(itertools.product((-1, 0, 1), repeat=2))
+    fields = [jnp.asarray(
+        (0.2 + rng.random(ny * nx)).astype(np.float32) / 8)
+        for _ in offs]
+    return VariableStencilOperator((ny, nx), offs, fields)
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     shape = (216, 216, 216)                 # 10.08M rows
-    if which in ("13", "both"):
+    if which in ("13", "all", "both"):
         run_case("13pt-4th", wide13(shape), shape)
-    if which in ("19", "both"):
+    if which in ("19", "all", "both"):
         run_case("19pt-6th", wide19(shape), shape)
+    if which in ("var9", "all"):
+        run_case("var9pt-2d", var9_2d(3162, 3162), (3162, 3162))
 
 
 if __name__ == "__main__":

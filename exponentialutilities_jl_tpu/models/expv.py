@@ -303,9 +303,11 @@ def _expv_error_estimate(op, b, t, m: int, atol: float, rtol: float):
 
 
 def _fused_two_pass_supported(op) -> bool:
-    """The fused plane-sweep path applies to symmetric 3-D 7-point
-    Stencil/VariableStencil operators on a real TPU backend (the Pallas
-    kernel needs Mosaic; CPU falls back to the XLA two-pass)."""
+    """The fused plane-sweep path applies to symmetric 2-D/3-D box
+    Stencil/VariableStencil operators (any per-axis offsets — the
+    generalized sweep; only VMEM-infeasible geometries are rejected)
+    on a real TPU backend (the Pallas kernel needs Mosaic; CPU falls
+    back to the XLA two-pass)."""
     if jax.default_backend() != "tpu":
         return False
     try:

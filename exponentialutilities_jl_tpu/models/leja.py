@@ -210,7 +210,7 @@ def _leja_apply(op, b, d, xi, center, inv_s, m: int, q: int):
 def _fused_poly_ok(op, dtype, fused: bool | None) -> bool:
     """Route the polynomial recurrence through the fused Pallas plane
     sweep (ops/kernels/lanczos_fused.recurrence_apply_fused)? The sweep
-    covers 3-D 7-point Stencil/VariableStencil operators — ASYMMETRIC
+    covers 2-D/3-D box Stencil/VariableStencil operators — ASYMMETRIC
     constants included (advection–diffusion class), unlike the
     Lanczos-only fused path — on a real TPU at f32."""
     if fused is False:
@@ -224,8 +224,9 @@ def _fused_poly_ok(op, dtype, fused: bool | None) -> bool:
     if fused is True:
         if not ok:
             raise ValueError(
-                "fused=True requires a 3-D 7-point Stencil/"
-                "VariableStencil operator")
+                "fused=True requires a 2-D/3-D box Stencil/"
+                "VariableStencil operator within the sweep's VMEM "
+                "budget")
         return True
     return (ok and jax.default_backend() == "tpu"
             and jnp.dtype(dtype) == jnp.float32)

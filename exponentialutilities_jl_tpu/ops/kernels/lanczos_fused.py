@@ -215,7 +215,25 @@ def ghost_grid_for(op):
     gs = op.grid_shape
     if len(gs) == 3:
         if isinstance(op, VariableStencilOperator):
-            return GhostGrid(*gs)
+            maxdz = max((abs(o[0]) for o in op.offsets), default=0)
+            maxdy = max((abs(o[1]) for o in op.offsets), default=0)
+            maxdx = max((abs(o[2]) for o in op.offsets), default=0)
+            xpad, ypad = max(1, maxdx), max(2, maxdy)
+            P = -(-(gs[2] + xpad) // _LANES)
+            S = -(-((gs[1] + ypad) * P) // 8) * 8
+            zb = max(1, maxdz)
+            C = len(op.offsets)
+            # per-row scoped footprint ≈ 15.5 KB + ~1.1 KB per
+            # double-buffered coefficient slot (the kernel raises its
+            # own VMEM cap to match — fused_lanczos_step); beyond the
+            # raised budget fall back to the XLA scan path
+            if zb * S * (16_000 + 1100 * C) > 100 * 2 ** 20:
+                raise ValueError(
+                    f"variable-coefficient sweep: {C} coefficient "
+                    f"planes at {zb * S} rows/plane overflow the "
+                    "scoped-VMEM budget — falling back to the XLA "
+                    "scan path")
+            return GhostGrid(*gs, zb=zb, ypad=ypad, xpad=xpad)
         maxdz = max((abs(o[0]) for o in op.offsets), default=0)
         maxdy = max((abs(o[1]) for o in op.offsets), default=0)
         maxdx = max((abs(o[2]) for o in op.offsets), default=0)
@@ -226,21 +244,34 @@ def ghost_grid_for(op):
         zb = max(1, tgt // S)
         if maxdz >= 2:
             # |dz| = d offsets need >= d layers per slab (the 3-plane
-            # ring reaches only the adjacent slabs); beyond ~1450
-            # rows/plane the scoped VMEM would overflow — let the
-            # caller fall back to scan
-            if maxdz * S > 1456:
+            # ring reaches only the adjacent slabs); the kernel raises
+            # its own scoped-VMEM cap for fat planes (~15.5 KB/row —
+            # fused_lanczos_step), but beyond ~2900 rows/plane even the
+            # raised budget overflows — let the caller fall back to scan
+            if maxdz * S > 2900:
                 raise ValueError(
                     f"|dz| = {maxdz} offsets need {maxdz} layers per "
                     f"slab but the xy plane is too large ({S} rows/"
-                    "layer) for the 16 MB scoped-VMEM budget — falling "
+                    "layer) for the scoped-VMEM budget — falling "
                     "back to the XLA scan path")
             zb = max(maxdz, zb)
         return GhostGrid(*gs, zb=zb, ypad=ypad, xpad=xpad)
     if len(gs) == 2:
         if isinstance(op, VariableStencilOperator):
-            P = -(-(gs[1] + 1) // _LANES)
-            return GhostGrid2D(*gs, ys=max(8, 480 // P - 2))
+            maxdy = max((abs(o[0]) for o in op.offsets), default=0)
+            maxdx = max((abs(o[1]) for o in op.offsets), default=0)
+            xpad = max(1, maxdx)
+            P = -(-(gs[1] + xpad) // _LANES)
+            C = len(op.offsets)
+            # keep the r3-measured R ≈ 480 sweet spot at the 5-point
+            # C = 5..8 stream, scaling rows down as slots grow
+            ys = max(8, maxdy, (3840 // max(8, C)) // P - 2)
+            if (ys + 2) * P * (16_000 + 1100 * C) > 100 * 2 ** 20:
+                raise ValueError(
+                    f"variable-coefficient sweep: {C} coefficient "
+                    "planes overflow the scoped-VMEM budget — falling "
+                    "back to the XLA scan path")
+            return GhostGrid2D(*gs, ys=ys, xpad=xpad)
         maxdy = max((abs(o[0]) for o in op.offsets), default=0)
         maxdx = max((abs(o[1]) for o in op.offsets), default=0)
         xpad = max(1, maxdx)
@@ -296,20 +327,24 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
     slot i%3 / stage parity) and drained at the final step.
 
     ``variable=True``: the stencil coefficients are PER-CELL fields —
-    ``C_hbm`` is (nz, 8, R, 128) holding, for each output plane, the 7
-    ghost-layout coefficient planes (order: c0, cx+, cx−, cy+, cy−,
-    cz+, cz−; slot 7 pad). One (8, R, 128) block DMAs per step,
-    double-buffered one step ahead of its use (plane p = i−1 computes at
-    step i), so the variable-coefficient sweep streams 12n/iteration vs
-    the constant sweep's 5n — still one pass, reductions included.
+    ``C_hbm`` is (nz, C, R, 128) holding, for each output plane, one
+    ghost-layout coefficient plane per stencil offset (slot order =
+    the operator's offset order; the coupling geometry rides ``cpairs``
+    with the 4th element the SLOT index instead of a constant). One
+    (C, R, 128) block DMAs per step, double-buffered one step ahead of
+    its use (plane p = i−1 computes at step i), so the 7-point
+    variable sweep streams 12n/iteration vs the constant sweep's 5n —
+    still one pass, reductions included. Box/wide offsets use the same
+    generalized boundary bands as the constant path.
 
-    Slab statics (the constant path; see GhostGrid/GhostGrid2D): each
-    pallas plane holds ``L`` grid LAYERS of ``S`` rows starting at row
-    ``B0`` (a layer = one z-plane in 3-D, one grid row in 2-D; ``NL`` =
-    total layers). Within-slab layer coupling is a ±S row shift; the
-    edge layers read the neighbour plane through masked boundary
-    shifts. ``cpairs`` holds (ds, rs, dx, c): slab-axis offset, inner
-    row shift (dy·P in 3-D, 0 in 2-D), lane shift, coefficient."""
+    Slab statics (see GhostGrid/GhostGrid2D): each pallas plane holds
+    ``L`` grid LAYERS of ``S`` rows starting at row ``B0`` (a layer =
+    one z-plane in 3-D, one grid row in 2-D; ``NL`` = total layers).
+    Within-slab layer coupling is a ±S row shift; the edge layers read
+    the neighbour plane through masked boundary shifts. ``cpairs``
+    holds (ds, rs, dx, c|slot): slab-axis offset, inner row shift
+    (dy·P in 3-D, 0 in 2-D), lane shift, coefficient (constant path)
+    or coefficient-plane slot (variable path)."""
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
     par = i % 2
@@ -418,75 +453,57 @@ def _fused_kernel(coef_ref, Z_hbm, Vc_hbm, Vp_hbm, mask_ref, C_hbm, W_hbm,
         zm = jnp.where(p >= 1, yring[(p - 1) % 3], 0.0)
         zp = jnp.where(p + 1 < nz, yring[(p + 1) % 3], 0.0)
         rowi2 = jax.lax.broadcasted_iota(jnp.int32, yc.shape, 0)
-        # slab boundary masks: the edge LAYERS of this plane read the
-        # neighbour plane's opposite edge layer through a row shift of
-        # ±(L−1)·S (layers are S rows starting at B0)
-        mlast = (rowi2 >= B0 + (L - 1) * S) & (rowi2 < B0 + L * S)
-        mfirst = (rowi2 >= B0) & (rowi2 < B0 + S)
+        # static (ds, rs, dx, c|slot) couplings — any box stencil whose
+        # slab-axis offsets satisfy |ds| <= L (13-point 4th-order,
+        # 19-point 6th-order FD, 9/27/125-point boxes; asymmetric
+        # allowed): one shift-multiply-add per coupling inside the slab
+        # (row-shift results shared per (plane, shift)); a slab-axis
+        # coupling of |ds| = d additionally reads the d masked edge
+        # layers of the neighbour plane already in the 3-plane ring —
+        # layer l ∈ [L−d, L) reads zp layer l+d−L, a single row shift
+        # of rs + (d−L)·S for the whole band (and mirrored for zm).
+        # The within-slab shift pulls zeros past the plane edge for
+        # those band layers, so the two terms never double-count.
+        # L == 1 degenerates exactly to whole-plane neighbour coupling
+        # for |ds| <= 1 (band = the full layer, shift = rs).
+        # Variable mode: cv is the slot's PER-CELL coefficient plane
+        # (indexed at the OUTPUT cell, the VariableStencilOperator
+        # convention) instead of a compile-time constant — same
+        # geometry, (R, 128) broadcast instead of scalar.
         if variable:
-            if d2:
-                bnd_p = jnp.where(
-                    mlast, _row_shift_full(zp, -(L - 1) * S)
-                    if L > 1 else zp, 0.0)
-                bnd_m = jnp.where(
-                    mfirst, _row_shift_full(zm, (L - 1) * S)
-                    if L > 1 else zm, 0.0)
             cdma(p % 2, p).wait()
             cpar = p % 2
-            zn = cbuf[cpar, 0] * yc
-            zn = zn + cbuf[cpar, 1] * _lane_shift_full(yc, 1)
-            zn = zn + cbuf[cpar, 2] * _lane_shift_full(yc, -1)
-            zn = zn + cbuf[cpar, 3] * _row_shift_full(yc, P)
-            zn = zn + cbuf[cpar, 4] * _row_shift_full(yc, -P)
-            if d2:
-                # 2-D: the cy± coefficients also drive the boundary terms
-                zn = (zn + cbuf[cpar, 3] * bnd_p
-                      + cbuf[cpar, 4] * bnd_m) * mask_ref[:, :]
+        cache = {}
+
+        def sh(tag, base, rshift, dx):
+            key = (tag, rshift)
+            if key not in cache:
+                cache[key] = (_row_shift_full(base, rshift)
+                              if rshift else base)
+            t = cache[key]
+            return _lane_shift_full(t, dx) if dx else t
+
+        zn = jnp.zeros(yc.shape, yc.dtype)
+        for ds, rs, dx, key in cpairs:
+            if variable:
+                cv = cbuf[cpar, key]
             else:
-                zn = (zn + cbuf[cpar, 5] * zp + cbuf[cpar, 6] * zm) \
-                    * mask_ref[:, :]
-        else:
-            # static (ds, rs, dx, c) couplings — any box stencil whose
-            # slab-axis offsets satisfy |ds| <= L (13-point 4th-order,
-            # 19-point 6th-order FD, 9/27/125-point boxes; asymmetric
-            # allowed): one shift-multiply-add per nonzero coupling
-            # inside the slab (row-shift results shared per
-            # (plane, shift)); a slab-axis coupling of |ds| = d
-            # additionally reads the d masked edge layers of the
-            # neighbour plane already in the 3-plane ring — layer
-            # l ∈ [L−d, L) reads zp layer l+d−L, a single row shift of
-            # rs + (d−L)·S for the whole band (and mirrored for zm).
-            # The within-slab shift pulls zeros past the plane edge for
-            # those band layers, so the two terms never double-count.
-            # L == 1 degenerates exactly to whole-plane neighbour
-            # coupling for |ds| <= 1 (band = the full layer, shift = rs).
-            cache = {}
-
-            def sh(tag, base, rshift, dx):
-                key = (tag, rshift)
-                if key not in cache:
-                    cache[key] = (_row_shift_full(base, rshift)
-                                  if rshift else base)
-                t = cache[key]
-                return _lane_shift_full(t, dx) if dx else t
-
-            zn = jnp.zeros(yc.shape, yc.dtype)
-            for ds, rs, dx, cv in cpairs:
-                if cv == 0.0:
+                if key == 0.0:
                     continue
-                if L > abs(ds) or ds == 0:
-                    zn = zn + cv * sh("c", yc, rs + ds * S, dx)
-                if ds > 0:
-                    mk = (rowi2 >= B0 + max(L - ds, 0) * S) \
-                        & (rowi2 < B0 + L * S)
-                    zn = zn + cv * jnp.where(
-                        mk, sh("p", zp, rs + (ds - L) * S, dx), 0.0)
-                elif ds < 0:
-                    mk = (rowi2 >= B0) \
-                        & (rowi2 < B0 + min(-ds, L) * S)
-                    zn = zn + cv * jnp.where(
-                        mk, sh("m", zm, rs + (L + ds) * S, dx), 0.0)
-            zn = zn * mask_ref[:, :]
+                cv = key
+            if L > abs(ds) or ds == 0:
+                zn = zn + cv * sh("c", yc, rs + ds * S, dx)
+            if ds > 0:
+                mk = (rowi2 >= B0 + max(L - ds, 0) * S) \
+                    & (rowi2 < B0 + L * S)
+                zn = zn + cv * jnp.where(
+                    mk, sh("p", zp, rs + (ds - L) * S, dx), 0.0)
+            elif ds < 0:
+                mk = (rowi2 >= B0) \
+                    & (rowi2 < B0 + min(-ds, L) * S)
+                zn = zn + cv * jnp.where(
+                    mk, sh("m", zm, rs + (L + ds) * S, dx), 0.0)
+        zn = zn * mask_ref[:, :]
         if NL % L:
             zn = jnp.where(
                 rowi2 < B0 + S * jnp.minimum(L, NL - p * L), zn, 0.0)
@@ -564,16 +581,24 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     given (the replay accumulator: W_new = w_accum + cw·Vc, updated
     in-place through an input/output alias during the same sweep).
 
-    ``cfields`` = (nz, 8, R, 128) per-cell coefficient planes switches the
-    sweep to the variable-coefficient stencil (``coeffs_static`` must be
-    None); the matvec coefficients stream one block per plane step.
+    ``cfields`` = (nz, C, R, 128) per-cell coefficient planes switches
+    the sweep to the variable-coefficient stencil; ``coeffs_static``
+    then holds the ((dz, dy, dx), slot) offset→plane-slot pairs (what
+    ``_fused_dispatch`` returns), or ``None`` for the legacy fixed
+    8-slot layout (c0, cx+, cx−, cy+, cy−, cz+, cz−, pad). The matvec
+    coefficients stream one (C, R, 128) block per plane step.
     """
-    nz = grid_desc.nslabs            # pallas planes = slabs, not layers
+    nz = grid_desc.nslabs            # pallas planes = slabs, not slices
     R = grid_desc.rows_per_plane
     P = grid_desc.P
     variable = cfields is not None
     if variable:
-        cpairs = ()
+        if coeffs_static is None:       # legacy fixed-slot contract
+            slots = (_SEVEN_POINT if not grid_desc.d2
+                     else tuple((0,) + off for off in _FIVE_POINT))
+            pairs3 = tuple((off, k) for k, off in enumerate(slots))
+        else:
+            pairs3 = tuple(coeffs_static)   # ((dz, dy, dx), slot)
     else:
         cs = tuple(coeffs_static)
         if cs and isinstance(cs[0], tuple):  # ((dz, dy, dx), c) pairs
@@ -584,15 +609,17 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
                                (c0s, cxs, cxs, cys, cys, czs, czs)))
         else:                           # legacy per-direction 7-tuple
             pairs3 = tuple(zip(_SEVEN_POINT, cs))
+    if True:
         # decompose onto the slab geometry: (slab-axis offset, inner row
-        # shift, lane shift, coeff) — the slab axis is y in 2-D (pairs
-        # were lifted to dz = 0) and z in 3-D
+        # shift, lane shift, coeff|slot) — the slab axis is y in 2-D
+        # (pairs were lifted to dz = 0) and z in 3-D
         if grid_desc.d2:
             cpairs = tuple((dy, 0, dx, c) for (dz, dy, dx), c in pairs3)
         else:
             cpairs = tuple((dz, dy * grid_desc.P, dx, c)
                            for (dz, dy, dx), c in pairs3)
-        live = [p for p in cpairs if p[3] != 0.0]
+        live = (list(cpairs) if variable
+                else [p for p in cpairs if p[3] != 0.0])
         maxds = max((abs(p[0]) for p in live), default=0)
         maxdx = max((abs(p[2]) for p in live), default=0)
         if maxds > grid_desc.L:
@@ -659,7 +686,8 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     else:
         alias = {}
     if variable:
-        scratch.append(pltpu.VMEM((2, 8, R, _LANES), dt))  # coeff blocks
+        scratch.append(pltpu.VMEM((2, int(cfields.shape[1]), R, _LANES),
+                                  dt))                     # coeff blocks
     if accum:
         scratch.append(pltpu.VMEM((2, R, _LANES), dt))     # w planes (dbl)
     scratch.append(pltpu.SemaphoreType.DMA((18,)))
@@ -668,6 +696,17 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
             (True, False): _kernel_var,
             (True, True): _kernel_var_accum}[(variable, accum)]
 
+    # Scoped-VMEM budget: Mosaic's default 16 MiB cap rejects fat planes
+    # (zb = maxdz slabbing at 216²-class xy puts R past ~1100 rows for
+    # the accum variant — measured 19.17M scoped at R = 1320). The v5e
+    # TensorCore has far more physical VMEM, so raise the cap to the
+    # kernel's measured footprint (~15.5 KB/row constant-accum +
+    # ~1.1 KB/row per double-buffered coefficient slot), bounded well
+    # under the hardware; ghost_grid_for's dispatch guard keeps R in a
+    # range this covers.
+    csl = int(cfields.shape[1]) if variable else 0
+    vlim = max(16 * 2 ** 20,
+               min(100 * 2 ** 20, int(R * (16_000 + 1100 * csl))))
     out = pl.pallas_call(
         functools.partial(kern, **kw),
         grid=(nsteps,),
@@ -676,6 +715,7 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         input_output_aliases=alias,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
         interpret=interpret,
     )(*operands)
     if accum:
@@ -734,31 +774,35 @@ def _stencil_coeffs_static(op, hermitian: bool = True) -> tuple:
 def _fused_dispatch(op, hermitian: bool = True):
     """(coeffs_static, cfields_builder) for a supported operator.
 
-    StencilOperator (constant 7-point; symmetric when ``hermitian``) →
-    (7-tuple, None); VariableStencilOperator (7-point) → (None, builder)
-    where builder(gg, dt) packs the (nz, 8, R, 128) coefficient-plane
-    stream (field order: c0, cx+, cx−, cy+, cy−, cz+, cz−, pad).
+    StencilOperator (constant box stencil; symmetric when ``hermitian``)
+    → (((dz, dy, dx), coeff) pairs, None); VariableStencilOperator (ANY
+    box stencil — the coupling geometry is the same generalized sweep
+    as the constant path, the coefficient VALUES stream as per-cell
+    planes) → (((dz, dy, dx), slot) pairs, builder) where builder(gg,
+    dt) packs the (nz, C, R, 128) coefficient-plane stream in the
+    operator's offset order.
     """
     from ..stencil import VariableStencilOperator
 
     if isinstance(op, VariableStencilOperator):
         if len(op.grid_shape) not in (2, 3):
             raise ValueError("fused sweep requires a 2-D or 3-D grid")
-        slots = (_SEVEN_POINT if len(op.grid_shape) == 3
-                 else _FIVE_POINT + (None, None))
-        if set(op.offsets) - set(s for s in slots if s is not None):
-            raise ValueError("fused sweep supports 7-point (3-D) / "
-                             "5-point (2-D) stencils only")
         if hermitian and not op.is_hermitian:
             raise ValueError("fused Lanczos (a Lanczos recurrence) "
                              "requires a Hermitian operator")
+        ghost_grid_for(op)      # raises when the C-plane stream or the
+        #                         |slab-offset| layers overflow VMEM
+        offs3 = tuple(off if len(off) == 3 else (0,) + off
+                      for off in op.offsets)
+        pairs = tuple((off, k) for k, off in enumerate(offs3))
 
         def builder(gg: GhostGrid, dt):
-            # The packed (nz, 8, R, 128) stream is ~8 full-grid passes
-            # (~450 MB of traffic at 216³ f32); cache it on the operator
-            # instance so repeated fused calls (two-pass expv runs two)
-            # pay it once. Never cache tracers: when the operator rides
-            # as a jit argument the build is part of the traced program.
+            # The packed (nz, C, R, 128) stream is ~C full-grid passes
+            # (~450 MB of traffic at 216³ f32, C = 8); cache it on the
+            # operator instance so repeated fused calls (two-pass expv
+            # runs two) pay it once. Never cache tracers: when the
+            # operator rides as a jit argument the build is part of the
+            # traced program.
             key = (gg, jnp.dtype(dt).name)
             cached = getattr(op, "_ghost_planes_cache", None)
             # identity check on the source array: a reassigned
@@ -767,18 +811,14 @@ def _fused_dispatch(op, hermitian: bool = True):
             if (cached is not None and cached[0] == key
                     and cached[2] is op.coeff_fields):
                 return cached[1]
-            cmap = {off: op.coeff_fields[k]
-                    for k, off in enumerate(op.offsets)}
-            zero = jnp.zeros((gg.nslabs, gg.rows_per_plane, _LANES), dt)
-            planes = [gg.to_ghost(cmap[off].astype(dt))
-                      if off in cmap else zero for off in slots]
-            planes.append(zero)                     # pad slot 7
-            stacked = jnp.stack(planes, axis=1)     # (nz, 8, R, 128)
+            planes = [gg.to_ghost(op.coeff_fields[k].astype(dt))
+                      for k in range(len(op.offsets))]
+            stacked = jnp.stack(planes, axis=1)     # (nz, C, R, 128)
             if not isinstance(stacked, jax.core.Tracer):
                 op._ghost_planes_cache = (key, stacked, op.coeff_fields)
             return stacked
 
-        return None, builder
+        return pairs, builder
     cs = _stencil_coeffs_static(op, hermitian=hermitian)
     # Wide-offset feasibility must be decided HERE, not at apply time:
     # the auto-dispatch gates (_fused_poly_ok, _fused_two_pass_supported,
@@ -796,10 +836,10 @@ def _fused_dispatch(op, hermitian: bool = True):
 
 def lanczos_coeffs_fused(op, b, m: int, *, tol: float = 1e-7,
                          interpret: bool = False):
-    """Drop-in twin of ``ops.krylov.lanczos_coeffs`` for 3-D 7-point
-    ``StencilOperator``s (constant coefficients, ~5n HBM traffic per
-    iteration) and Hermitian ``VariableStencilOperator``s (per-cell
-    coefficient fields streamed as planes, ~12n) via
+    """Drop-in twin of ``ops.krylov.lanczos_coeffs`` for symmetric
+    2-D/3-D box ``StencilOperator``s (constant coefficients, ~5n HBM
+    traffic per iteration) and Hermitian ``VariableStencilOperator``s
+    (per-cell coefficient fields streamed as planes, ~(5+C)n) via
     ``fused_lanczos_step``.
     """
     coeffs_static, cbuilder = _fused_dispatch(op)
@@ -911,8 +951,8 @@ def lanczos_replay_fused(op, b, coeffs, *, tol: float = 1e-7,
 
 
 def stencil_matvec_fused(op, x, *, interpret: bool = False):
-    """Plane-pipelined Pallas stencil matvec: ``A @ x`` for a 3-D 7-point
-    ``StencilOperator`` via one fused sweep (the (1,0,0)-coefficient
+    """Plane-pipelined Pallas stencil matvec: ``A @ x`` for a 2-D/3-D
+    box Stencil/VariableStencil operator via one fused sweep (the (1,0,0)-coefficient
     Lanczos sweep emits y = x and Zn = A·x). Traffic: read x planes once,
     write A·x planes once (+ the pass-through y write) — an alternative
     to the XLA pad+slice matvec with fully explicit DMA pipelining."""
@@ -948,7 +988,7 @@ def recurrence_apply_fused(op, b, rows, *, interpret: bool = False):
         (rows = [1/γ, −c/γ, −ρ (−2ρ at k=1), a_k]; models/faber.py),
 
     and — because the asymmetric per-direction constants ride the same
-    kernel — it runs ADVECTION–DIFFUSION class 7-point stencils, the
+    kernel — it runs ADVECTION–DIFFUSION class stencils, the
     domain the Lanczos-only fused path had to exclude (round-2 STATUS
     known-gap; reference non-Hermitian workhorse: src/arnoldi.jl:285-364).
     """

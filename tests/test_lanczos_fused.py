@@ -787,6 +787,183 @@ class TestThirdNeighbourOffsets:
             self._matvec_via(GhostGrid(10, 14, 140, zb=3, xpad=3), op, x)
 
 
+class TestVariableBoxStencils:
+    """Round-4 gap closure: the variable-coefficient sweep now covers
+    ANY box stencil (the constant path's generalized coupling geometry
+    with per-cell coefficient planes streamed per slot), not just
+    7/5-point. The coefficient stream is (nz, C, R, 128) in the
+    operator's offset order."""
+
+    @staticmethod
+    def _vop(shape, offs, rng):
+        from exponentialutilities_jl_tpu.ops.stencil import (
+            VariableStencilOperator)
+        n = int(np.prod(shape))
+        fields = [jnp.asarray(rng.standard_normal(n), jnp.float32)
+                  for _ in offs]
+        return VariableStencilOperator(shape, offs, fields)
+
+    def test_variable_9pt_2d_matvec(self, rng):
+        import itertools
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            stencil_matvec_fused)
+        ny, nx = 61, 150
+        offs = list(itertools.product((-1, 0, 1), repeat=2))
+        vop = self._vop((ny, nx), offs, rng)
+        x = jnp.asarray(rng.standard_normal(ny * nx), jnp.float32)
+        y = np.asarray(stencil_matvec_fused(vop, x, interpret=True))
+        want = np.asarray(vop.matvec(x))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_variable_27pt_3d_matvec(self, rng):
+        import itertools
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for, stencil_matvec_fused)
+        shape = (9, 8, 140)
+        offs = list(itertools.product((-1, 0, 1), repeat=3))
+        vop = self._vop(shape, offs, rng)
+        assert ghost_grid_for(vop).zb == 1
+        x = jnp.asarray(rng.standard_normal(int(np.prod(shape))),
+                        jnp.float32)
+        y = np.asarray(stencil_matvec_fused(vop, x, interpret=True))
+        want = np.asarray(vop.matvec(x))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_variable_wide_13pt_3d_matvec(self, rng):
+        # |dz| = 2 variable offsets: zb = 2 slabs, coefficient planes
+        # slab-stacked by to_ghost, boundary bands ride per-cell fields
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for, stencil_matvec_fused)
+        shape = (12, 9, 140)
+        offs = [(0, 0, 0)]
+        for ax in range(3):
+            for o in (1, -1, 2, -2):
+                off = [0, 0, 0]
+                off[ax] = o
+                offs.append(tuple(off))
+        vop = self._vop(shape, offs, rng)
+        gg = ghost_grid_for(vop)
+        assert gg.zb >= 2 and gg.nxp - gg.nx >= 2
+        x = jnp.asarray(rng.standard_normal(int(np.prod(shape))),
+                        jnp.float32)
+        y = np.asarray(stencil_matvec_fused(vop, x, interpret=True))
+        want = np.asarray(vop.matvec(x))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+    def test_variable_9pt_2d_multislab_recurrence(self, rng):
+        import itertools
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for, recurrence_apply_fused)
+        ny, nx = 300, 150
+        offs = list(itertools.product((-1, 0, 1), repeat=2))
+        vop = self._vop((ny, nx), offs, rng)
+        # scale down so the 6-step recurrence stays O(1)
+        vop.coeff_fields = vop.coeff_fields / 8.0
+        assert ghost_grid_for(vop).nslabs > 1   # cross-slab bands live
+        b = rng.standard_normal(ny * nx).astype(np.float32)
+        rows = (rng.standard_normal((6, 4)) / 3).astype(np.float32)
+        wf = np.asarray(recurrence_apply_fused(vop, jnp.asarray(b),
+                                               jnp.asarray(rows),
+                                               interpret=True))
+        om_p = np.zeros_like(b)
+        om = b.copy()
+        w = np.zeros_like(b)
+        for ca, cb, cc, cw in rows:
+            w = w + cw * om
+            om, om_p = (ca * np.asarray(vop.matvec(jnp.asarray(om)))
+                        + cb * om + cc * om_p), om
+        assert np.max(np.abs(wf - w)) / np.max(np.abs(w)) < 1e-4
+
+    def test_variable_hermitian_box_lanczos(self, rng):
+        # Hermitian variable 9-point: coeff pairing
+        # c_k[i] == c_{-k}[i + off_k] (the operator's Hermitian
+        # condition); the fused Lanczos coeffs must match the XLA path
+        import itertools
+        from exponentialutilities_jl_tpu.ops.stencil import (
+            VariableStencilOperator)
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            lanczos_coeffs_fused)
+        from exponentialutilities_jl_tpu.ops.krylov import lanczos_coeffs
+        ny, nx = 45, 140
+        offs = [o for o in itertools.product((-1, 0, 1), repeat=2)]
+        F = {}
+        for off in offs:
+            if off in F:
+                continue
+            mo = (-off[0], -off[1])
+            f = rng.standard_normal((ny, nx)).astype(np.float32)
+            F[off] = f
+            if mo != off:
+                # c_{-k}[i] = c_k[i - off] — roll with Dirichlet cut
+                g = np.zeros_like(f)
+                sy, sx = off
+                ys0, ys1 = max(0, sy), ny + min(0, sy)
+                xs0, xs1 = max(0, sx), nx + min(0, sx)
+                g[ys0:ys1, xs0:xs1] = f[ys0 - sy:ys1 - sy,
+                                        xs0 - sx:xs1 - sx]
+                F[mo] = g
+        vop = VariableStencilOperator(
+            (ny, nx), offs, [F[o].reshape(-1) / 6 for o in offs],
+            is_hermitian=True)
+        # verify Hermitian premise against the dense operator
+        import jax
+        n = ny * nx
+        cols_dense = np.asarray(
+            jax.vmap(vop.matvec, in_axes=1, out_axes=1)(
+                jnp.eye(n, dtype=jnp.float32)))
+        assert np.max(np.abs(cols_dense - cols_dense.T)) < 1e-5
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        a1, b1, _, _, _ = lanczos_coeffs(vop, b, 8)
+        a2, b2, _, _, _ = lanczos_coeffs_fused(vop, b, 8, interpret=True)
+        scale = float(jnp.max(jnp.abs(a1)))
+        assert float(jnp.max(jnp.abs(a1 - a2))) / scale < 1e-4
+        assert float(jnp.max(jnp.abs(b1 - b2))) / scale < 1e-4
+
+    def test_variable_vmem_budget_rejected(self, rng):
+        # a giant-xy 27-point variable operator must be rejected at
+        # dispatch (falls back to scan), not crash in the kernel
+        import itertools
+        from exponentialutilities_jl_tpu.ops.stencil import (
+            VariableStencilOperator)
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            _fused_dispatch)
+        shape = (4, 1024, 1024)
+        offs = list(itertools.product((-1, 0, 1), repeat=3))
+        n = int(np.prod(shape))
+        fields = [jnp.zeros(n, jnp.float32) for _ in offs]
+        vop = VariableStencilOperator(shape, offs, fields)
+        with pytest.raises(ValueError, match="scoped-VMEM"):
+            _fused_dispatch(vop, hermitian=False)
+
+    def test_legacy_fixed_slot_contract(self, rng):
+        # fused_lanczos_step(coeffs_static=None, cfields=(nz,8,R,128))
+        # must keep working for external callers of the round-3 API
+        from exponentialutilities_jl_tpu.ops.stencil import (
+            VariableStencilOperator)
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for, fused_lanczos_step, _SEVEN_POINT)
+        shape = (6, 7, 130)
+        n = int(np.prod(shape))
+        offs = list(_SEVEN_POINT)
+        fields = [rng.standard_normal(n).astype(np.float32)
+                  for _ in offs]
+        vop = VariableStencilOperator(shape, offs, fields)
+        gg = ghost_grid_for(vop)
+        planes = [gg.to_ghost(jnp.asarray(f)) for f in fields]
+        planes.append(jnp.zeros_like(planes[0]))
+        C = jnp.stack(planes, axis=1)           # legacy 8-slot layout
+        mask = jnp.asarray(gg.xmask())
+        x = rng.standard_normal(n).astype(np.float32)
+        Xg = gg.to_ghost(jnp.asarray(x))
+        zeros = jnp.zeros_like(Xg)
+        _, Zn, _, _ = fused_lanczos_step(
+            Xg, zeros, zeros, (1.0, 0.0, 0.0), mask, grid_desc=gg,
+            coeffs_static=None, cfields=C, interpret=True)
+        y = np.asarray(gg.from_ghost(Zn))
+        want = np.asarray(vop.matvec(jnp.asarray(x)))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
+
+
 class TestWideDispatchGate:
     """Review r4: infeasible wide-offset operators must be rejected at
     DISPATCH time (ValueError from _fused_dispatch) so the auto gates
