@@ -106,15 +106,31 @@ def run_case(name, op, shape):
     print(f"[{name}] fused vs scan correctness (8 iters): {rel:.2e}",
           flush=True)
 
-    # per-iteration slope: chain K recurrence_apply_fused(8 iters) calls
-    # op rides in the CLOSURE: the fused dispatch builds static cpairs
-    # from concrete coefficients (13 floats — safe to embed)
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chain_fused(b, rows, k):
-        def body(i, x):
-            w = recurrence_apply_fused(op, x, rows)
-            return w / jnp.max(jnp.abs(w))
-        return jnp.sum(jax.lax.fori_loop(0, k, body, b))
+    # per-iteration slope: chain K recurrence_apply_fused(8 iters) calls.
+    # CONSTANT op rides in the CLOSURE (the fused dispatch builds static
+    # cpairs from concrete coefficients — a handful of floats, safe to
+    # embed); a VARIABLE op must ride as a pytree ARGUMENT or its
+    # GB-scale coefficient fields become embedded constants and blow the
+    # remote-compile request (HTTP 413 — the CLAUDE.md closure trap).
+    from exponentialutilities_jl_tpu.ops.stencil import (
+        VariableStencilOperator as _V)
+    if isinstance(op, _V):
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain_fused_v(op_, b, rows, k):
+            def body(i, x):
+                w = recurrence_apply_fused(op_, x, rows)
+                return w / jnp.max(jnp.abs(w))
+            return jnp.sum(jax.lax.fori_loop(0, k, body, b))
+
+        def chain_fused(b, rows, k):
+            return chain_fused_v(op, b, rows, k)
+    else:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain_fused(b, rows, k):
+            def body(i, x):
+                w = recurrence_apply_fused(op, x, rows)
+                return w / jnp.max(jnp.abs(w))
+            return jnp.sum(jax.lax.fori_loop(0, k, body, b))
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def chain_scan(op, b, rows, k):
