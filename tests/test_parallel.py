@@ -194,6 +194,78 @@ class TestShardedStencil:
         np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_d),
                                    rtol=1e-9, atol=1e-11)
 
+    def test_matvec_wide_halo(self, mesh, rng):
+        # round-4: |axis-0 offset| up to 3 — the h0-deep plane halo
+        # (ppermute of h0 boundary planes) must match the single-device
+        # wide-star matvec; the sharded layer was generic in h0 all
+        # along but only h0 = 1 was exercised
+        import functools
+        from exponentialutilities_jl_tpu import StencilOperator
+        from exponentialutilities_jl_tpu.parallel import shard_stencil
+        shape = (32, 3, 5)                  # axis0 = 32 over 8 → local 4
+        offs = [(0, 0, 0)]
+        for ax in range(3):
+            for o in (1, -1, 2, -2, 3, -3):
+                off = [0, 0, 0]
+                off[ax] = o
+                offs.append(tuple(off))
+        co = rng.standard_normal(len(offs)) / 6
+        st = StencilOperator(shape, offs, jnp.asarray(co))
+        n = int(np.prod(shape))
+        x = jnp.asarray(rng.standard_normal(n))
+        coeffs, make_local = shard_stencil(st, mesh)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(), P("shard")),
+                           out_specs=P("shard"))
+        def mv(c, x_local):
+            return make_local(c).matvec(x_local)
+
+        y = mv(coeffs, shard_vector(x, mesh))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(st.matvec(x)),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_expv_sharded_wide_stencil(self, mesh, rng):
+        # symmetric 6th-order-class star through the full sharded Krylov
+        from exponentialutilities_jl_tpu import StencilOperator
+        shape = (32, 3, 5)
+        n = int(np.prod(shape))
+        offs, co = [(0, 0, 0)], [-3.0 * 49 / 18]
+        for ax in range(3):
+            for o, c in ((1, 1.5), (-1, 1.5), (2, -0.15), (-2, -0.15),
+                         (3, 1 / 90), (-3, 1 / 90)):
+                off = [0, 0, 0]
+                off[ax] = o
+                offs.append(tuple(off))
+                co.append(c)
+        st = StencilOperator(shape, offs, jnp.asarray(np.asarray(co) / 4),
+                             is_hermitian=True)
+        b = jnp.asarray(rng.standard_normal(n))
+        w_s = expv_sharded(0.3, st, b, mesh, m=40)
+        w_d = expv(0.3, st, b, m=40)
+        np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_d),
+                                   rtol=1e-9, atol=1e-10)
+
+    def test_halo_deeper_than_slab_rejected(self, mesh, rng):
+        # h0 = 3 > local slab depth 2 cannot be served by one ppermute
+        # ring hop — must raise, not silently corrupt
+        import functools
+        from exponentialutilities_jl_tpu import StencilOperator
+        from exponentialutilities_jl_tpu.parallel import shard_stencil
+        st = StencilOperator((16, 4, 4), [(3, 0, 0), (0, 0, 0), (-3, 0, 0)],
+                             jnp.asarray([1.0, -2.0, 1.0]))
+        coeffs, make_local = shard_stencil(st, mesh)   # local depth 2
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(), P("shard")),
+                           out_specs=P("shard"))
+        def mv(c, x_local):
+            return make_local(c).matvec(x_local)
+
+        with pytest.raises(ValueError, match="halo"):
+            mv(coeffs, shard_vector(
+                jnp.asarray(rng.standard_normal(256)), mesh))
+
     def test_make_expv_step_stencil(self, mesh, rng):
         from exponentialutilities_jl_tpu import laplacian_nd_stencil
         from exponentialutilities_jl_tpu.parallel import make_expv_step
