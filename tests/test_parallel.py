@@ -152,6 +152,61 @@ class TestGspmdAutoSharding:
         np.testing.assert_allclose(np.asarray(w).ravel(), oracle, rtol=1e-6,
                                    atol=1e-8)
 
+    def test_nw_device_inherits_distribution(self, mesh, rng):
+        """The device-resident adaptive NW driver (one lax.while_loop
+        program) partitions under GSPMD like the host driver: sharded
+        operator arrays + sharded B, no distributed-specific code."""
+        from exponentialutilities_jl_tpu.models.nw_device import (
+            phiv_timestep_device)
+        from exponentialutilities_jl_tpu.parallel import shard_operator
+        op = laplacian_1d(256)
+        b = rng.standard_normal(256)
+        U = phiv_timestep_device([0.5], shard_operator(op, mesh),
+                                 shard_vector(jnp.asarray(b), mesh)[:, None],
+                                 m=20)
+        oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(np.asarray(U[:, 0]), oracle, rtol=1e-6,
+                                   atol=1e-8)
+
+    def test_kiops_device_inherits_distribution(self, mesh, rng):
+        from exponentialutilities_jl_tpu.models.kiops_device import (
+            kiops_device)
+        from exponentialutilities_jl_tpu.parallel import shard_operator
+        op = laplacian_1d(256)
+        b = rng.standard_normal(256)
+        w, info = kiops_device([0.5], shard_operator(op, mesh),
+                               shard_vector(jnp.asarray(b), mesh)[:, None])
+        oracle = sla.expm(0.5 * np.asarray(op.to_dense())) @ b
+        np.testing.assert_allclose(np.asarray(w).ravel(), oracle, rtol=1e-6,
+                                   atol=1e-8)
+
+    def test_exprb_device_adaptive_sharded(self, mesh, rng):
+        """Adaptive device-resident exprb43 on a sharded semilinear
+        problem: the while-loop program partitions over the mesh; the
+        result keeps the row sharding and matches the unsharded run."""
+        from exponentialutilities_jl_tpu.models.integrators import (
+            exprb43_device)
+        from exponentialutilities_jl_tpu.parallel import shard_operator
+        op = laplacian_1d(256)
+        u0_np = rng.standard_normal(256) * 0.1
+
+        def make_f(A):
+            return lambda u: A.matvec(u) - u ** 3
+
+        op_s = shard_operator(op, mesh)
+        u1, stats = exprb43_device(
+            make_f(op_s), shard_vector(jnp.asarray(u0_np), mesh),
+            (0.0, 0.05), adaptive=True, m=12, rtol=1e-6, atol=1e-9,
+            return_stats=True)
+        assert int(stats.info) == 0
+        assert "shard" in str(u1.sharding)
+        u1_ref, stats_ref = exprb43_device(
+            make_f(op), jnp.asarray(u0_np), (0.0, 0.05), adaptive=True,
+            m=12, rtol=1e-6, atol=1e-9, return_stats=True)
+        assert int(stats.steps) == int(stats_ref.steps)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u1_ref),
+                                   rtol=1e-10, atol=1e-12)
+
 
 class TestShardedStencil:
     """Plane-halo sharded stencil operators (parallel/stencil.py)."""
