@@ -167,6 +167,15 @@ def var9_2d(ny, nx, seed=0):
     return VariableStencilOperator((ny, nx), offs, fields)
 
 
+def seven(shape, dtype=jnp.float32):
+    h = 1.0 / (shape[-1] + 1)
+    offs = [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+            (0, 0, 1), (0, 0, -1)]
+    co = [-6.0 / h ** 2] + [1.0 / h ** 2] * 6
+    return StencilOperator(shape, offs, jnp.asarray(co, dtype),
+                           is_hermitian=True)
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -177,6 +186,16 @@ def main():
         run_case("19pt-6th", wide19(shape), shape)
     if which in ("var9", "all"):
         run_case("var9pt-2d", var9_2d(3162, 3162), (3162, 3162))
+    # Part 3 (round-4 late): PANCAKE grids whose natural xy layers
+    # overflow the scoped-VMEM budget — the axis-permuted ghost layout
+    # (GhostGrid(perm=...)) re-orients the sweep along the long axis
+    # instead of falling to the XLA scan (STATUS r4 "giant-xy" gap).
+    if which in ("perm7", "perm", "all"):
+        ps = (8, 1448, 1448)                # 16.8M cells, S=17400 natural
+        run_case("perm-7pt", seven(ps), ps)
+    if which in ("perm13", "perm", "all"):
+        ps = (16, 1024, 1024)               # 16.8M cells, |dz|=2 wide
+        run_case("perm-13pt", wide13(ps), ps)
 
 
 if __name__ == "__main__":

@@ -68,7 +68,17 @@ class GhostGrid:
     """
 
     def __init__(self, nz, ny, nx, zb: int = 1, ypad: int = 2,
-                 xpad: int = 1):
+                 xpad: int = 1, perm=(0, 1, 2)):
+        # ``perm`` reorients the sweep: (nz, ny, nx) are the extents of
+        # the ORIGINAL grid axes perm[0], perm[1], perm[2] — the sweep
+        # streams along original axis perm[0], rows run along perm[1],
+        # lanes along perm[2]. to_ghost/from_ghost transpose once per
+        # solve (the sweeps themselves operate on ghost planes), so a
+        # giant-xy grid whose natural layers overflow the scoped-VMEM
+        # budget rides the fused kernel by sweeping its longest axis
+        # (ghost_grid_for picks the orientation). Offsets are permuted
+        # to match inside fused_lanczos_step.
+        self.perm = tuple(int(p) for p in perm)
         self.nz, self.ny, self.nx = int(nz), int(ny), int(nx)
         self.ypad = max(2, int(ypad))          # max |dy| the layout absorbs
         self.xpad = max(1, int(xpad))          # min zero pad lanes (max |dx|)
@@ -93,21 +103,27 @@ class GhostGrid:
 
     def __hash__(self):
         return hash((self.nz, self.ny, self.nx, self.zb, self.ypad,
-                     self.xpad))
+                     self.xpad, self.perm))
 
     def __eq__(self, other):
         # type-strict: a GhostGrid2D with (nz, ys, nx) matching a true
         # 3-D grid must NOT hit the same jit cache entry
         return (type(other) is type(self)
                 and (self.nz, self.ny, self.nx, self.zb, self.ypad,
-                     self.xpad)
+                     self.xpad, self.perm)
                 == (other.nz, other.ny, other.nx, other.zb, other.ypad,
-                    other.xpad))
+                    other.xpad, other.perm))
 
     def to_ghost(self, x):
         """(n,) flat row-major grid vector → (nslabs, rows_per_plane,
         128)."""
-        X = x.reshape(self.nz, self.ny, self.nx)
+        if self.perm != (0, 1, 2):
+            orig = [0, 0, 0]
+            for i, ax in enumerate(self.perm):
+                orig[ax] = (self.nz, self.ny, self.nx)[i]
+            X = x.reshape(orig).transpose(self.perm)
+        else:
+            X = x.reshape(self.nz, self.ny, self.nx)
         Xp = jnp.pad(X, ((0, 0), (1, 1), (0, self.nxp - self.nx)))
         Xp = Xp.reshape(self.nz, (self.ny + 2) * self.P, _LANES)
         extra = self._lr - (self.ny + 2) * self.P
@@ -124,7 +140,10 @@ class GhostGrid:
         Xl = Xg.reshape(-1, self._lr, _LANES)[:self.nz]
         Xp = Xl[:, :(self.ny + 2) * self.P, :].reshape(
             self.nz, self.ny + 2, self.nxp)
-        return Xp[:, 1:-1, :self.nx].reshape(-1)
+        X = Xp[:, 1:-1, :self.nx]
+        if self.perm != (0, 1, 2):
+            X = X.transpose(tuple(np.argsort(self.perm)))
+        return X.reshape(-1)
 
     def xmask(self):
         """(rows_per_plane, 128) 1/0 mask of real cells (identical for
@@ -203,59 +222,82 @@ class GhostGrid2D(GhostGrid):
         return flat.reshape(-1, self.nx)[:self.nyg].reshape(-1)
 
 
+def _plan_3d(gs, offsets, *, variable: bool, C: int = 0,
+             many: bool = False) -> GhostGrid:
+    """Pick the sweep orientation for a 3-D grid.
+
+    The natural orientation (sweep along axis 0) is kept whenever it
+    fits the scoped-VMEM budget — the benchmarked layouts are
+    unchanged. When a single xy layer is too large (giant-xy grids, or
+    wide-|dz| stencils whose max|dz| layers per slab overflow), the
+    grid is re-oriented: to_ghost/from_ghost transpose once per SOLVE
+    (the sweeps operate on ghost planes throughout), so sweeping the
+    longest axis instead costs two transposes total and rescues
+    pancake/thin grids from the XLA scan fallback. Among feasible
+    orientations the one streaming the fewest padded cells per real
+    cell wins (ties → plane size closest to the R ≈ 1100 pipeline
+    sweet spot). Raises ValueError when NO orientation fits (callers
+    fall back to the XLA scan path)."""
+    n = gs[0] * gs[1] * gs[2]
+    tgt = 700 if many else 1100
+    best = None
+    for perm in ((0, 1, 2), (1, 0, 2), (2, 0, 1),
+                 (0, 2, 1), (1, 2, 0), (2, 1, 0)):
+        dims = tuple(gs[p] for p in perm)
+        mo = [max((abs(o[p]) for o in offsets), default=0) for p in perm]
+        xpad, ypad = max(1, mo[2]), max(2, mo[1])
+        P = -(-(dims[2] + xpad) // _LANES)
+        S = -(-((dims[1] + ypad) * P) // 8) * 8
+        zmin = max(1, mo[0])
+        if variable:
+            # per-row scoped footprint ≈ 15.5 KB + ~1.1 KB per
+            # double-buffered coefficient slot (the kernel raises its
+            # own VMEM cap to match — fused_lanczos_step)
+            if zmin * S * (16_000 + 1100 * C) > 100 * 2 ** 20:
+                continue
+            zb = zmin
+        else:
+            # beyond ~2900 rows/plane even the raised VMEM cap
+            # overflows (measured footprint model, BENCHMARKS.md r4)
+            if zmin * S > 2900:
+                continue
+            zb = max(zmin, max(1, tgt // S))
+        if perm == (0, 1, 2):
+            return GhostGrid(*dims, zb=zb, ypad=ypad, xpad=xpad)
+        zb = min(zb, dims[0])
+        nslabs = -(-dims[0] // zb)
+        key = (round(nslabs * zb * S * _LANES / n, 3), abs(zb * S - 1100))
+        if best is None or key < best[0]:
+            best = (key, dims, zb, ypad, xpad, perm)
+    if best is None:
+        kind = (f"variable-coefficient sweep: {C} coefficient planes"
+                if variable else "fused sweep: the stencil's slab layers")
+        raise ValueError(
+            f"{kind} overflow the scoped-VMEM budget in every sweep "
+            f"orientation of grid {tuple(gs)} — the xy plane is too "
+            "large; falling back to the XLA scan path")
+    _, dims, zb, ypad, xpad, perm = best
+    return GhostGrid(*dims, zb=zb, ypad=ypad, xpad=xpad, perm=perm)
+
+
 def ghost_grid_for(op):
     """The ghost layout matching an operator's grid: 3-D slabbed plane
-    sweep or 2-D slab sweep (``GhostGrid2D``). Slab sizes target
-    R ≈ 1100 rows (the measured DMA-pipeline sweet spot under the 16 MB
-    scoped-VMEM limit); variable-coefficient operators keep one layer
-    per plane — their coefficient stream is laid out per layer and adds
-    16 plane buffers to the kernel's VMEM footprint."""
+    sweep (orientation chosen by ``_plan_3d`` — axis-permuted when the
+    natural xy layers overflow the scoped-VMEM budget) or 2-D slab
+    sweep (``GhostGrid2D``). Slab sizes target R ≈ 1100 rows (the
+    measured DMA-pipeline sweet spot); variable-coefficient operators
+    keep max|slab-offset| layers per plane — their coefficient stream
+    is laid out per layer and adds 2·C plane buffers to the kernel's
+    VMEM footprint."""
     from ..stencil import VariableStencilOperator
 
     gs = op.grid_shape
     if len(gs) == 3:
         if isinstance(op, VariableStencilOperator):
-            maxdz = max((abs(o[0]) for o in op.offsets), default=0)
-            maxdy = max((abs(o[1]) for o in op.offsets), default=0)
-            maxdx = max((abs(o[2]) for o in op.offsets), default=0)
-            xpad, ypad = max(1, maxdx), max(2, maxdy)
-            P = -(-(gs[2] + xpad) // _LANES)
-            S = -(-((gs[1] + ypad) * P) // 8) * 8
-            zb = max(1, maxdz)
-            C = len(op.offsets)
-            # per-row scoped footprint ≈ 15.5 KB + ~1.1 KB per
-            # double-buffered coefficient slot (the kernel raises its
-            # own VMEM cap to match — fused_lanczos_step); beyond the
-            # raised budget fall back to the XLA scan path
-            if zb * S * (16_000 + 1100 * C) > 100 * 2 ** 20:
-                raise ValueError(
-                    f"variable-coefficient sweep: {C} coefficient "
-                    f"planes at {zb * S} rows/plane overflow the "
-                    "scoped-VMEM budget — falling back to the XLA "
-                    "scan path")
-            return GhostGrid(*gs, zb=zb, ypad=ypad, xpad=xpad)
-        maxdz = max((abs(o[0]) for o in op.offsets), default=0)
-        maxdy = max((abs(o[1]) for o in op.offsets), default=0)
-        maxdx = max((abs(o[2]) for o in op.offsets), default=0)
-        xpad, ypad = max(1, maxdx), max(2, maxdy)
-        tgt = 700 if len(op.offsets) > 7 else 1100
-        P = -(-(gs[2] + xpad) // _LANES)
-        S = -(-((gs[1] + ypad) * P) // 8) * 8
-        zb = max(1, tgt // S)
-        if maxdz >= 2:
-            # |dz| = d offsets need >= d layers per slab (the 3-plane
-            # ring reaches only the adjacent slabs); the kernel raises
-            # its own scoped-VMEM cap for fat planes (~15.5 KB/row —
-            # fused_lanczos_step), but beyond ~2900 rows/plane even the
-            # raised budget overflows — let the caller fall back to scan
-            if maxdz * S > 2900:
-                raise ValueError(
-                    f"|dz| = {maxdz} offsets need {maxdz} layers per "
-                    f"slab but the xy plane is too large ({S} rows/"
-                    "layer) for the scoped-VMEM budget — falling "
-                    "back to the XLA scan path")
-            zb = max(maxdz, zb)
-        return GhostGrid(*gs, zb=zb, ypad=ypad, xpad=xpad)
+            return _plan_3d(gs, tuple(op.offsets), variable=True,
+                            C=len(op.offsets))
+        return _plan_3d(gs, tuple(op.offsets), variable=False,
+                        many=len(op.offsets) > 7)
     if len(gs) == 2:
         if isinstance(op, VariableStencilOperator):
             maxdy = max((abs(o[0]) for o in op.offsets), default=0)
@@ -609,6 +651,11 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
                                (c0s, cxs, cxs, cys, cys, czs, czs)))
         else:                           # legacy per-direction 7-tuple
             pairs3 = tuple(zip(_SEVEN_POINT, cs))
+    if not grid_desc.d2 and grid_desc.perm != (0, 1, 2):
+        # the grid layout is axis-permuted (GhostGrid(perm=...)): map
+        # each original-axis offset onto the (sweep, row, lane) axes
+        pm = grid_desc.perm
+        pairs3 = tuple((tuple(off[p] for p in pm), c) for off, c in pairs3)
     if True:
         # decompose onto the slab geometry: (slab-axis offset, inner row
         # shift, lane shift, coeff|slot) — the slab axis is y in 2-D
@@ -820,17 +867,19 @@ def _fused_dispatch(op, hermitian: bool = True):
 
         return pairs, builder
     cs = _stencil_coeffs_static(op, hermitian=hermitian)
-    # Wide-offset feasibility must be decided HERE, not at apply time:
-    # the auto-dispatch gates (_fused_poly_ok, _fused_two_pass_supported,
+    # Feasibility must be decided HERE, not at apply time: the
+    # auto-dispatch gates (_fused_poly_ok, _fused_two_pass_supported,
     # chebyshev's _fused_ok) probe this function inside try/except and
     # fall back to the XLA scan path on ValueError — a late raise in
     # fused_lanczos_step would crash auto mode instead. Pad lanes / pad
     # rows are always arrangeable (ghost_grid_for sizes xpad/ypad from
     # the offsets, at worst one extra 128-lane piece per row); the only
-    # genuine infeasibility is an xy plane too large to hold max|dz|
-    # layers per slab under the 16 MB scoped-VMEM budget.
-    if any(abs(o) > 1 for off, c in cs if c != 0.0 for o in off):
-        ghost_grid_for(op)      # raises when |dz| layers/slab > VMEM
+    # genuine infeasibility is a grid whose layers overflow the
+    # scoped-VMEM budget in EVERY sweep orientation (_plan_3d) — a
+    # giant-xy plane used to be a latent apply-time VMEM fault even at
+    # |o| ≤ 1, so probe unconditionally.
+    if len(op.grid_shape) == 3:
+        ghost_grid_for(op)      # raises when no orientation fits VMEM
     return cs, None
 
 

@@ -920,20 +920,46 @@ class TestVariableBoxStencils:
         assert float(jnp.max(jnp.abs(b1 - b2))) / scale < 1e-4
 
     def test_variable_vmem_budget_rejected(self, rng):
-        # a giant-xy 27-point variable operator must be rejected at
-        # dispatch (falls back to scan), not crash in the kernel
+        # a 27-point variable operator on a grid whose layers overflow
+        # VMEM in EVERY sweep orientation must be rejected at dispatch
+        # (falls back to scan), not crash in the kernel. (600³ would
+        # need 23 GB of coefficient fields, so probe the planner
+        # through _fused_dispatch with an uninitialized shell — the
+        # dispatch gate only reads grid_shape/offsets.)
         import itertools
         from exponentialutilities_jl_tpu.ops.stencil import (
             VariableStencilOperator)
         from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
             _fused_dispatch)
-        shape = (4, 1024, 1024)
-        offs = list(itertools.product((-1, 0, 1), repeat=3))
-        n = int(np.prod(shape))
-        fields = [jnp.zeros(n, jnp.float32) for _ in offs]
-        vop = VariableStencilOperator(shape, offs, fields)
+        vop = VariableStencilOperator.__new__(VariableStencilOperator)
+        vop.grid_shape = (600, 600, 600)
+        vop.offsets = list(itertools.product((-1, 0, 1), repeat=3))
         with pytest.raises(ValueError, match="scoped-VMEM"):
             _fused_dispatch(vop, hermitian=False)
+
+    def test_variable_giant_xy_reoriented(self, rng):
+        # the shape the pre-r4 guard used to REJECT ((4, big, big)
+        # 27-point variable) now rides the kernel via an axis-permuted
+        # layout — correctness checked on a scaled-down twin whose
+        # natural orientation is still infeasible for C = 27
+        # ((ny+2)·P rows · 45.7 KB/row > 100 MB ⇔ S > 2294)
+        import itertools
+        from exponentialutilities_jl_tpu.ops.stencil import (
+            VariableStencilOperator)
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for, stencil_matvec_fused)
+        shape = (3, 70, 4080)          # identity: P=32, S=2304 > 2294
+        offs = list(itertools.product((-1, 0, 1), repeat=3))
+        n = int(np.prod(shape))
+        fields = [rng.standard_normal(n).astype(np.float32) * 0.1
+                  for _ in offs]
+        vop = VariableStencilOperator(shape, offs, fields)
+        gg = ghost_grid_for(vop)
+        assert gg.perm != (0, 1, 2)
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y = np.asarray(stencil_matvec_fused(vop, x, interpret=True))
+        want = np.asarray(vop.matvec(x))
+        assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 2e-5
 
     def test_legacy_fixed_slot_contract(self, rng):
         # fused_lanczos_step(coeffs_static=None, cfields=(nz,8,R,128))
@@ -978,11 +1004,138 @@ class TestWideDispatchGate:
             _fused_dispatch)
         from exponentialutilities_jl_tpu.models.expv import (
             _fused_two_pass_supported)
-        # xy plane too large for 2 layers/slab under the VMEM budget
-        op = StencilOperator((16, 1024, 1024),
+        # a CUBE with |dz| = 2: every orientation needs 2 layers/slab of
+        # ~3016 rows each — over the VMEM budget in all six sweeps
+        # (a pancake grid like (16, 1024, 1024) is now RE-ORIENTED
+        # instead: see TestPermutedOrientation)
+        op = StencilOperator((600, 600, 600),
                              [(2, 0, 0), (-2, 0, 0), (0, 0, 0)],
                              jnp.asarray([1.0, 1.0, -2.0], jnp.float32),
                              is_hermitian=True)
         with pytest.raises(ValueError, match="too large"):
             _fused_dispatch(op)
         assert _fused_two_pass_supported(op) is False
+
+    def test_giant_plane_rejected_even_at_nearest_neighbour(self):
+        # |o| <= 1 on a giant cube used to be a LATENT apply-time VMEM
+        # fault (the dispatch gate only probed wide offsets); it must
+        # now be rejected at dispatch in every orientation
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            _fused_dispatch)
+        op = StencilOperator((3000, 3000, 3000),
+                             [(1, 0, 0), (-1, 0, 0), (0, 0, 0)],
+                             jnp.asarray([1.0, 1.0, -2.0], jnp.float32),
+                             is_hermitian=True)
+        with pytest.raises(ValueError, match="too large"):
+            _fused_dispatch(op)
+
+
+class TestPermutedOrientation:
+    """Axis-permuted ghost layouts (GhostGrid(perm=...)): giant-xy /
+    pancake grids whose natural layers overflow the scoped-VMEM budget
+    sweep along a different axis instead of falling to the XLA scan.
+    to_ghost/from_ghost transpose once per solve; the kernel's offsets
+    are permuted to match inside fused_lanczos_step."""
+
+    def test_ghost_roundtrip_all_perms(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            GhostGrid)
+        import itertools
+        gs = (5, 7, 131)
+        x = jnp.asarray(rng.standard_normal(int(np.prod(gs)))
+                        .astype(np.float32))
+        for perm in itertools.permutations(range(3)):
+            dims = tuple(gs[p] for p in perm)
+            gg = GhostGrid(*dims, zb=2, perm=perm)
+            rt = gg.from_ghost(gg.to_ghost(x))
+            np.testing.assert_array_equal(np.asarray(rt), np.asarray(x))
+
+    def test_asymmetric_matvec_all_perms(self, rng):
+        # an asymmetric stencil with distinct couplings per axis catches
+        # any axis-mapping or sign error in the offset permutation
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            GhostGrid, fused_lanczos_step, _stencil_coeffs_static)
+        gs = (5, 7, 131)
+        offs = [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                (0, 0, 1), (0, 0, -1), (2, -1, 0), (0, 1, -2)]
+        cf = [-6.0, 1.0, 1.3, 0.9, 1.1, 0.8, 1.2, 0.31, 0.17]
+        op = StencilOperator(gs, offs, jnp.asarray(cf, jnp.float32),
+                             is_hermitian=False)
+        x = jnp.asarray(rng.standard_normal(int(np.prod(gs)))
+                        .astype(np.float32))
+        want = np.asarray(op.matvec(x))
+        cs = _stencil_coeffs_static(op, hermitian=False)
+        for perm in ((1, 0, 2), (2, 0, 1), (0, 2, 1), (1, 2, 0),
+                     (2, 1, 0)):
+            dims = tuple(gs[p] for p in perm)
+            mo = [max(abs(o[p]) for o in offs) for p in perm]
+            gg = GhostGrid(*dims, zb=max(2, mo[0]), ypad=max(2, mo[1]),
+                           xpad=max(1, mo[2]), perm=perm)
+            Xg = gg.to_ghost(x)
+            zeros = jnp.zeros_like(Xg)
+            _, Zn, _, _ = fused_lanczos_step(
+                Xg, zeros, zeros, (1.0, 0.0, 0.0),
+                jnp.asarray(gg.xmask()), grid_desc=gg, coeffs_static=cs,
+                interpret=True)
+            got = np.asarray(gg.from_ghost(Zn))
+            err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+            assert err < 2e-6, (perm, err)
+
+    def test_planner_reorients_pancake_wide_z(self):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            _plan_3d)
+        gg = _plan_3d((16, 1024, 1024),
+                      ((2, 0, 0), (-2, 0, 0), (0, 0, 0)), variable=False)
+        assert gg.perm != (0, 1, 2)
+        assert gg.rows_per_plane <= 2900
+        assert gg.zb >= 1
+
+    def test_planner_keeps_identity_when_feasible(self):
+        # the benchmarked flagship layouts must be byte-identical
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for)
+        op = StencilOperator((216, 216, 216),
+                             [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                              (0, 0, 1), (0, 0, -1), (0, 0, 0)],
+                             jnp.asarray([1, 1, 1, 1, 1, 1, -6],
+                                         jnp.float32),
+                             is_hermitian=True)
+        gg = ghost_grid_for(op)
+        assert gg.perm == (0, 1, 2)
+        assert (gg.nz, gg.ny, gg.nx) == (216, 216, 216)
+
+    def test_auto_reorient_wide_z_lanczos_expv(self, rng):
+        # end-to-end: two-pass fused expv on a grid whose |dz| = 3
+        # layers only fit after re-orientation (identity S = 984,
+        # 3·S > 2900); oracle = the XLA scan Lanczos path
+        from exponentialutilities_jl_tpu.ops.stencil import StencilOperator
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            ghost_grid_for, lanczos_coeffs_fused, lanczos_replay_fused)
+        from exponentialutilities_jl_tpu.ops.krylov import lanczos_coeffs
+        gs = (4, 120, 1020)
+        offs = [(0, 0, 0), (3, 0, 0), (-3, 0, 0), (0, 1, 0), (0, -1, 0),
+                (0, 0, 1), (0, 0, -1)]
+        op = StencilOperator(gs, offs,
+                             jnp.asarray([-6, 1, 1, 1, 1, 1, 1],
+                                         jnp.float32) * 0.1,
+                             is_hermitian=True)
+        gg = ghost_grid_for(op)
+        assert gg.perm != (0, 1, 2)
+        b = jnp.asarray(rng.standard_normal(int(np.prod(gs)))
+                        .astype(np.float32))
+        al_f, be_f, b0_f, mu_f, _ = lanczos_coeffs_fused(
+            op, b, 6, interpret=True)
+        al, be, b0, mu, _ = lanczos_coeffs(op, b, 6)
+        np.testing.assert_allclose(np.asarray(al_f), np.asarray(al),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(float(b0_f), float(b0), rtol=1e-6)
+        co = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+        w_f = lanczos_replay_fused(op, b, co, interpret=True)
+        # scan-path replay oracle
+        from exponentialutilities_jl_tpu.ops.krylov import lanczos_replay
+        w = lanczos_replay(op, b, co, al, be, 6)
+        scale = float(jnp.max(jnp.abs(w)))
+        assert float(jnp.max(jnp.abs(w_f - w))) / scale < 2e-5
