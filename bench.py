@@ -3,9 +3,10 @@
 Prints ONE JSON line:
   metric       expv wall-time per call on the N=100k stencil — the
                library's fastest correct method for this (Hermitian)
-               operator: the single-pass Chebyshev action
-               (models/chebyshev.py; exact Gershgorin interval, degree
-               from the 1e-7 coefficient tail). The storage-free
+               operator: the single-pass Chebyshev action with the
+               WHOLE recurrence in one VMEM-resident Pallas dispatch
+               (ops/kernels/resident.py; exact Gershgorin interval,
+               degree from the 1e-7 coefficient tail). The storage-free
                two-pass Lanczos time is reported alongside
                (two_pass_lanczos_m30_ms).
   value        milliseconds on the current default backend (TPU when present)
@@ -13,11 +14,17 @@ Prints ONE JSON line:
                the Python stand-in for the reference's expv path (the
                reference publishes no numbers of its own, BASELINE.md).
 
-Timing methodology: chained dependent evaluations inside ONE jitted
-program, returning a scalar that is fetched to host — wall time is the
-slope between two chain lengths. (Plain dispatch timing with
-``block_until_ready`` measures only enqueue latency through remote-PJRT
-transports and reports physically impossible bandwidths.)
+Timing methodology (hardened in r5 — BENCHMARKS.md "tunnel-latency
+postmortem"): chained dependent evaluations inside ONE jitted program
+returning a scalar, with the chain length K a TRACED argument (one
+compile serves every K). The tunnel round-trip is ~25 ms and device
+execution OVERLAPS with it, so any chain shorter than the latency
+window measures zero compute — the harness therefore CALIBRATES K
+until the chain time clearly exceeds the round-trip floor, then takes
+the slope between K and 5K (best-of interleaved passes, spread
+reported). The r3/r4 driver captures (0.010/0.032 ms) used K=43 chains
+— 0.4 ms of signal under 25 ms of latency — and were both
+noise-dominated.
 """
 
 import functools
@@ -27,13 +34,48 @@ import time
 import numpy as np
 
 
+def _calibrated_slope(call, *, floor_signal=0.05, passes=4):
+    """Per-call seconds from a traced-K chain ``call(K) -> host float``.
+
+    Grows K until the chain wall time exceeds the empty-chain latency
+    floor by max(2×floor, ``floor_signal`` s), then slopes K → 5K.
+    Returns (per_call_s, diag dict)."""
+    def t(K):
+        t0 = time.perf_counter()
+        call(K)
+        return time.perf_counter() - t0
+
+    call(1)                                   # compile + warm
+    lat = min(t(1) for _ in range(3))
+    K = 256
+    while K < 4_000_000:
+        tk = min(t(K), t(K))
+        if tk >= lat + max(2.0 * lat, floor_signal):
+            break
+        K *= 4
+    K1, K2 = K, 5 * K
+    b1 = b2 = float("inf")
+    slopes = []
+    for _ in range(passes):
+        t1, t2 = t(K1), t(K2)
+        b1, b2 = min(b1, t1), min(b2, t2)
+        slopes.append((t2 - t1) / (K2 - K1))
+    per_call = (b2 - b1) / (K2 - K1)
+    if per_call <= 0:                          # pathological noise
+        per_call = b2 / K2
+    diag = {"latency_ms": round(lat * 1e3, 2), "K1": K1, "K2": K2,
+            "slope_spread_us": [round(min(slopes) * 1e6, 3),
+                                round(max(slopes) * 1e6, 3)]}
+    return per_call, diag
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
 
-    from exponentialutilities_jl_tpu import StencilOperator, laplacian_1d
+    from exponentialutilities_jl_tpu import StencilOperator
     from exponentialutilities_jl_tpu.models.expv import _expv_two_pass
 
     backend = jax.default_backend()
@@ -42,7 +84,6 @@ def main():
     t = 0.5
     dtype = jnp.float32 if backend == "tpu" else jnp.float64
 
-    op = laplacian_1d(n, dtype=dtype)        # oracle form
     coeffs = jnp.asarray([1.0, -2.0, 1.0], dtype=dtype)
 
     def make_op(c):
@@ -65,17 +106,50 @@ def main():
     cheb = jnp.asarray(cheb_np * np.exp(t * c_ctr + cheb_scale), dtype)
     m_cheb = len(cheb_np)
 
-    @functools.partial(jax.jit, static_argnames=("K",))
-    def chain(c, b, K):
-        lop = make_op(c)
+    if backend == "tpu":
+        # VMEM-resident one-dispatch Chebyshev (what expv_chebyshev
+        # auto-selects for this operator on TPU); the chain renormalizes
+        # through the kernel's own scale input + Σw² output, so each
+        # link is exactly one kernel dispatch + one scalar rsqrt.
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            _layout_1d, _resident_call)
+        R, mask_np = _layout_1d(n)
+        mask = jnp.asarray(mask_np)
+        rows_np = np.stack([np.full(m_cheb, 2.0 / h_half),
+                            np.full(m_cheb, -2.0 * c_ctr / h_half),
+                            np.full(m_cheb, -1.0),
+                            np.asarray(cheb)], 1)
+        rows = jnp.asarray(rows_np, dtype)
+        offsets = (-1, 0, 1)
+        method = f"chebyshev_deg{m_cheb}_resident"
 
-        def body(i, b):
-            w = _chebyshev_apply_scan(lop, b, cheb, c_ctr, 1.0 / h_half)
-            return w / jnp.linalg.norm(w)
+        @jax.jit
+        def chain(c, b, K):
+            Xp = jnp.pad(b, (0, R * 128 - n)).reshape(R, 128)
 
-        return jnp.sum(jax.lax.fori_loop(0, K, body, b))
+            def body(i, carry):
+                Xp, s = carry
+                Wp, nrm2 = _resident_call(Xp, mask, rows, c, s,
+                                          offsets=offsets)
+                return (Wp, jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30)))
 
-    @functools.partial(jax.jit, static_argnames=("K",))
+            Wp, s = jax.lax.fori_loop(0, K, body, (Xp, dtype(1.0)))
+            return jnp.sum(Wp) * s
+    else:
+        method = f"chebyshev_deg{m_cheb}_scan"
+
+        @jax.jit
+        def chain(c, b, K):
+            lop = make_op(c)
+
+            def body(i, b):
+                w = _chebyshev_apply_scan(lop, b, cheb, c_ctr,
+                                          1.0 / h_half)
+                return w / jnp.linalg.norm(w)
+
+            return jnp.sum(jax.lax.fori_loop(0, K, body, b))
+
+    @jax.jit
     def chain_lanczos(c, b, K):
         lop = make_op(c)
 
@@ -86,39 +160,21 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, K, body, b))
 
-    # Interleaved best-of slope: tunnel noise (chip re-grabs, compile-
-    # service load) can perturb single samples by milliseconds, enough to
-    # flip a one-shot slope negative. Alternate K1/K2 measurements over
-    # several passes, keep per-K minima, and fall back to the K2 mean
-    # (an upper bound on per-call time) if the slope still degenerates.
-    def slope_ms(fn, K1=3, K2=43):
-        for K in (K1, K2):
-            float(fn(coeffs, b, K))      # compile + warm
-        best = {K1: float("inf"), K2: float("inf")}
-        for _ in range(5):
-            for K in (K1, K2):
-                t0 = time.perf_counter()
-                float(fn(coeffs, b, K))
-                best[K] = min(best[K], time.perf_counter() - t0)
-        dt_s = (best[K2] - best[K1]) / (K2 - K1)
-        if dt_s <= 0:
-            dt_s = best[K2] / K2
-        return dt_s
-
-    dt_s = slope_ms(chain)               # headline: Chebyshev action
-    lanczos_ms = slope_ms(chain_lanczos) * 1e3
+    dt_s, diag = _calibrated_slope(
+        lambda K: float(chain(coeffs, b, K)))
+    lanczos_s, _ = _calibrated_slope(
+        lambda K: float(chain_lanczos(coeffs, b, K)))
     ms = dt_s * 1e3
 
-    # Accuracy + host-baseline timing vs scipy's Krylov expm_multiply.
+    # Accuracy + host-baseline timing vs scipy's Krylov expm_multiply —
+    # through the PUBLIC path (expv_chebyshev auto-dispatches to the
+    # same resident kernel the chain times).
     import scipy.sparse as sp
     from scipy.sparse.linalg import expm_multiply
+    from exponentialutilities_jl_tpu import expv_chebyshev
 
-    @jax.jit
-    def single(c, b):
-        return _chebyshev_apply_scan(make_op(c), b, cheb, c_ctr,
-                                     1.0 / h_half)
-
-    w = np.asarray(single(coeffs, b), np.float64)
+    w = np.asarray(expv_chebyshev(t, make_op(coeffs), b,
+                                  bounds=(lo, hi), tol=1e-7), np.float64)
     A = sp.diags([np.ones(n - 1), -2 * np.ones(n), np.ones(n - 1)],
                  [-1, 0, 1], format="csr")
     t0 = time.perf_counter()
@@ -148,16 +204,17 @@ def main():
 
     print(json.dumps({
         "metric": "expv_laplacian1d_n1e5_ms",
-        "value": round(ms, 3),
+        "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(scipy_ms / ms, 2),
         "backend": backend,
-        "method": f"chebyshev_deg{m_cheb}",
-        "two_pass_lanczos_m30_ms": round(lanczos_ms, 3),
+        "method": method,
+        "two_pass_lanczos_m30_ms": round(lanczos_s * 1e3, 3),
         "rel_err_vs_scipy": rel_err,
         "rel_err_f64_vs_scipy": rel_err_64,
         "scipy_expm_multiply_ms": round(scipy_ms, 1),
         "effective_spmv_gbs": round(spmv_gbs, 2),
+        "timing": diag,
     }))
 
 

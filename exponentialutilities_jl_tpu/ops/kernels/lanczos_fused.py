@@ -79,6 +79,9 @@ class GhostGrid:
         # (ghost_grid_for picks the orientation). Offsets are permuted
         # to match inside fused_lanczos_step.
         self.perm = tuple(int(p) for p in perm)
+        if sorted(self.perm) != [0, 1, 2]:
+            raise ValueError(f"perm {self.perm} is not a permutation of "
+                             "(0, 1, 2)")
         self.nz, self.ny, self.nx = int(nz), int(ny), int(nx)
         self.ypad = max(2, int(ypad))          # max |dy| the layout absorbs
         self.xpad = max(1, int(xpad))          # min zero pad lanes (max |dx|)
@@ -253,9 +256,15 @@ def _plan_3d(gs, offsets, *, variable: bool, C: int = 0,
             # per-row scoped footprint ≈ 15.5 KB + ~1.1 KB per
             # double-buffered coefficient slot (the kernel raises its
             # own VMEM cap to match — fused_lanczos_step)
-            if zmin * S * (16_000 + 1100 * C) > 100 * 2 ** 20:
+            row_b = 16_000 + 1100 * C
+            if zmin * S * row_b > 100 * 2 ** 20:
                 continue
-            zb = zmin
+            # grow zb toward the R ≈ tgt pipeline sweet spot like the
+            # constant branch (tiny-S orientations would otherwise run
+            # thousands of per-step-overhead-bound pipeline steps),
+            # bounded by the scoped-VMEM footprint model
+            zb = max(zmin, min((100 * 2 ** 20) // (S * row_b),
+                               max(1, tgt // S)))
         else:
             # beyond ~2900 rows/plane even the raised VMEM cap
             # overflows (measured footprint model, BENCHMARKS.md r4)

@@ -1,0 +1,181 @@
+"""VMEM-resident polynomial-recurrence kernel for 1-D constant stencils.
+
+The plane-sweep pipeline (lanczos_fused.py) streams every recurrence
+vector through HBM — the right design at 10M rows, but at bench scale
+(n = 1e5, m ≈ 8) each sweep moves ~1 µs of data and the solve is
+LAUNCH-bound: dozens of kernel dispatches plus XLA glue dominate the
+wall time (measured ~21 µs/solve for ~8 µs of HBM traffic through the
+axon tunnel, BENCHMARKS.md r5). This kernel runs the ENTIRE m-step
+recurrence in ONE Pallas dispatch with every state vector resident in
+VMEM — HBM traffic is read x once + write w once (2n total, vs ≥5n·m
+for any streaming form):
+
+    ω_{k+1} = ca_k·(A·ω_k) + cb_k·ω_k + cc_k·ω_{k−1},
+    w      += cw_k·ω_k,          k = 0…m−1,   ω_0 = s·x,  ω_{−1} = 0,
+
+with ``rows`` the (m, 4) per-step scalars (ca, cb, cc, cw) as traced
+data — the same contract as ``recurrence_apply_fused`` — and ``s`` an
+input scalar so chained solves can renormalize without an extra
+elementwise pass (the kernel also emits Σw² for exactly that purpose).
+This serves every 1-D polynomial action: Chebyshev (constant rows),
+Leja/Newton and Faber (per-step rows).
+
+A is a 1-D constant-coefficient stencil, y = Σ_j c_j·flatshift(x, o_j)
+with Dirichlet ends. The coefficient VALUES ride in SMEM (traced — one
+compiled program per offset pattern); the offsets are static.
+
+Layout: x padded to (R, 128), R a multiple of 8, pad tail zero. A flat
+shift by o = ro·128 + lo (lo ∈ [0, 128)) is one lane roll + two row
+shifts + a lane select — the same decomposition as
+``lanczos_fused._lane_shift_full`` but with the row wrap KEPT: in flat
+1-D indexing the element after [r, 127] IS [r+1, 0]. Row shifts feed
+zeros at the buffer ends and one mask multiply per step re-zeroes the
+pad tail, so out-of-range reads are exact Dirichlet.
+
+Capacity: the kernel holds ~6 live (R, 128) f32 buffers (+ Mosaic
+temporaries); ``RESIDENT_MAX_N`` caps n so the footprint stays well
+under VMEM. Larger 1-D problems fall back to the XLA scan path.
+
+No reference counterpart (the reference's expv path is Krylov-only and
+allocation-based, src/krylov_phiv.jl); this is pure north-star
+territory — the library's fastest small-n action path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lanczos_fused import _row_shift_full
+
+__all__ = ["recurrence_apply_resident", "resident_supported",
+           "RESIDENT_MAX_N"]
+
+_LANES = 128
+# ~6 live (R, 128) buffers + temporaries; 2M rows f32 ≈ 6×8 MB — well
+# under the raised 100 MB scoped budget the fused kernels already use
+RESIDENT_MAX_N = 2_000_000
+_UNROLL_MAX = 48
+
+
+def _flat_shift(buf, o: int):
+    """out[r·128+l] = buf[r·128+l+o] in flat order, zeros past the
+    buffer ends (|o| < R·128)."""
+    if o == 0:
+        return buf
+    ro, lo = divmod(o, _LANES)          # lo in [0, 128)
+    if lo == 0:
+        return _row_shift_full(buf, ro)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    a = pltpu.roll(buf, _LANES - lo, 1)      # a[r, l] = buf[r, (l+lo)%128]
+
+    def rshift(x, off):                      # Mosaic rejects 0-size concat
+        return x if off == 0 else _row_shift_full(x, off)
+
+    low = rshift(a, ro)                      # lanes l < 128−lo: row r+ro
+    high = rshift(a, ro + 1)                 # wrapped lanes: row r+ro+1
+    return jnp.where(lane < _LANES - lo, low, high)
+
+
+def _resident_kernel(scal_ref, rows_ref, cvals_ref, x_ref, mask_ref,
+                     w_ref, nrm_ref, wp_ref, wc_ref,
+                     *, offsets, m: int):
+    mask = mask_ref[...]
+    wc_ref[...] = x_ref[...] * scal_ref[0]
+    wp_ref[...] = jnp.zeros_like(mask)
+    w_ref[...] = jnp.zeros_like(mask)
+
+    def step(k, _):
+        wc = wc_ref[...]
+        z = None
+        for j, o in enumerate(offsets):
+            term = cvals_ref[j] * _flat_shift(wc, o)
+            z = term if z is None else z + term
+        w_ref[...] = w_ref[...] + rows_ref[k, 3] * wc
+        wn = mask * (rows_ref[k, 0] * z + rows_ref[k, 1] * wc
+                     + rows_ref[k, 2] * wp_ref[...])
+        wp_ref[...] = wc
+        wc_ref[...] = wn
+        return 0
+
+    if m <= _UNROLL_MAX:
+        for k in range(m):
+            step(k, 0)
+    else:
+        lax.fori_loop(0, m, step, 0)
+    w = w_ref[...]
+    nrm_ref[...] = jnp.broadcast_to(jnp.sum(w * w), nrm_ref.shape)
+
+
+def _resident_call(Xp, mask, rows, cvals, s, *, offsets,
+                   interpret: bool = False):
+    """Padded-form entry: Xp/mask (R, 128) → (Wp (R, 128), Σw² scalar).
+    Offsets static; rows (m, 4), cvals (k,), s scalar all traced."""
+    R = Xp.shape[0]
+    dt = Xp.dtype
+    m = int(rows.shape[0])
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    Wp, nrm = pl.pallas_call(
+        functools.partial(_resident_kernel, offsets=tuple(offsets), m=m),
+        in_specs=[smem, smem, smem, vmem, vmem],
+        out_specs=(vmem, vmem),
+        out_shape=(jax.ShapeDtypeStruct((R, _LANES), dt),
+                   jax.ShapeDtypeStruct((8, _LANES), dt)),
+        scratch_shapes=[pltpu.VMEM((R, _LANES), dt),
+                        pltpu.VMEM((R, _LANES), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(jnp.asarray(s, dt).reshape(1), rows.astype(dt), cvals.astype(dt),
+      Xp, mask.astype(dt))
+    return Wp, nrm[0, 0]
+
+
+def _layout_1d(n: int):
+    """(R, mask) for the padded (R, 128) flat layout of an (n,) vector."""
+    R = -(-n // _LANES)
+    R = -(-R // 8) * 8
+    mask = np.zeros((R, _LANES), np.float32)
+    mask.reshape(-1)[:n] = 1.0
+    return R, mask
+
+
+def resident_supported(op, n_max: int = RESIDENT_MAX_N) -> bool:
+    """True when ``op`` is a 1-D constant-coefficient StencilOperator
+    small enough for the VMEM-resident kernel."""
+    from ..stencil import StencilOperator, VariableStencilOperator
+
+    if isinstance(op, VariableStencilOperator):
+        return False
+    if not isinstance(op, StencilOperator) or len(op.grid_shape) != 1:
+        return False
+    n = op.grid_shape[0]
+    return 0 < n <= n_max and all(abs(off[0]) < n for off in op.offsets)
+
+
+def recurrence_apply_resident(op, b, rows, *, scale=1.0,
+                              interpret: bool = False):
+    """w = Σ_k cw_k·ω_k over the three-term recurrence (module doc) for a
+    1-D constant ``StencilOperator`` — ONE Pallas dispatch, all state in
+    VMEM. Drop-in 1-D sibling of ``recurrence_apply_fused``; callers
+    gate on ``resident_supported(op)``."""
+    if not resident_supported(op):
+        raise ValueError("recurrence_apply_resident requires a 1-D "
+                         f"constant StencilOperator with n <= "
+                         f"{RESIDENT_MAX_N} (got {type(op).__name__})")
+    b = jnp.asarray(b)
+    n = op.grid_shape[0]
+    R, mask_np = _layout_1d(n)
+    Xp = jnp.pad(b, (0, R * _LANES - n)).reshape(R, _LANES)
+    rows = jnp.asarray(rows, b.dtype)
+    offsets = tuple(off[0] for off in op.offsets)
+    Wp, _ = _resident_call(Xp, jnp.asarray(mask_np), rows, op.coeffs,
+                           scale, offsets=offsets, interpret=interpret)
+    return Wp.reshape(-1)[:n]

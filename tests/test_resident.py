@@ -1,0 +1,132 @@
+"""VMEM-resident 1-D recurrence kernel (ops/kernels/resident.py) vs
+independent dense oracles, in interpret mode on CPU."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from exponentialutilities_jl_tpu import StencilOperator
+from exponentialutilities_jl_tpu.ops.kernels.resident import (
+    RESIDENT_MAX_N, _layout_1d, _resident_call, recurrence_apply_resident,
+    resident_supported)
+
+
+def _dense_1d(n, offsets, coeffs):
+    A = np.zeros((n, n))
+    for o, c in zip(offsets, coeffs):
+        for i in range(n):
+            if 0 <= i + o < n:
+                A[i, i + o] = c
+    return A
+
+
+def _oracle(A, b, rows, scale=1.0):
+    wp = np.zeros_like(b)
+    wc = scale * b
+    w = np.zeros_like(b)
+    for ca, cb, cc, cw in np.asarray(rows, np.float64):
+        w = w + cw * wc
+        wp, wc = wc, ca * (A @ wc) + cb * wc + cc * wp
+    return w
+
+
+def _run(n, offsets, coeffs, m, scale=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal(n).astype(np.float32)
+    rows = rng.standard_normal((m, 4)).astype(np.float32) * 0.5
+    op = StencilOperator((n,), tuple((o,) for o in offsets),
+                         jnp.asarray(coeffs, jnp.float32))
+    w = np.asarray(recurrence_apply_resident(op, b, rows,
+                                             scale=scale,
+                                             interpret=True))
+    A = _dense_1d(n, offsets, coeffs)
+    ref = _oracle(A, b.astype(np.float64), rows, scale)
+    assert w.shape == (n,)
+    scale_ref = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(w, ref, atol=3e-5 * scale_ref, rtol=3e-5)
+
+
+def test_three_point_laplacian():
+    _run(700, (-1, 0, 1), (1.0, -2.0, 1.0), 8)
+
+
+def test_unaligned_n_dirichlet_tail():
+    # n far from a multiple of 1024: pad-tail cells must stay zero and
+    # never leak back through the ± shifts
+    _run(1025, (-1, 0, 1), (0.3, -1.0, 0.7), 12)
+
+
+def test_wide_offsets_cross_row():
+    # |o| > 128 exercises the two-row-shift decomposition
+    _run(2000, (-129, -1, 0, 1, 129), (0.2, 0.4, -1.5, 0.4, 0.2), 6)
+
+
+def test_lane_aligned_offsets():
+    # o ≡ 0 (mod 128): pure row-shift branch
+    _run(1500, (-128, 0, 128), (0.5, -1.0, 0.5), 5)
+
+
+def test_asymmetric_stencil():
+    _run(900, (0, 1, 3), (-1.0, 0.8, 0.1), 7)
+
+
+def test_fori_path_m_large():
+    # m > unroll cap exercises the in-kernel fori_loop with dynamic
+    # SMEM row reads
+    _run(600, (-1, 0, 1), (1.0, -2.0, 1.0), 60)
+
+
+def test_scale_and_norm_output():
+    n = 800
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(n).astype(np.float32)
+    rows = rng.standard_normal((5, 4)).astype(np.float32) * 0.5
+    offsets = (-1, 0, 1)
+    coeffs = (1.0, -2.0, 1.0)
+    R, mask = _layout_1d(n)
+    Xp = jnp.pad(jnp.asarray(b), (0, R * 128 - n)).reshape(R, 128)
+    Wp, nrm2 = _resident_call(Xp, jnp.asarray(mask), jnp.asarray(rows),
+                              jnp.asarray(coeffs, jnp.float32),
+                              0.25, offsets=offsets, interpret=True)
+    w = np.asarray(Wp).reshape(-1)[:n]
+    ref = _oracle(_dense_1d(n, offsets, coeffs), b.astype(np.float64),
+                  rows, 0.25)
+    np.testing.assert_allclose(w, ref, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(nrm2), float(ref @ ref), rtol=1e-4)
+    # pad tail of the padded output is exactly zero (chainable input)
+    assert not np.asarray(Wp).reshape(-1)[n:].any()
+
+
+def test_chebyshev_rows_match_scan():
+    # the resident Chebyshev rows reproduce the scan apply exactly
+    from exponentialutilities_jl_tpu.models.chebyshev import (
+        _chebyshev_apply_resident, _chebyshev_apply_scan, _exp_ucoeffs)
+
+    n, t = 1111, 0.4
+    op = StencilOperator((n,), ((-1,), (0,), (1,)),
+                         jnp.asarray([1.0, -2.0, 1.0], jnp.float32),
+                         is_hermitian=True)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    lo, hi = -4.0, 0.0
+    c, h = 0.5 * (hi + lo), 0.5 * (hi - lo)
+    cnp, scale = _exp_ucoeffs(t * h, 1e-7)
+    cheb = jnp.asarray(cnp * np.exp(t * c + scale), jnp.float32)
+    w_res = np.asarray(_chebyshev_apply_resident(op, b, cheb, c, h,
+                                                 interpret=True))
+    w_scan = np.asarray(_chebyshev_apply_scan(op, b, cheb, c, 1.0 / h))
+    np.testing.assert_allclose(w_res, w_scan, atol=2e-6, rtol=2e-5)
+
+
+def test_supported_guards():
+    ok = StencilOperator((100,), ((-1,), (0,), (1,)),
+                         jnp.asarray([1.0, -2.0, 1.0]))
+    assert resident_supported(ok)
+    too_big = StencilOperator((RESIDENT_MAX_N + 1,), ((0,),),
+                              jnp.asarray([1.0]))
+    assert not resident_supported(too_big)
+    two_d = StencilOperator((8, 8), ((0, 0),), jnp.asarray([1.0]))
+    assert not resident_supported(two_d)
+    with pytest.raises(ValueError):
+        recurrence_apply_resident(two_d, jnp.ones(64),
+                                  jnp.zeros((3, 4)))
