@@ -1,23 +1,34 @@
-"""Batched dense exp/φ MXU benchmark with an MFU figure — VERDICT r3 #7.
+"""Batched dense exp/φ MXU benchmark with an AUDITED MFU figure.
 
-The dense layer had only been benched at n=100 scalar (latency noise).
-Here: ``vmap(expm_higham2005)`` and ``vmap(phi(..., 4))`` at MXU shapes
-(B, n, n), n ∈ {128, 256, 512}, reporting
+VERDICT r3 #7 introduced this bench; VERDICT r4 #8 flagged two defects,
+both fixed here:
 
-  * achieved algorithmic FLOP/s (analytic GEMM-equivalent counts, see
-    below),
-  * the measured pure-matmul rate at the same (B, n) under the SAME
-    precision context (the practical roofline: library compute runs
-    under ``mxu_full_precision`` = "highest", which on v5e emulates f32
-    with multiple bf16 MXU passes),
-  * MFU vs that matmul roofline and vs the v5e bf16 peak (197 TFLOP/s).
+  * the matmul roofline baseline paid a data-dependent renormalization
+    (full reduce + elementwise pass) per chain link, handicapping the
+    denominator — kernels could report > 100% "of matmul". The baseline
+    now rescales by a CONSTANT (the matrices are norm-20 by
+    construction, so 1/20 keeps the chain bounded, no reduce).
+  * algorithmic FLOPs were hand-counted GEMM equivalents. They are now
+    read off the compiled executable (``compile().cost_analysis()``
+    'flops' — XLA's own count of the optimized HLO), so the MFU column
+    is defensible by construction. The hand counts are kept as a
+    printed cross-check.
+  * chains use the latency-calibrated traced-K harness (bench.py
+    methodology): the axon tunnel round-trip is ~25 ms and overlaps
+    device compute, so the old K=2/6 slopes measured noise.
 
-GEMM-equivalent counts per matrix (norms arranged for the degree-13
-Padé with s squarings): expm = 6 (A²,A⁴,A⁶ + U,V assembly) + ~0.83
-(the n³/3 LU + two triangular solves) + s squarings. φ (f32 auto path:
-scaling + Paterson–Stockmeyer Taylor + recovery + double-argument
-squaring, ops/phi_dense.py): counted from its own parameters and
-printed. Chained-slope timing per .claude/skills/verify/SKILL.md.
+Paths measured at (B, n) ∈ {(512,128), (128,256), (32,512)}, f32,
+per-matrix 1-norm exactly 20:
+
+  * matmul       — einsum bik baseline under mxu_full_precision
+  * expm(batch)  — expm_higham2005_batched (the expm() route for
+                   stacked input: ONE Padé branch + unmasked squaring)
+  * vmap(expm)   — the per-element lax.switch form (kept to show the
+                   gap the batched route closes)
+  * expm_taylor  — vmapped static-structure Taylor
+  * phi4         — vmap(phi(·, 4)) Taylor scaling-and-recovering
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_dense_mfu.py
 """
 import functools
 import sys
@@ -30,118 +41,123 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, '/root/repo')
-from exponentialutilities_jl_tpu.ops.expm import expm_higham2005
+from exponentialutilities_jl_tpu.ops.expm import (
+    expm_higham2005, expm_higham2005_batched, expm_taylor)
 from exponentialutilities_jl_tpu.ops.phi_dense import phi
 from exponentialutilities_jl_tpu.utils.precision import mxu_full_precision
 
 PEAK_BF16 = 197e12
 
 
-def slope(fn, ks=(2, 6), reps=3):
-    out = {}
-    for k in ks:
-        float(fn(k))
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.time()
-            float(fn(k))
-            best = min(best, time.time() - t0)
-        out[k] = best
-    k0, k1 = ks
-    return (out[k1] - out[k0]) / (k1 - k0)
+def calibrated_slope(call, floor_signal=0.05, passes=4):
+    def t(K):
+        t0 = time.perf_counter()
+        call(K)
+        return time.perf_counter() - t0
+
+    call(1)
+    lat = min(t(1) for _ in range(3))
+    K = 4
+    while K < 1_000_000:
+        tk = min(t(K), t(K))
+        if tk >= lat + max(2.0 * lat, floor_signal):
+            break
+        K *= 4
+    K1, K2 = K, 5 * K
+    b1 = b2 = float("inf")
+    for _ in range(passes):
+        b1, b2 = min(b1, t(K1)), min(b2, t(K2))
+    per = (b2 - b1) / (K2 - K1)
+    return b2 / K2 if per <= 0 else per
+
+
+def hlo_flops(fn, *args):
+    """XLA's flop count of the optimized single-call executable."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+    except Exception as e:                      # noqa: BLE001
+        print("  (cost_analysis unavailable:", repr(e), ")", flush=True)
+        return float("nan")
 
 
 def bench_case(B, n, rng):
-    # norm exactly 20 PER MATRIX: degree-13 bucket + s = 2 squarings
-    # everywhere (uniform bucket: under vmap the degree lax.switch
-    # computes ALL branches and selects — uniform norms keep the
-    # comparison honest and the squaring trip count equal)
     A = rng.standard_normal((B, n, n)).astype(np.float32)
     A *= (20.0 / np.linalg.norm(A, 1, axis=(1, 2)))[:, None, None]
     Aj = jnp.asarray(A)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    rows = []
+
+    def run(name, body, analytic_gemms=None):
+        @jax.jit
+        def chain(Aj, K):
+            def b_(i, c):
+                # opaque data dependence: the operand picks up a unit
+                # factor derived from the previous link's output scalar,
+                # so links serialize without changing the computation
+                u = 1.0 + 0.0 * c
+                out = body(Aj * u)
+                return jnp.sum(out[..., 0, 0])
+            return jax.lax.fori_loop(0, K, b_, jnp.float32(1.0))
+
+        t_call = calibrated_slope(lambda K: float(chain(Aj, K)))
+        fl = hlo_flops(lambda a: body(a), Aj)
+        rate = fl / t_call
+        rows.append((name, t_call, fl, rate))
+        extra = ""
+        if analytic_gemms is not None:
+            extra = (f"  [hand-count {analytic_gemms:.1f} GEMMs = "
+                     f"{analytic_gemms * B * 2 * n**3 / 1e9:.1f} GF vs "
+                     f"HLO {fl/1e9:.1f} GF]")
+        print(f"  {name:12s}: {t_call*1e3:8.3f} ms  "
+              f"HLO {fl/1e9:8.1f} GF  -> {rate/1e12:6.2f} TF/s{extra}",
+              flush=True)
+        return rate
+
+    print(f"B={B} n={n}", flush=True)
+
     @mxu_full_precision
-    def chain_mm(Aj, k):
-        def body(i, X):
-            Y = jnp.einsum("bij,bjk->bik", X, Aj)
-            return Y / jnp.max(jnp.abs(Y))
-        return jnp.sum(jax.lax.fori_loop(0, k, body, Aj))
+    def mm(X):
+        # constant rescale: matrices are norm-20 by construction, so
+        # 1/20 bounds the chain with no data-dependent reduce (VERDICT
+        # r4 #8: a reduce here handicapped the roofline denominator)
+        return jnp.einsum("bij,bjk->bik", X, X) * 0.05
 
-    t_mm = slope(lambda k: chain_mm(Aj, k), ks=(8, 108))
-    mm_rate = B * 2 * n ** 3 / t_mm
+    mm_rate = run("matmul", mm)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chain_expm(Aj, k):
-        def body(i, X):
-            # opaque unit factor: data dependence without changing A
-            u = 1.0 + 0.0 * jnp.tanh(jnp.sum(X))
-            E = jax.vmap(lambda a: expm_higham2005(a))(Aj * u)
-            return E
-        return jnp.sum(jax.lax.fori_loop(0, k, body, Aj))
+    # f32 path: degree-7 cap (θ7 = 3.93) → s = ceil(log2(20/3.93)) = 3
+    run("expm_batch", expm_higham2005_batched,
+        analytic_gemms=4 + 1.33 + 3)
+    run("vmap_expm", jax.vmap(expm_higham2005))
+    run("expm_taylor", jax.vmap(expm_taylor))
+    run("phi4", jax.vmap(lambda a: phi(a, 4)))
 
-    t_e = slope(lambda k: chain_expm(Aj, k))
-    s = 2                                   # ceil(log2(20/5.37))
-    gemms_expm = 6 + 0.83 + s
-    e_rate = B * gemms_expm * 2 * n ** 3 / t_e
-
-    # static-structure serving form: expm_taylor with a fixed order —
-    # no degree switch, so vmap pays for exactly one branch
-    from exponentialutilities_jl_tpu.ops.expm import expm_taylor
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chain_taylor(Aj, k):
-        def body(i, X):
-            u = 1.0 + 0.0 * jnp.tanh(jnp.sum(X))
-            return jax.vmap(lambda a: expm_taylor(a))(Aj * u)
-        return jnp.sum(jax.lax.fori_loop(0, k, body, Aj))
-
-    t_t = slope(lambda k: chain_taylor(Aj, k))
-    # f32 taylor: theta≈1.04, order 16 → PS ≈ 3 powers + 4 Horner
-    # blocks ≈ 7 GEMMs + s = ceil(log2(20/1.04)) = 5 squarings
-    gemms_taylor = 7 + 5
-    tt_rate = B * gemms_taylor * 2 * n ** 3 / t_t
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chain_phi(Aj, k):
-        def body(i, X):
-            u = 1.0 + 0.0 * jnp.tanh(jnp.sum(X))
-            P = jax.vmap(lambda a: phi(a, 4))(Aj * u)
-            return jnp.sum(P, axis=1)
-        return jnp.sum(jax.lax.fori_loop(0, k, body, Aj))
-
-    t_p = slope(lambda k: chain_phi(Aj, k))
-    # φ f32 auto path at ‖A‖=20: s_phi = ceil(log2(20)) ≈ 5 scalings;
-    # PS Taylor order ~17 → ~2·√17 ≈ 8 GEMMs for the powers+Horner,
-    # + recovery (4 GEMMs) + 5 squaring undo rounds × (p+1=5 GEMMs)
-    gemms_phi = 8 + 4 + 5 * 5
-    p_rate = B * gemms_phi * 2 * n ** 3 / t_p
-
-    print(f"B={B:4d} n={n:4d} | matmul {mm_rate/1e12:6.1f} TF/s "
-          f"({100*mm_rate/PEAK_BF16:4.1f}% bf16-peak) | "
-          f"expm_h05 {t_e*1e3:7.2f} ms = {e_rate/1e12:5.1f} TF/s "
-          f"({100*e_rate/mm_rate:4.0f}% mm) | "
-          f"expm_taylor {t_t*1e3:7.2f} ms = {tt_rate/1e12:5.1f} TF/s "
-          f"({100*tt_rate/mm_rate:4.0f}% mm) | "
-          f"phi4 {t_p*1e3:7.2f} ms = {p_rate/1e12:5.1f} TF/s "
-          f"({100*p_rate/mm_rate:4.0f}% mm)", flush=True)
+    print("  -- % of matmul roofline:", flush=True)
+    for name, t_call, fl, rate in rows[1:]:
+        print(f"  {name:12s}: {100 * rate / mm_rate:5.1f}% of matmul "
+              f"({100 * rate / PEAK_BF16:4.1f}% of bf16 peak)", flush=True)
+    return {name: (t_call, fl, rate) for name, t_call, fl, rate in rows}
 
 
 def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
-    # correctness spot-check on-chip first
     import scipy.linalg as sla
     A0 = rng.standard_normal((8, 128, 128)).astype(np.float32)
     A0 *= 20.0 / np.linalg.norm(A0[0], 1)
-    E = np.asarray(jax.vmap(lambda a: expm_higham2005(a))(jnp.asarray(A0)))
+    E = np.asarray(expm_higham2005_batched(jnp.asarray(A0)))
     rel = max(np.linalg.norm(E[i] - sla.expm(A0[i].astype(np.float64)))
               / np.linalg.norm(sla.expm(A0[i].astype(np.float64)))
               for i in range(3))
-    print(f"vmap expm vs scipy (f32): {rel:.2e}", flush=True)
+    print(f"expm_batched vs scipy (f32): {rel:.2e}", flush=True)
 
-    for B, n in ((512, 128), (128, 256), (32, 512)):
-        bench_case(B, n, rng)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    cases = {"512": (512, 128), "128": (128, 256), "32": (32, 512)}
+    for key, (B, n) in cases.items():
+        if which in ("all", key):
+            bench_case(B, n, rng)
 
 
 if __name__ == "__main__":

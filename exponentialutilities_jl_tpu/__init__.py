@@ -26,7 +26,8 @@ Operators               LinearOperator, DenseOperator, DiagonalOperator,
 Distributed             parallel/ (shard_map + GSPMD; multi-host meshes)
 """
 
-from .ops.expm import (expm, expm_higham2005, expm_generic,
+from .ops.expm import (expm, expm_higham2005, expm_higham2005_batched,
+                       expm_generic,
                        expm_diagonalization, expm_native, expm_taylor,
                        balance_matrix, gebal, expm_gebal)
 from .ops.funm import funm, funm_schur_parlett
@@ -75,7 +76,8 @@ from .ops.stencil import (StencilOperator, VariableStencilOperator,
 __version__ = "0.1.0"
 
 __all__ = [
-    "expm", "expm_higham2005", "expm_generic", "expm_diagonalization",
+    "expm", "expm_higham2005", "expm_higham2005_batched",
+    "expm_generic", "expm_diagonalization",
     "expm_native", "expm_taylor", "balance_matrix", "gebal", "expm_gebal",
     "funm", "funm_schur_parlett",
     "phi", "phi_scalar", "phi_taylor", "phi_pade", "phi_pade_with_info",

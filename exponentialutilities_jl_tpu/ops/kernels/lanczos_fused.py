@@ -622,10 +622,10 @@ def _kernel_var_accum(coef, Z, Vc, Vp, mask, C, W, Y, Zn, parts, Wout,
 
 
 @functools.partial(jax.jit, static_argnames=("grid_desc", "coeffs_static",
-                                             "interpret"))
+                                             "interpret", "vma"))
 def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
                        coeffs_static, w_accum=None, cfields=None,
-                       interpret: bool = False):
+                       interpret: bool = False, vma=None):
     """One fused sweep. ``coefs`` = (ca, cb, cc[, cw]) scalars (module doc).
 
     Returns (Yg, Zng, ypy, yzy) — plus W_new when ``w_accum`` planes are
@@ -716,9 +716,14 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     out_specs = [plane_any, plane_any,
                  pl.BlockSpec((8, _LANES), lambda i: (i // 8, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((nz, R, _LANES), dt),
-                 jax.ShapeDtypeStruct((nz, R, _LANES), dt),
-                 jax.ShapeDtypeStruct((ns8, _LANES), dt)]
+    # vma: inside shard_map with check_vma, pallas outputs must declare
+    # their varying mesh axes (the sharded fused sweep passes the shard
+    # axis name; single-device callers leave None)
+    sds = (functools.partial(jax.ShapeDtypeStruct, vma=frozenset(vma))
+           if vma else jax.ShapeDtypeStruct)
+    out_shape = [sds((nz, R, _LANES), dt),
+                 sds((nz, R, _LANES), dt),
+                 sds((ns8, _LANES), dt)]
     scratch = [
         pltpu.VMEM((3, R, _LANES), dt),             # y ring
         pltpu.VMEM((2, R, _LANES), dt),             # z planes (dbl buf)
@@ -735,7 +740,7 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     if accum:
         in_specs.append(plane_any)                  # W accumulator
         out_specs.append(plane_any)
-        out_shape.append(jax.ShapeDtypeStruct((nz, R, _LANES), dt))
+        out_shape.append(sds((nz, R, _LANES), dt))
         operands.append(w_accum)
         # alias the W input (its operand index) onto the W_out output (3)
         alias = {len(operands) - 1: 3}

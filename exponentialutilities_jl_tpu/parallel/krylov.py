@@ -62,17 +62,38 @@ def _sharded_call(op, mesh: Mesh, axis_name: str | None, body):
     return run, params
 
 
+def _fused_shard_ok(op, mesh, axis, b, *, hermitian: bool) -> tuple:
+    """(plan, interpret) when the shard-local fused sweep applies, else
+    (None, False): 3-D constant StencilOperator, f32 data, plane budget
+    feasible. On non-TPU backends the plan still builds (tests exercise
+    the REAL sharded code path) with the kernel in interpret mode."""
+    from .stencil_fused import fused_shard_plan
+
+    if jnp.asarray(b).dtype != jnp.float32:
+        return None, False
+    try:
+        plan = fused_shard_plan(op, mesh, axis, hermitian=hermitian)
+    except (ValueError, TypeError):
+        return None, False
+    return plan, jax.default_backend() != "tpu"
+
+
 def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
                  tol: float = 1e-7, iop: int = 0, reorth: bool = True,
                  hermitian: bool | None = None,
-                 axis_name: str | None = None, two_pass: bool = False):
+                 axis_name: str | None = None, two_pass: bool = False,
+                 fused: bool | None = None):
     """``exp(tA) b`` with A row-partitioned over ``mesh``.
 
     ``b`` may be a global (replicated or host) array or already sharded;
     the result is row-sharded the same way. One compiled program covers
     any device count of the same mesh shape. ``two_pass=True`` uses the
     storage-free Lanczos (Hermitian only) — per-shard memory O(n_local)
-    instead of O(m·n_local), the scale-out form for huge n.
+    instead of O(m·n_local), the scale-out form for huge n. For 3-D
+    constant stencils, two-pass auto-upgrades both passes to the
+    shard-local FUSED plane sweep (parallel/stencil_fused.py — halo
+    layers exchanged by ``ppermute``, interior never repacked);
+    ``fused=False`` forces the XLA recurrence.
     """
     from ..models.expv import build_subspace
 
@@ -82,7 +103,17 @@ def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
     if two_pass and not herm:
         raise NotImplementedError("two_pass requires a Hermitian operator")
 
+    plan = interp = None
+    if two_pass and fused is not False:
+        plan, interp = _fused_shard_ok(op, mesh, axis, b, hermitian=True)
+        if plan is None and fused:
+            raise ValueError("fused=True: no shard-local fused sweep for "
+                             f"this operator ({type(op).__name__})")
+
     def body(lop, b_local):
+        if two_pass and plan is not None:
+            return _expv_two_pass_fused_sharded(plan, b_local, t, m,
+                                                interpret=interp)
         if two_pass:
             from ..models.expv import _expv_two_pass
             return _expv_two_pass(lop, b_local, t, m, axis_name=axis)
@@ -92,6 +123,30 @@ def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
 
     run, params = _sharded_call(op, mesh, axis, body)
     return run(params, shard_vector(b, mesh, axis))
+
+
+def _expv_two_pass_fused_sharded(plan, b_local, t, m: int,
+                                 interpret: bool = False):
+    """Storage-free sharded Hermitian expv with BOTH passes as
+    shard-local fused plane sweeps; the m×m reduced tridiagonal
+    exponential is computed replicated per shard from the psum'd
+    (α, β) — the same device split as ``_expv_two_pass``."""
+    from .stencil_fused import (lanczos_coeffs_fused_sharded,
+                                lanczos_replay_fused_sharded)
+
+    b_local = jnp.asarray(b_local)
+    t = jnp.asarray(t)
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs_fused_sharded(
+        plan, b_local, m, interpret=interpret)
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1))
+    w_eig, Q = jnp.linalg.eigh(T)
+    cdt = jnp.result_type(Q.dtype, t.dtype)
+    coeffs = (Q.astype(cdt) @ (jnp.exp(t * w_eig) * Q[0, :].astype(cdt))
+              * beta0.astype(cdt))
+    out = lanczos_replay_fused_sharded(plan, b_local, coeffs,
+                                       interpret=interpret)
+    return jnp.where(beta0 > 0, out, jnp.zeros_like(out))
 
 
 def phiv_sharded(t, op, b, k: int, mesh: Mesh, *,
@@ -124,13 +179,22 @@ def phiv_sharded(t, op, b, k: int, mesh: Mesh, *,
 
 def expv_chebyshev_sharded(t, op, b, mesh: Mesh, *, bounds=None,
                            tol: float = 1e-7, m: int | None = None,
-                           axis_name: str | None = None):
+                           axis_name: str | None = None,
+                           fused: bool | None = None):
     """Row-partitioned Chebyshev ``exp(tA) b`` (models/chebyshev.py) —
     the ideal sharded action: the recurrence has NO inner products, so
     the per-iteration communication is exactly the operator's halo
     exchange (one ``ppermute`` for banded/stencil) and nothing else.
     The Krylov paths pay one ``psum`` latency per iteration on top;
     here the collective count per iteration is the matvec's alone.
+
+    For 3-D constant stencils (real coefficients, f32) the per-shard
+    recurrence auto-upgrades to the shard-local FUSED plane sweep
+    (parallel/stencil_fused.py): state stays ghost-resident across the
+    whole recurrence, the halo exchange is 2·h0 grid layers each way
+    per sweep via ``ppermute``, and the interior is never repacked —
+    per-chip throughput matches the single-device fused kernel
+    (BENCHMARKS.md r5). ``fused=False`` forces the XLA pad/slice scan.
 
     ``bounds`` defaults to the GLOBAL operator's Gershgorin hint
     (exact for stencil/banded containers — no probe run needed).
@@ -161,8 +225,24 @@ def expv_chebyshev_sharded(t, op, b, mesh: Mesh, *, bounds=None,
         b.dtype, jnp.complex64 if np.iscomplexobj(full) else b.dtype)
     coeffs = jnp.asarray(full, cdt)
 
-    def body(lop, b_local):
-        return _chebyshev_apply_scan(lop, b_local, coeffs, c, 1.0 / h)
+    plan = interp = None
+    if fused is not False and not np.iscomplexobj(full):
+        plan, interp = _fused_shard_ok(op, mesh, axis, b, hermitian=True)
+    if plan is None and fused:
+        raise ValueError("fused=True: no shard-local fused sweep for "
+                         f"this operator ({type(op).__name__})")
+
+    if plan is not None:
+        from .stencil_fused import (chebyshev_rows,
+                                    recurrence_apply_fused_sharded)
+        rows = chebyshev_rows(coeffs, c, h, b.dtype)
+
+        def body(lop, b_local):
+            return recurrence_apply_fused_sharded(plan, b_local, rows,
+                                                  interpret=interp)
+    else:
+        def body(lop, b_local):
+            return _chebyshev_apply_scan(lop, b_local, coeffs, c, 1.0 / h)
 
     run, params = _sharded_call(op, mesh, axis, body)
     return run(params, shard_vector(b, mesh, axis))

@@ -296,3 +296,64 @@ def test_gebal_rejects_tracer():
         jax.jit(gebal)(jnp.eye(4))
     with pytest.raises(NotImplementedError, match="host-staged"):
         jax.jit(lambda A: expm(A, method="gebal"))(jnp.eye(4))
+
+
+class TestBatchedHigham:
+    """expm_higham2005_batched: batch-uniform degree + squaring
+    (VERDICT r4 #3 — the MXU serving route for stacked input)."""
+
+    def test_mixed_norms_vs_scipy(self, rng):
+        # batch spanning four norm buckets: the batch-max degree and
+        # scaling must stay accurate for the SMALL elements too
+        mats = []
+        for scale in (1e-3, 0.1, 1.0, 30.0):
+            A = rng.standard_normal((20, 20))
+            mats.append(A * (scale / np.linalg.norm(A, 1)))
+        A = np.stack(mats)
+        E = eu.expm_higham2005_batched(jnp.asarray(A))
+        for i in range(len(mats)):
+            assert relerr(E[i], sla.expm(A[i])) < 1e-12
+
+    def test_expm_routes_stacked_input(self, rng):
+        A = rng.standard_normal((5, 16, 16)) / 4
+        E = eu.expm(A)                       # ndim == 3 → batched route
+        for i in range(5):
+            assert relerr(E[i], sla.expm(A[i])) < 1e-12
+
+    def test_matches_unbatched_on_uniform_norms(self, rng):
+        # same norm bucket → identical degree/squaring decisions, so the
+        # batched result equals the per-element program exactly
+        A = rng.standard_normal((4, 24, 24))
+        A *= 3.0 / np.linalg.norm(A, 1, axis=(1, 2))[:, None, None]
+        Eb = np.asarray(eu.expm_higham2005_batched(jnp.asarray(A)))
+        for i in range(4):
+            E1 = np.asarray(eu.expm_higham2005(jnp.asarray(A[i])))
+            np.testing.assert_array_equal(Eb[i], E1)
+
+    def test_f32_dtype_and_accuracy(self, rng):
+        A = rng.standard_normal((6, 32, 32)).astype(np.float32)
+        A *= 5.0 / np.linalg.norm(A, 1, axis=(1, 2))[:, None, None]
+        E = eu.expm_higham2005_batched(jnp.asarray(A))
+        assert E.dtype == jnp.float32
+        for i in range(6):
+            assert relerr(E[i], sla.expm(A[i].astype(np.float64))) < 2e-5
+
+    def test_complex_batch(self, rng):
+        A = (rng.standard_normal((3, 12, 12))
+             + 1j * rng.standard_normal((3, 12, 12))) / 5
+        E = eu.expm_higham2005_batched(jnp.asarray(A))
+        for i in range(3):
+            assert relerr(E[i], sla.expm(A[i])) < 1e-12
+
+    def test_reverse_ad(self, rng):
+        A = jnp.asarray(rng.standard_normal((2, 8, 8)) / 4)
+
+        def loss(A):
+            return jnp.real(jnp.sum(
+                eu.expm_higham2005_batched(A, differentiable=True)))
+
+        g = jax.grad(loss)(A)
+        eps = 1e-6
+        d = rng.standard_normal(A.shape)
+        fd = (loss(A + eps * d) - loss(A - eps * d)) / (2 * eps)
+        assert abs(float(jnp.vdot(g, d)) - float(fd)) < 1e-4
