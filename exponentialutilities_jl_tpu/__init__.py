@@ -62,7 +62,8 @@ from .utils.linop import (LinearOperator, DenseOperator, DiagonalOperator,
                           MatrixFreeOperator, JacobianOperator,
                           aslinearoperator)
 from .ops.sparse import (SparseELLOperator, BlockELLOperator, BandedOperator,
-                         SellOperator, HybridOperator, ell_from_scipy,
+                         SellOperator, SortedSellOperator,
+                         HybridOperator, ell_from_scipy,
                          blockell_from_scipy, banded_from_scipy,
                          hybrid_from_scipy)
 from .utils.testmatrices import (laplacian_1d, poisson_2d, laplacian_3d,
@@ -101,7 +102,7 @@ __all__ = [
     "exprb32", "exprb43", "etdrk4", "ExpIntStats",
     "etdrk4_device", "exprb43_device", "exprb32_device",
     "SparseELLOperator", "BlockELLOperator", "BandedOperator",
-    "SellOperator", "HybridOperator",
+    "SellOperator", "SortedSellOperator", "HybridOperator",
     "ell_from_scipy", "blockell_from_scipy", "banded_from_scipy",
     "hybrid_from_scipy",
     "laplacian_1d", "poisson_2d", "laplacian_3d", "advection_diffusion_1d",

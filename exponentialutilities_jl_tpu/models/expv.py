@@ -147,6 +147,20 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
     b = jnp.asarray(b)
+    from ..ops.sparse import hoist_conjugation
+    op, b, post = hoist_conjugation(op, b)
+    if post is not None:
+        # degree-sorted conjugated container: run the WHOLE solve in the
+        # sorted basis (exp commutes with P·Pᵀ), permute twice per solve
+        # instead of 3 SpMVs per matvec (ops/sparse.SortedSellOperator)
+        out = expv(t, op, b, m=m, tol=tol, iop=iop, mode=mode,
+                   reorth=reorth, hermitian=hermitian, atol=atol,
+                   rtol=rtol, reduced=reduced, two_pass=two_pass,
+                   return_info=return_info,
+                   differentiable=differentiable)
+        if return_info and isinstance(out, tuple):
+            return (post(out[0]),) + out[1:]
+        return post(out)
     m = min(m, op.shape[0])
     if reduced is None:
         from ..ops.host_reduced import reduced_default

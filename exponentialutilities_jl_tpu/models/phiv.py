@@ -129,6 +129,18 @@ def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
     b = jnp.asarray(b)
+    from ..ops.sparse import hoist_conjugation
+    op, b, post = hoist_conjugation(op, b)
+    if post is not None:
+        # sorted-conjugated container → solve in the sorted basis
+        # (every φ_k commutes with the conjugation)
+        out = phiv(t, op, b, k, m=m, tol=tol, iop=iop, correct=correct,
+                   errest=errest, reorth=reorth, hermitian=hermitian,
+                   reduced=reduced, two_pass=two_pass,
+                   differentiable=differentiable)
+        if errest and isinstance(out, tuple):
+            return (post(out[0]),) + out[1:]
+        return post(out)
     m = min(m, op.shape[0])
     if reduced is None:
         from ..ops.host_reduced import reduced_default

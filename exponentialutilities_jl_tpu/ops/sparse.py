@@ -44,6 +44,7 @@ __all__ = [
     "BlockELLOperator",
     "BandedOperator",
     "SellOperator",
+    "SortedSellOperator",
     "ell_from_scipy",
     "blockell_from_scipy",
     "banded_from_scipy",
@@ -493,6 +494,11 @@ class SellOperator(LinearOperator):
             inv = np.empty_like(perm)
             inv[perm] = np.arange(n)
             rows, cols = inv[rows], inv[cols]
+        if mode == "sorted":
+            return SortedSellOperator._build(rows, cols, vals, n,
+                                             dtype=dtype, window=window,
+                                             is_hermitian=is_hermitian,
+                                             rcm_perm=perm)
         if mode == "seg":
             from .kernels.sell import sell_pack_seg
             data = sell_pack_seg((rows, cols, vals), n, dtype=dtype)
@@ -517,6 +523,122 @@ class SellOperator(LinearOperator):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], is_hermitian=aux[0], perm=aux[1])
+
+
+@jax.tree_util.register_pytree_node_class
+class SortedSellOperator(LinearOperator):
+    """Degree-sorted conjugated SELL: the SCATTERED-degree SpMV answer
+    (VERDICT r4 #5).
+
+    Scattered high-degree rows defeat ``SellBucketed``'s 128-row degree
+    classes (every group holds a top-degree row → uniform-k degenerate,
+    ~63 GB/s) and cap the lane-compacted ``seg`` pack at ~100 GB/s (the
+    hard 1024-column gather window + 1.4× lane inflation,
+    BENCHMARKS.md r4). This container converts scattered → clustered by
+    a STABLE degree-sort row permutation P applied as a conjugation:
+
+        A_s = P A Pᵀ   (clustered degrees → the 170 GB/s bucketed pack)
+        A x = Pᵀ · A_s · (P x)
+
+    with P and Pᵀ themselves packed as degree-1 SELL matrices — the
+    windowed Pallas gather machinery applies the 10M-element permutation
+    in ~one 2n pass (an XLA element gather at this size costs ~150 ms —
+    the known trap). ``matvec`` is the 3-SpMV conjugated form (correct
+    everywhere); the polynomial/Krylov drivers HOIST the conjugation to
+    once per solve (exp(P A Pᵀ) = P exp(A) Pᵀ — true for every matrix
+    function), so an m-iteration solve pays m clustered SpMVs + 2
+    permutes instead of m scattered SpMVs. Build via
+    ``SellOperator.from_coo(..., mode="sorted")`` (optionally composed
+    with ``rcm=True`` — the stable sort preserves RCM locality within
+    each degree class).
+
+    Reference context: the reference outsources SpMV entirely
+    (SURVEY §2); this is pure north-star territory.
+    """
+
+    def __init__(self, inner, pfwd, pinv, order, is_hermitian=False):
+        self.inner = inner          # SellOperator over A_s = P A Pᵀ
+        self.pfwd = pfwd            # SellOperator applying x ↦ x[order]
+        self.pinv = pinv            # SellOperator applying x ↦ x[inv]
+        self.order = order          # order[new] = old (numpy, static)
+        self.is_hermitian = bool(is_hermitian)
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.inner.nnz
+
+    def permute(self, x):
+        """x in original order → sorted order (columns looped for 2-D)."""
+        if x.ndim == 2:
+            return jnp.stack([self.pfwd.matvec(x[:, j])
+                              for j in range(x.shape[1])], axis=1)
+        return self.pfwd.matvec(x)
+
+    def unpermute(self, x):
+        if x.ndim == 2:
+            return jnp.stack([self.pinv.matvec(x[:, j])
+                              for j in range(x.shape[1])], axis=1)
+        return self.pinv.matvec(x)
+
+    def matvec(self, x):
+        return self.unpermute(self.inner.matvec(self.permute(x)))
+
+    def opnorm_hint(self):
+        return self.inner.opnorm_hint()     # conjugation preserves norms
+
+    @classmethod
+    def _build(cls, rows, cols, vals, n, *, dtype, window,
+               is_hermitian, rcm_perm=None):
+        from .kernels.sell import sell_pack_bucketed
+        deg = np.bincount(rows, minlength=n)
+        order = np.argsort(deg, kind="stable").astype(np.int64)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(n, dtype=np.int64)
+        inner = SellOperator(
+            sell_pack_bucketed((inv[rows], inv[cols], vals), n,
+                               dtype=dtype, window=window),
+            is_hermitian=is_hermitian)
+        ar = np.arange(n, dtype=np.int64)
+        ones = np.ones(n, dtype)
+        pfwd = SellOperator(sell_pack_bucketed((ar, order, ones), n,
+                                               dtype=dtype, window=window))
+        pinv = SellOperator(sell_pack_bucketed((ar, inv, ones), n,
+                                               dtype=dtype, window=window))
+        if rcm_perm is not None:
+            order_full = np.asarray(rcm_perm)[order]
+        else:
+            order_full = order
+        return cls(inner, pfwd, pinv, order_full,
+                   is_hermitian=is_hermitian)
+
+    def tree_flatten(self):
+        return (self.inner, self.pfwd, self.pinv), (self.is_hermitian,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        ob = object.__new__(cls)
+        ob.inner, ob.pfwd, ob.pinv = children
+        ob.order = None
+        ob.is_hermitian = aux[0]
+        return ob
+
+
+def hoist_conjugation(op, b):
+    """(inner_op, permuted_b, postprocess) for conjugation-hoistable
+    operators; identity triple otherwise. Matrix functions commute with
+    the conjugation (f(P A Pᵀ) = P f(A) Pᵀ), so drivers call this once
+    and run the whole solve in the sorted basis."""
+    if isinstance(op, SortedSellOperator):
+        return op.inner, op.permute(jnp.asarray(b)), op.unpermute
+    return op, b, None
 
 
 @jax.tree_util.register_pytree_node_class
