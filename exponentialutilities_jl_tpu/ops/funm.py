@@ -142,9 +142,83 @@ def _sincos(T):
     return (E - Em) / 2j, (E + Em) / 2
 
 
+def _parlett_device(T, Fd, cross, denom, Z, iters: int):
+    """The whole Parlett stage ON DEVICE (VERDICT r4 #7): cross-block
+    entries of F from the commutation identity
+
+        (λ_a − λ_b)·F_ab = (F N − N F)_ab,   N = T − diag(T),
+
+    imposed on the cross-cluster mask by a solver-free fixed-point
+    iteration. The iteration map is NILPOTENT: with weight
+    w(a, b) = (n − a) + b, every contribution strictly decreases w
+    ((F N)_ab reads F_ac with c < b; (N F)_ab reads F_cb with c > a),
+    so the iteration terminates at the EXACT Parlett solution in at
+    most ~2n steps — no ztrsyl, no triangular solves, just two complex
+    GEMMs + one masked divide per step (MXU-shaped). The divides are
+    cross-cluster only (|λ_a − λ_b| > delta by the clustering
+    invariant — the same separation ztrsyl relied on). The similarity
+    undo Z F Zᴴ rides the same program, so ``funm`` costs ONE host
+    round-trip (the Schur form + atomic blocks) instead of staging the
+    whole O(n³) recurrence through Python/LAPACK block loops.
+
+    Complex arithmetic is split into (re, im) f64 pairs — four real
+    GEMMs per complex product — because TPU has no c128 GEMM lowering.
+    Returns (F_out = Z F Zᴴ, commutation residual ‖TF − FT‖_F) — the
+    caller verifies the residual and falls back to the host recurrence
+    if the fixed point has not closed (possible for extreme non-normal
+    transients past the iteration cap).
+    """
+    import functools
+
+    import jax
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(Tr, Ti, Fdr, Fdi, cross, dr, di, Zr, Zi, iters):
+        def cmm(ar, ai, br, bi):
+            return ar @ br - ai @ bi, ar @ bi + ai @ br
+
+        eye = jnp.eye(Tr.shape[0], dtype=Tr.dtype)
+        Nr, Ni = Tr - eye * jnp.diag(Tr), Ti - eye * jnp.diag(Ti)
+        den2 = dr * dr + di * di
+        den2 = jnp.where(cross > 0, den2, 1.0)
+
+        def body(i, F):
+            Fr, Fi = F
+            XNr, XNi = cmm(Fr, Fi, Nr, Ni)
+            NXr, NXi = cmm(Nr, Ni, Fr, Fi)
+            Cr, Ci = XNr - NXr, XNi - NXi
+            Gr = (Cr * dr + Ci * di) / den2
+            Gi = (Ci * dr - Cr * di) / den2
+            return (Fdr + cross * Gr, Fdi + cross * Gi)
+
+        Fr, Fi = lax.fori_loop(0, iters, body, (Fdr, Fdi))
+        # commutation residual (the correctness certificate)
+        TFr, TFi = cmm(Tr, Ti, Fr, Fi)
+        FTr, FTi = cmm(Fr, Fi, Tr, Ti)
+        res = jnp.sqrt(jnp.sum((TFr - FTr) ** 2 + (TFi - FTi) ** 2))
+        # undo the similarity: Z F Zᴴ
+        ZFr, ZFi = cmm(Zr, Zi, Fr, Fi)
+        Or, Oi = cmm(ZFr, ZFi, Zr.T, -Zi.T)
+        return Or, Oi, res
+
+    # funm is host-staged, so the caller's session may not have x64 on;
+    # the fixed point needs f64 (the same tier the host LAPACK path
+    # used) — enable it for this program only.
+    with jax.enable_x64(True):
+        Or, Oi, res = run(
+            jnp.asarray(T.real.copy()), jnp.asarray(T.imag.copy()),
+            jnp.asarray(Fd.real.copy()), jnp.asarray(Fd.imag.copy()),
+            jnp.asarray(cross), jnp.asarray(denom.real.copy()),
+            jnp.asarray(denom.imag.copy()), jnp.asarray(Z.real.copy()),
+            jnp.asarray(Z.imag.copy()), iters)
+        return np.asarray(Or) + 1j * np.asarray(Oi), float(res)
+
+
 def funm_schur_parlett(A, f, *, delta: float = 0.2,
                        matfunc: Optional[Callable] = None,
-                       out_dtype=None):
+                       out_dtype=None, parlett: str = "auto",
+                       iters: int | None = None):
     """f(A) by blocked Schur–Parlett on the host (module docstring).
 
     Args:
@@ -166,6 +240,13 @@ def funm_schur_parlett(A, f, *, delta: float = 0.2,
         relerr going 0.1 → 0.2; grcar 6.7e-10 → 3.9e-14).
       matfunc: optional block evaluator ``Tblock -> f(Tblock)`` used for
         atomic blocks larger than 1×1 (overrides the named default).
+      parlett: "auto" (default) runs the Parlett stage ON DEVICE as the
+        solver-free nilpotent fixed point (``_parlett_device``) and
+        falls back to the host ztrsyl recurrence if the commutation
+        residual has not closed; "device" forces the device result;
+        "host" forces the LAPACK block recurrence.
+      iters: device fixed-point iteration cap (default min(2n+4, 256);
+        the iteration is exact after the longest cross-cluster chain).
 
     Returns f(A) as a jnp array in A's dtype (real input with
     numerically-real result is returned real).
@@ -216,25 +297,48 @@ def funm_schur_parlett(A, f, *, delta: float = 0.2,
                 "callable with no `matfunc` block evaluator — pass "
                 "matfunc=... or use a named f")
 
-    from scipy.linalg import lapack
-    for d in range(1, nb):                  # superdiagonals outward
-        for i in range(nb - d):
-            j = i + d
-            Tij = T[blk[i], blk[j]]
-            C = F[blk[i], blk[i]] @ Tij - Tij @ F[blk[j], blk[j]]
-            for k in range(i + 1, j):
-                C += (F[blk[i], blk[k]] @ T[blk[k], blk[j]]
-                      - T[blk[i], blk[k]] @ F[blk[k], blk[j]])
-            # T_ii X − X T_jj = C; both blocks triangular with spectra
-            # separated by > delta (the clustering invariant)
-            X, scale, info = lapack.ztrsyl(T[blk[i], blk[i]],
-                                           T[blk[j], blk[j]], C, isgn=-1)
-            if info < 0:
-                raise np.linalg.LinAlgError(
-                    f"ztrsyl failed with info={info}")
-            F[blk[i], blk[j]] = X / scale
+    out = None
+    if parlett not in ("auto", "host", "device"):
+        raise ValueError(f"parlett must be auto|host|device, got {parlett!r}")
+    if parlett in ("auto", "device") and nb > 1:
+        # ON-DEVICE Parlett (VERDICT r4 #7): cross-cluster mask, the
+        # λ_a − λ_b divisors, and the atomic-block F as staged data;
+        # the nilpotent fixed point + similarity undo in one program.
+        cidb = np.concatenate([np.full(int(bounds[i + 1] - bounds[i]), i)
+                               for i in range(nb)])
+        cross = (cidb[:, None] != cidb[None, :]).astype(np.float64)
+        cross = np.triu(cross)               # F is upper triangular
+        lam2 = np.diag(T)
+        denom = lam2[:, None] - lam2[None, :]
+        it = iters if iters is not None else min(2 * n + 4, 256)
+        out_dev, res = _parlett_device(T, F, cross, denom, Z, it)
+        scale_T = max(np.linalg.norm(T), 1e-300)
+        scale_F = max(np.linalg.norm(F), 1.0)
+        if res <= 1e-10 * scale_T * scale_F or parlett == "device":
+            out = out_dev
+        # else: fixed point did not close (extreme non-normal transient
+        # past the iteration cap) — fall through to the host recurrence
 
-    out = Z @ F @ Z.conj().T
+    if out is None:
+        from scipy.linalg import lapack
+        for d in range(1, nb):              # superdiagonals outward
+            for i in range(nb - d):
+                j = i + d
+                Tij = T[blk[i], blk[j]]
+                C = F[blk[i], blk[i]] @ Tij - Tij @ F[blk[j], blk[j]]
+                for k in range(i + 1, j):
+                    C += (F[blk[i], blk[k]] @ T[blk[k], blk[j]]
+                          - T[blk[i], blk[k]] @ F[blk[k], blk[j]])
+                # T_ii X − X T_jj = C; both blocks triangular with
+                # spectra separated by > delta (the clustering invariant)
+                X, scale, info = lapack.ztrsyl(T[blk[i], blk[i]],
+                                               T[blk[j], blk[j]], C,
+                                               isgn=-1)
+                if info < 0:
+                    raise np.linalg.LinAlgError(
+                        f"ztrsyl failed with info={info}")
+                F[blk[i], blk[j]] = X / scale
+        out = Z @ F @ Z.conj().T
     if was_real and not np.issubdtype(np.dtype(in_dtype),
                                       np.complexfloating):
         if isinstance(f, str) and f in ("exp", "sin", "cos"):

@@ -152,3 +152,51 @@ class TestContract:
     def test_nonsquare_raises(self):
         with pytest.raises(ValueError, match="square"):
             eu.funm(np.ones((3, 4)), "exp")
+
+
+class TestDeviceParlett:
+    """The on-device nilpotent-fixed-point Parlett stage (VERDICT r4
+    #7): forced-device vs forced-host equality, accuracy on the hard
+    fixtures, and the residual-guarded fallback."""
+
+    def test_device_matches_host_grcar(self):
+        G = _grcar(60)
+        Fd = np.asarray(eu.funm(G, "exp", parlett="device"))
+        Fh = np.asarray(eu.funm(G, "exp", parlett="host"))
+        assert (np.linalg.norm(Fd - Fh) / np.linalg.norm(Fh)) < 1e-11
+
+    def test_device_matches_host_random(self, rng):
+        A = rng.standard_normal((50, 50)) / 5
+        Fd = np.asarray(eu.funm(A, "log", parlett="device"))
+        Fh = np.asarray(eu.funm(A, "log", parlett="host"))
+        assert (np.linalg.norm(Fd - Fh) / np.linalg.norm(Fh)) < 1e-10
+
+    def test_device_grcar_vs_scipy(self):
+        G = _grcar(60)
+        F = np.asarray(eu.funm(G, "exp", parlett="device"))
+        want = sla.expm(G)
+        assert (np.linalg.norm(F - want) / np.linalg.norm(want)) < 1e-10
+
+    def test_auto_uses_device_and_stays_accurate(self, rng):
+        # wide spectrum → many clusters → cross-block entries exercised
+        A = np.diag(np.linspace(-3.0, 3.0, 40)) \
+            + 0.3 * np.triu(rng.standard_normal((40, 40)), 1)
+        F = np.asarray(eu.funm(A, "exp"))
+        want = sla.expm(A)
+        assert (np.linalg.norm(F - want) / np.linalg.norm(want)) < 1e-10
+
+    def test_iteration_cap_falls_back(self, rng):
+        # iters=1 cannot close the fixed point for a 3-cluster matrix →
+        # auto must detect the open residual and fall back to host
+        A = np.diag([-2.0, -2.0, 0.0, 0.0, 2.0, 2.0]) \
+            + 0.5 * np.triu(rng.standard_normal((6, 6)), 1)
+        F = np.asarray(eu.funm(A, "exp", parlett="auto", iters=1))
+        want = sla.expm(A)
+        assert (np.linalg.norm(F - want) / np.linalg.norm(want)) < 1e-10
+
+    def test_single_cluster_skips_device(self, rng):
+        # one atomic block (Jordan): no cross entries, host atomics only
+        J = np.eye(8, k=1) + 0.5 * np.eye(8)
+        F = np.asarray(eu.funm(J, "exp"))
+        want = sla.expm(J)
+        assert (np.linalg.norm(F - want) / np.linalg.norm(want)) < 1e-12
