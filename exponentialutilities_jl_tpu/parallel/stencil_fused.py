@@ -176,17 +176,128 @@ class FusedShardPlan:
         return jnp.asarray(self.gg.xmask())
 
 
+class FusedShardPlan2D:
+    """2-D twin of :class:`FusedShardPlan`: the grid (ny, nx) is sharded
+    on y, and since a ``GhostGrid2D`` LAYER is one grid row, the halo is
+    h0 = max|dy| layers each way — same refresh-the-layers pattern as
+    the 3-D plan, with layer extraction addressed through the slab
+    layout (layer l lives in slab l//ys at row offset B0 + (l%ys)·P)."""
+
+    def __init__(self, gs, offsets, coeffs_static, nshards: int,
+                 axis_name: str):
+        ny, nx = (int(s) for s in gs)
+        self.nshards = int(nshards)
+        self.axis_name = axis_name
+        if ny % self.nshards:
+            raise ValueError(f"grid axis 0 ({ny}) must divide evenly "
+                             f"over {self.nshards} shards")
+        self.sy = ny // self.nshards
+        self.h0 = max((abs(o[0]) for o in offsets), default=0)
+        if self.h0 > self.sy:
+            raise ValueError(f"axis-0 halo {self.h0} exceeds local "
+                             f"shard depth {self.sy}")
+        self.sye = self.sy + 2 * self.h0
+        from ..ops.kernels.lanczos_fused import GhostGrid2D
+        mo1 = max((abs(o[1]) for o in offsets), default=0)
+        self.gg = GhostGrid2D(self.sye, nx, xpad=max(1, mo1))
+        # lift 2-D offsets to the ((dz, dy, dx), c) pairs the kernel's
+        # d2 mode expects (dz = 0)
+        self.coeffs_static = tuple(((0,) + tuple(off), c)
+                                   for off, c in coeffs_static)
+        self.ny, self.nx = ny, nx
+
+    def _key(self):
+        return (self.sy, self.h0, self.nshards, self.axis_name, self.gg,
+                self.coeffs_static)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and self._key() == other._key()
+
+    def to_ghost_local(self, b_local):
+        X = b_local.reshape(self.sy, self.nx)
+        Xe = jnp.pad(X, ((self.h0, self.h0), (0, 0)))
+        return self.gg.to_ghost(Xe.reshape(-1))
+
+    def from_ghost_local(self, Wg):
+        w = self.gg.from_ghost(Wg).reshape(self.sye, self.nx)
+        return w[self.h0:self.h0 + self.sy].reshape(-1)
+
+    def _layer_pos(self, l: int):
+        s, o = divmod(l, self.gg.ys)
+        return s, self.gg.B0 + o * self.gg.P
+
+    def _get_layer(self, Xg, l: int):
+        s, r = self._layer_pos(l)
+        return lax.dynamic_slice_in_dim(Xg[s], r, self.gg.P, axis=0)
+
+    def _set_layer(self, Xg, l: int, rows):
+        s, r = self._layer_pos(l)
+        slab = lax.dynamic_update_slice_in_dim(Xg[s], rows, r, axis=0)
+        return lax.dynamic_update_slice_in_dim(Xg, slab[None], s, axis=0)
+
+    def refresh(self, Xg):
+        h0, sy = self.h0, self.sy
+        if h0 == 0:
+            return Xg
+        for k in range(h0):
+            if self.nshards > 1:
+                ax = self.axis_name
+                pairs_up = [(i, i + 1) for i in range(self.nshards - 1)]
+                pairs_dn = [(i + 1, i) for i in range(self.nshards - 1)]
+                up = lax.ppermute(self._get_layer(Xg, sy + k), ax,
+                                  pairs_up)
+                dn = lax.ppermute(self._get_layer(Xg, h0 + k), ax,
+                                  pairs_dn)
+            else:
+                up = jnp.zeros((self.gg.P, _LANES), Xg.dtype)
+                dn = up
+            Xg = self._set_layer(Xg, k, up)
+            Xg = self._set_layer(Xg, sy + h0 + k, dn)
+        return Xg
+
+    def halo_moments(self, Yg, Zg):
+        h0, sy = self.h0, self.sy
+        if h0 == 0:
+            z = jnp.zeros((), Yg.dtype)
+            return z, z
+        ypy = yzy = jnp.zeros((), Yg.dtype)
+        for k in list(range(h0)) + [sy + h0 + k2 for k2 in range(h0)]:
+            y = self._get_layer(Yg, k)
+            z = self._get_layer(Zg, k)
+            ypy = ypy + jnp.sum(y * y)
+            yzy = yzy + jnp.sum(y * z)
+        return ypy, yzy
+
+    def step(self, interpret: bool = False):
+        return functools.partial(
+            fused_lanczos_step, grid_desc=self.gg,
+            coeffs_static=self.coeffs_static, cfields=None,
+            interpret=interpret, vma=(self.axis_name,))
+
+    def mask(self):
+        return jnp.asarray(self.gg.xmask())
+
+
 def fused_shard_plan(op, mesh, axis_name: str | None = None,
-                     hermitian: bool = False) -> FusedShardPlan:
-    """Plan the shard-local fused sweep for a 3-D constant
+                     hermitian: bool = False):
+    """Plan the shard-local fused sweep for a 2-D/3-D constant
     ``StencilOperator`` row-partitioned on grid axis 0 over ``mesh``.
     Raises ValueError when unsupported (callers fall back to the XLA
     scan path)."""
-    if not isinstance(op, StencilOperator) or len(op.grid_shape) != 3:
-        raise ValueError("fused sharded sweep requires a 3-D constant "
-                         "StencilOperator")
+    if not isinstance(op, StencilOperator) \
+            or len(op.grid_shape) not in (2, 3):
+        raise ValueError("fused sharded sweep requires a 2-D/3-D "
+                         "constant StencilOperator")
     axis = axis_name or mesh.axis_names[0]
     cs = _stencil_coeffs_static(op, hermitian=hermitian)
+    if len(op.grid_shape) == 2:
+        cs2 = tuple((off[1:] if len(off) == 3 else off, c)
+                    for off, c in cs)
+        return FusedShardPlan2D(op.grid_shape, tuple(op.offsets), cs2,
+                                mesh.shape[axis], axis)
     return FusedShardPlan(op.grid_shape, tuple(op.offsets), cs,
                           mesh.shape[axis], axis)
 

@@ -179,3 +179,50 @@ class TestFusedShardedTwoPass:
         w = expv_sharded(0.3, op, jnp.zeros(960, jnp.float32), mesh,
                          m=10, two_pass=True, fused=True)
         assert not np.asarray(w).any()
+
+
+class TestFusedSharded2D:
+    def test_2d_chebyshev_fused_vs_scan_and_scipy(self, mesh, rng):
+        from exponentialutilities_jl_tpu import laplacian_nd_stencil
+        op = laplacian_nd_stencil(32, 20, dtype=jnp.float32)
+        n = 32 * 20
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        t = 0.1
+        w_f = expv_chebyshev_sharded(t, op, b, mesh, fused=True)
+        w_s = expv_chebyshev_sharded(t, op, b, mesh, fused=False)
+        assert (float(jnp.linalg.norm(jnp.asarray(w_f) - w_s))
+                / float(jnp.linalg.norm(w_s))) < 2e-6
+        want = sla.expm(t * _dense(op)) @ np.asarray(b, np.float64)
+        assert (np.linalg.norm(np.asarray(w_f, np.float64) - want)
+                / np.linalg.norm(want)) < 1e-5
+
+    def test_2d_9pt_wide_halo(self, mesh, rng):
+        # 9-point box: |dy| = 1 halo; asymmetric coefficients rejected
+        # by hermitian gate → build symmetric
+        import itertools
+        offs = list(itertools.product((-1, 0, 1), repeat=2))
+        cmap = {}
+        for off in offs:
+            key = tuple(sorted((off, tuple(-o for o in off))))
+            cmap.setdefault(key, rng.standard_normal() * 0.3)
+        cs = [cmap[tuple(sorted((off, tuple(-o for o in off))))]
+              for off in offs]
+        op = StencilOperator((32, 20), tuple(offs),
+                             jnp.asarray(cs, jnp.float32),
+                             is_hermitian=True)
+        b = jnp.asarray(rng.standard_normal(640), jnp.float32)
+        w_f = expv_chebyshev_sharded(0.05, op, b, mesh, fused=True,
+                                     bounds=(-4.0, 4.0), tol=1e-6)
+        want = sla.expm(0.05 * _dense(op)) @ np.asarray(b, np.float64)
+        assert (np.linalg.norm(np.asarray(w_f, np.float64) - want)
+                / np.linalg.norm(want)) < 1e-4
+
+    def test_2d_two_pass_fused(self, mesh, rng):
+        from exponentialutilities_jl_tpu import laplacian_nd_stencil
+        op = laplacian_nd_stencil(32, 20, dtype=jnp.float32)
+        b = jnp.asarray(rng.standard_normal(640), jnp.float32)
+        w_f = expv_sharded(0.2, op, b, mesh, m=25, two_pass=True,
+                           fused=True)
+        want = sla.expm(0.2 * _dense(op)) @ np.asarray(b, np.float64)
+        assert (np.linalg.norm(np.asarray(w_f, np.float64) - want)
+                / np.linalg.norm(want)) < 5e-5
