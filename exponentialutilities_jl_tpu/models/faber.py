@@ -246,11 +246,14 @@ def _faber_rows(a_col, c, inv_gamma, rho):
 
 
 def _apply_fused_faber(op, b, A_coeffs, c, inv_gamma, rho, q: int,
-                       interpret: bool = False):
-    """Fused-sweep twin of ``_faber_apply`` (real coefficients only):
+                       interpret: bool = False, apply=None):
+    """Engine twin of ``_faber_apply`` (real coefficients only):
     1-D coefficients → q exact substeps; 2-D (m, p) → one pass per
-    coefficient column, stacked."""
-    from ..ops.kernels.lanczos_fused import recurrence_apply_fused
+    coefficient column, stacked. ``apply`` is a recurrence engine
+    (ops/kernels/dispatch; default plane sweep)."""
+    if apply is None:
+        from ..ops.kernels.lanczos_fused import recurrence_apply_fused
+        apply = recurrence_apply_fused
 
     b = jnp.asarray(b)
     A_coeffs = np.asarray(A_coeffs)
@@ -259,14 +262,13 @@ def _apply_fused_faber(op, b, A_coeffs, c, inv_gamma, rho, q: int,
                            b.dtype)
         w = b
         for _ in range(q):
-            w = recurrence_apply_fused(op, w, rows, interpret=interpret)
+            w = apply(op, w, rows, interpret=interpret)
         return w
     cols = []
     for j in range(A_coeffs.shape[1]):
         rows = jnp.asarray(_faber_rows(A_coeffs[:, j], c, inv_gamma, rho),
                            b.dtype)
-        cols.append(recurrence_apply_fused(op, b, rows,
-                                           interpret=interpret))
+        cols.append(apply(op, b, rows, interpret=interpret))
     return jnp.stack(cols, axis=-1)
 
 
@@ -321,9 +323,10 @@ def expv_faber(t, A, b, *, ellipse=None, tol: float = 1e-7,
     if a is None:                       # A ≈ cI (c already resolved)
         return (jnp.exp(jnp.asarray(float(t) * c, b.dtype)) * b)
     from .leja import _fused_poly_ok
-    if not np.iscomplexobj(a) and _fused_poly_ok(op, b.dtype, fused):
+    eng = None if np.iscomplexobj(a) else _fused_poly_ok(op, b.dtype, fused)
+    if eng is not None:
         out = _apply_fused_faber(op, b, a[:m_used], c, 1.0 / gamma,
-                                 rho, q)
+                                 rho, q, apply=eng)
     else:
         cdt = (jnp.result_type(b.dtype, jnp.complex64)
                if np.iscomplexobj(a) or np.iscomplexobj(b)
@@ -452,8 +455,10 @@ def phiv_faber(t, A, b, k: int, *, ellipse=None, tol: float = 1e-7,
     else:
         cdt = jnp.result_type(b.dtype, jnp.complex64)
     from .leja import _fused_poly_ok
-    if not np.iscomplexobj(D) and _fused_poly_ok(op, b.dtype, fused):
-        W = _apply_fused_faber(op, b, D[:m_used], c, 1.0 / gamma, rho, 1)
+    eng = None if np.iscomplexobj(D) else _fused_poly_ok(op, b.dtype, fused)
+    if eng is not None:
+        W = _apply_fused_faber(op, b, D[:m_used], c, 1.0 / gamma, rho, 1,
+                               apply=eng)
     else:
         Dj = jnp.asarray(D[:m_used], cdt)
         W = _faber_apply(op, b, Dj, c, 1.0 / gamma, rho, m_used, 1)
@@ -519,19 +524,21 @@ def _nw_faber_scan(op, u0, B, D, center, inv_gamma, rho, t0, tau,
 
 
 def _nw_fused_substep_faber(op, u, B, tcur, D, c, inv_gamma, rho, p: int,
-                            interpret: bool = False):
-    """One NW substep through the fused plane sweep (cf.
+                            interpret: bool = False, apply=None):
+    """One NW substep through a Pallas recurrence engine (cf.
     leja._nw_fused_substep): each combination column runs an independent
     single-vector Faber pass with its coefficient column D[:, j]."""
-    from ..ops.kernels.lanczos_fused import recurrence_apply_fused
     from .leja import _combo_cols
 
+    if apply is None:
+        from ..ops.kernels.lanczos_fused import recurrence_apply_fused
+        apply = recurrence_apply_fused
     cols = _combo_cols(u, B, jnp.asarray(tcur, u.dtype), p)
     out = None
     for j in range(p + 1):
         rows = jnp.asarray(_faber_rows(D[:, j], c, inv_gamma, rho),
                            u.dtype)
-        wj = recurrence_apply_fused(op, cols[j], rows, interpret=interpret)
+        wj = apply(op, cols[j], rows, interpret=interpret)
         out = wj if out is None else out + wj
     return out
 
@@ -630,7 +637,8 @@ def phiv_timestep_faber(ts, A, B, *, ellipse=None, tol: float = 1e-7,
                 tcur = t_prev
                 for _ in range(q):
                     u_next = _nw_fused_substep_faber(
-                        op, u_next, B, tcur, Dk, c, 1.0 / gamma, rho, p)
+                        op, u_next, B, tcur, Dk, c, 1.0 / gamma, rho, p,
+                        apply=use_fused)
                     tcur += tau
             else:
                 Dj = jnp.asarray(Dk, jnp.result_type(u.dtype, Dk.dtype)

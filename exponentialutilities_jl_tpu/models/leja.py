@@ -207,29 +207,14 @@ def _leja_apply(op, b, d, xi, center, inv_s, m: int, q: int):
     return ws[0]
 
 
-def _fused_poly_ok(op, dtype, fused: bool | None) -> bool:
-    """Route the polynomial recurrence through the fused Pallas plane
-    sweep (ops/kernels/lanczos_fused.recurrence_apply_fused)? The sweep
-    covers 2-D/3-D box Stencil/VariableStencil operators — ASYMMETRIC
-    constants included (advection–diffusion class), unlike the
-    Lanczos-only fused path — on a real TPU at f32."""
-    if fused is False:
-        return False
-    from ..ops.kernels.lanczos_fused import _fused_dispatch
-    try:
-        _fused_dispatch(op, hermitian=False)
-        ok = True
-    except (ValueError, TypeError):
-        ok = False
-    if fused is True:
-        if not ok:
-            raise ValueError(
-                "fused=True requires a 2-D/3-D box Stencil/"
-                "VariableStencil operator within the sweep's VMEM "
-                "budget")
-        return True
-    return (ok and jax.default_backend() == "tpu"
-            and jnp.dtype(dtype) == jnp.float32)
+def _fused_poly_ok(op, dtype, fused: bool | None):
+    """The Pallas recurrence engine for this operator (or None → XLA
+    scan): VMEM-resident for 1-D constant stencils, sliding-plane sweep
+    for 2-D/3-D boxes (ASYMMETRIC constants included — the advection–
+    diffusion class), row-tiled sweeps for giant grids. See
+    ops/kernels/dispatch.recurrence_engine."""
+    from ..ops.kernels.dispatch import recurrence_engine
+    return recurrence_engine(op, dtype, fused)
 
 
 def _newton_rows(d, xi, c, inv_s):
@@ -241,11 +226,14 @@ def _newton_rows(d, xi, c, inv_s):
 
 
 def _apply_fused_newton(op, b, D, xi, c, inv_s, q: int,
-                        interpret: bool = False):
-    """Fused-sweep twin of ``_leja_apply``: 1-D D → q exact substeps;
+                        interpret: bool = False, apply=None):
+    """Engine twin of ``_leja_apply``: 1-D D → q exact substeps;
     2-D D (m, p) → one pass per coefficient column, summed (each column
-    shares the SAME ω_k chain coefficients, so each runs independently)."""
-    from ..ops.kernels.lanczos_fused import recurrence_apply_fused
+    shares the SAME ω_k chain coefficients, so each runs independently).
+    ``apply`` is a recurrence engine (ops/kernels/dispatch)."""
+    if apply is None:
+        from ..ops.kernels.lanczos_fused import recurrence_apply_fused
+        apply = recurrence_apply_fused
 
     b = jnp.asarray(b)
     D = np.asarray(D)
@@ -253,13 +241,12 @@ def _apply_fused_newton(op, b, D, xi, c, inv_s, q: int,
         rows = jnp.asarray(_newton_rows(D, xi, c, inv_s), b.dtype)
         w = b
         for _ in range(q):
-            w = recurrence_apply_fused(op, w, rows, interpret=interpret)
+            w = apply(op, w, rows, interpret=interpret)
         return w
     cols = []
     for j in range(D.shape[1]):
         rows = jnp.asarray(_newton_rows(D[:, j], xi, c, inv_s), b.dtype)
-        cols.append(recurrence_apply_fused(op, b, rows,
-                                           interpret=interpret))
+        cols.append(apply(op, b, rows, interpret=interpret))
     return jnp.stack(cols, axis=-1)
 
 
@@ -312,9 +299,10 @@ def expv_leja(t, A, b, *, interval=None, tol: float = 1e-7,
     if d is None:                       # A ≈ cI (real-shift only)
         return (jnp.exp(jnp.asarray(float(t) * c, b.dtype)) * b)
     m_used = len(d)
-    if _fused_poly_ok(op, b.dtype, fused):
+    eng = _fused_poly_ok(op, b.dtype, fused)
+    if eng is not None:
         return _apply_fused_newton(op, b, d[:m_used], xi[:m_used],
-                                   c, 1.0 / s, q)
+                                   c, 1.0 / s, q, apply=eng)
     dj = jnp.asarray(d[:m_used], jnp.result_type(b.dtype))
     xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
     return _leja_apply(op, b, dj, xj, c, 1.0 / s, m_used, q)
@@ -375,9 +363,10 @@ def phiv_leja(t, A, b, k: int, *, interval=None, tol: float = 1e-7,
     D = _phi_divided_differences(tf, c, s, xi, k)       # (m, k+1)
     m_used = _truncate_dd(np.abs(D).max(axis=1) * sup, tol, m_probe, m,
                           f"phiv_leja (z = {z:.1f})")
-    if _fused_poly_ok(op, b.dtype, fused):
+    eng = _fused_poly_ok(op, b.dtype, fused)
+    if eng is not None:
         return _apply_fused_newton(op, b, D[:m_used], xi[:m_used],
-                                   c, 1.0 / s, 1)
+                                   c, 1.0 / s, 1, apply=eng)
     Dj = jnp.asarray(D[:m_used], jnp.result_type(b.dtype))
     xj = jnp.asarray(xi[:m_used], jnp.finfo(b.dtype).dtype)
     return _leja_apply(op, b, Dj, xj, c, 1.0 / s, m_used, 1)
@@ -452,17 +441,20 @@ def _combo_cols(u, B, tcur, p: int):
 
 
 def _nw_fused_substep(op, u, B, tcur, D, xi, c, inv_s, p: int,
-                      interpret: bool = False):
-    """One NW substep through the fused plane sweep: the (p+1) combination
-    columns each run an independent single-vector Newton pass (same ω_k
-    chain scalars, different accumulation coefficients D[:, j]) and sum."""
-    from ..ops.kernels.lanczos_fused import recurrence_apply_fused
+                      interpret: bool = False, apply=None):
+    """One NW substep through a Pallas recurrence engine: the (p+1)
+    combination columns each run an independent single-vector Newton
+    pass (same ω_k chain scalars, different accumulation coefficients
+    D[:, j]) and sum."""
+    if apply is None:
+        from ..ops.kernels.lanczos_fused import recurrence_apply_fused
+        apply = recurrence_apply_fused
 
     cols = _combo_cols(u, B, jnp.asarray(tcur, u.dtype), p)
     out = None
     for j in range(p + 1):
         rows = jnp.asarray(_newton_rows(D[:, j], xi, c, inv_s), u.dtype)
-        wj = recurrence_apply_fused(op, cols[j], rows, interpret=interpret)
+        wj = apply(op, cols[j], rows, interpret=interpret)
         out = wj if out is None else out + wj
     return out
 
@@ -571,7 +563,8 @@ def phiv_timestep_leja(ts, A, B, *, interval=None, tol: float = 1e-7,
                 tcur = t_prev
                 for _ in range(q):
                     u = _nw_fused_substep(op, u, B, tcur, D[:m_used],
-                                          xi[:m_used], c, 1.0 / s, p)
+                                          xi[:m_used], c, 1.0 / s, p,
+                                          apply=use_fused)
                     tcur += tau
             else:
                 Dj = jnp.asarray(D[:m_used], jnp.result_type(u.dtype))

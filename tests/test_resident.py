@@ -130,3 +130,34 @@ def test_supported_guards():
     with pytest.raises(ValueError):
         recurrence_apply_resident(two_d, jnp.ones(64),
                                   jnp.zeros((3, 4)))
+
+
+def test_recurrence_engine_selection():
+    # dispatch.recurrence_engine picks resident (1-D), plane sweep
+    # (3-D), tiled (giant 3-D), None (auto on CPU / fused=False)
+    from exponentialutilities_jl_tpu import laplacian_nd_stencil
+    from exponentialutilities_jl_tpu.ops.kernels.dispatch import (
+        recurrence_engine)
+    from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+        recurrence_apply_fused)
+    from exponentialutilities_jl_tpu.ops.kernels.resident import (
+        recurrence_apply_resident)
+    from exponentialutilities_jl_tpu.ops.kernels.tiled import (
+        recurrence_apply_fused_tiled)
+
+    op1 = StencilOperator((500,), ((-1,), (0,), (1,)),
+                          jnp.asarray([1.0, -2.0, 1.0], jnp.float32))
+    op3 = laplacian_nd_stencil(16, 16, 16, dtype=jnp.float32)
+    giant = laplacian_nd_stencil(608, 608, 608, dtype=jnp.float32)
+
+    assert recurrence_engine(op1, jnp.float32, True) \
+        is recurrence_apply_resident
+    assert recurrence_engine(op3, jnp.float32, True) \
+        is recurrence_apply_fused
+    assert recurrence_engine(giant, jnp.float32, True) \
+        is recurrence_apply_fused_tiled
+    # auto on a CPU backend → scan path
+    assert recurrence_engine(op3, jnp.float32, None) is None
+    assert recurrence_engine(op3, jnp.float32, False) is None
+    with pytest.raises(ValueError):
+        recurrence_engine(object(), jnp.float32, True)
