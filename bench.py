@@ -149,13 +149,21 @@ def main():
 
             return jnp.sum(jax.lax.fori_loop(0, K, body, b))
 
+    if backend == "tpu":
+        # 1-D small n on TPU: both Lanczos passes VMEM-resident (what
+        # expv(two_pass=True) auto-selects; ops/kernels/resident.py)
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            expv_two_pass_resident as _two_pass_impl)
+    else:
+        _two_pass_impl = _expv_two_pass
+
     @jax.jit
     def chain_lanczos(c, b, K):
         lop = make_op(c)
 
         def body(i, b):
             # storage-free two-pass Lanczos: no (m+1, n) basis buffer
-            w = _expv_two_pass(lop, b, t, m)
+            w = _two_pass_impl(lop, b, t, m)
             return w / jnp.linalg.norm(w)
 
         return jnp.sum(jax.lax.fori_loop(0, K, body, b))

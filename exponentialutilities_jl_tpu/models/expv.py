@@ -169,6 +169,13 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
         herm = op.is_hermitian if hermitian is None else hermitian
         if two_pass:
             if herm:
+                from ..ops.kernels.resident import (expv_two_pass_resident,
+                                                    resident_supported)
+                if (resident_supported(op) and b.dtype == jnp.float32
+                        and jax.default_backend() == "tpu"):
+                    # 1-D small n: both passes in ONE VMEM-resident
+                    # dispatch each (ops/kernels/resident.py)
+                    return expv_two_pass_resident(op, b, t, m)
                 if _fused_two_pass_supported(op) and b.dtype == jnp.float32:
                     # the fused Pallas sweep is f32-only (Mosaic f64
                     # support is partial); f64 uses the XLA two-pass

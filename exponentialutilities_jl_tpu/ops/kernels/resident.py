@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .lanczos_fused import _row_shift_full
 
 __all__ = ["recurrence_apply_resident", "resident_supported",
+           "lanczos_coeffs_resident", "expv_two_pass_resident",
            "RESIDENT_MAX_N"]
 
 _LANES = 128
@@ -158,6 +159,124 @@ def resident_supported(op, n_max: int = RESIDENT_MAX_N) -> bool:
         return False
     n = op.grid_shape[0]
     return 0 < n <= n_max and all(abs(off[0]) < n for off in op.offsets)
+
+
+def _resident_lanczos_kernel(cvals_ref, x_ref, mask_ref, ab_ref,
+                             wp_ref, wc_ref, *, offsets, m: int,
+                             tol: float):
+    """Pass-1 Lanczos with EVERYTHING resident: classical normalized
+    three-term recurrence, per-step (α, β) computed in-kernel (the
+    scalar feedback that forces the streaming kernels to run one sweep
+    per iteration costs nothing here), written to the (m, 2) SMEM
+    output. Breakdown (β < tol) zeroes the remaining steps — the same
+    masked-trailing convention as ops/krylov.lanczos_coeffs."""
+    mask = mask_ref[...]
+    wc_ref[...] = x_ref[...]            # caller passes v0 (normalized)
+    wp_ref[...] = jnp.zeros_like(mask)
+
+    def step(k, beta_prev_alive):
+        beta_prev, alive = beta_prev_alive
+        vc = wc_ref[...]
+        z = None
+        for j, o in enumerate(offsets):
+            term = cvals_ref[j] * _flat_shift(vc, o)
+            z = term if z is None else z + term
+        alpha = jnp.sum(vc * z)
+        y = mask * (z - alpha * vc) - beta_prev * wp_ref[...]
+        beta = jnp.sqrt(jnp.maximum(jnp.sum(y * y), 0.0))
+        ok = alive & (beta >= tol)
+        ab_ref[k, 0] = jnp.where(alive, alpha, 0.0)
+        ab_ref[k, 1] = jnp.where(ok, beta, 0.0)
+        inv = jnp.where(ok, 1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
+        wp_ref[...] = vc
+        wc_ref[...] = y * inv
+        return (jnp.where(ok, beta, 0.0), ok)
+
+    state = (jnp.zeros((), mask.dtype), jnp.asarray(True))
+    if m <= _UNROLL_MAX:
+        for k in range(m):
+            state = step(k, state)
+    else:
+        state = lax.fori_loop(0, m, step, state)
+
+
+def lanczos_coeffs_resident(op, b, m: int, *, tol: float = 1e-7,
+                            interpret: bool = False):
+    """(alphas, betas, beta0, m_used, broke) — drop-in twin of
+    ``ops.krylov.lanczos_coeffs`` for 1-D constant stencils, the whole
+    pass in ONE VMEM-resident dispatch."""
+    if not resident_supported(op):
+        raise ValueError("lanczos_coeffs_resident requires a 1-D "
+                         "constant StencilOperator with n <= "
+                         f"{RESIDENT_MAX_N}")
+    b = jnp.asarray(b)
+    dt = b.dtype
+    n = op.grid_shape[0]
+    R, mask_np = _layout_1d(n)
+    beta0 = jnp.linalg.norm(b)
+    v0 = jnp.where(beta0 > 0, b / jnp.where(beta0 > 0, beta0, 1), 0.0)
+    Xp = jnp.pad(v0, (0, R * _LANES - n)).reshape(R, _LANES)
+    offsets = tuple(off[0] for off in op.offsets)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ab = pl.pallas_call(
+        functools.partial(_resident_lanczos_kernel,
+                          offsets=offsets, m=int(m), tol=float(tol)),
+        in_specs=[smem, vmem, vmem],
+        out_specs=smem,
+        out_shape=jax.ShapeDtypeStruct((int(m), 2), dt),
+        scratch_shapes=[pltpu.VMEM((R, _LANES), dt),
+                        pltpu.VMEM((R, _LANES), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(op.coeffs.astype(dt), Xp, jnp.asarray(mask_np))
+    alphas, betas = ab[:, 0], ab[:, 1]
+    # α_k is recorded through the first sub-tol β (inclusive): m_used =
+    # index of the first zero β + 1, or m when none broke
+    any0 = jnp.any(betas == 0)
+    first0 = jnp.argmax(betas == 0).astype(jnp.int32)
+    m_used = jnp.where(any0, first0 + 1, m)
+    m_used = jnp.where(beta0 > 0, m_used, 0)
+    broke = any0 | (beta0 == 0)
+    return alphas, betas, beta0.astype(jnp.result_type(dt, jnp.float32)), \
+        m_used.astype(jnp.int32), broke
+
+
+def expv_two_pass_resident(op, b, t, m: int, *, tol: float = 1e-7,
+                           interpret: bool = False):
+    """Storage-free 1-D Hermitian expv with BOTH passes VMEM-resident:
+    pass 1 = ``lanczos_coeffs_resident`` (one dispatch), the m×m
+    reduced tridiagonal exponential on device, pass 2 = the resident
+    recurrence with replay rows derived from the recorded (α, β) —
+    v_{k+1} = (A v_k − α_k v_k − β_{k−1} v_{k−1})/β_k, w += c_k v_k.
+    Two kernel dispatches total (the streaming two-pass runs 2m
+    sweeps)."""
+    b = jnp.asarray(b)
+    t = jnp.asarray(t)
+    dt = b.dtype
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs_resident(
+        op, b, m, tol=tol, interpret=interpret)
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1))
+    w_eig, Q = jnp.linalg.eigh(T)
+    cdt = jnp.result_type(Q.dtype, t.dtype)
+    coeffs = (Q.astype(cdt) @ (jnp.exp(t * w_eig) * Q[0, :].astype(cdt))
+              * beta0.astype(cdt))
+    # replay rows from the record (cc_0 multiplies ω_{−1} = 0 — value
+    # irrelevant, kept 0 via the zero-padded β_{k−1} shift)
+    live = betas > 0
+    safe = jnp.where(live, betas, 1.0)
+    bprev = jnp.concatenate([jnp.zeros((1,), dt), betas[:-1]])
+    ca = jnp.where(live, 1.0 / safe, 0.0)
+    cb = -alphas * ca
+    cc = jnp.where(live, -bprev / safe, 0.0)
+    rows = jnp.stack([ca, cb, cc, coeffs.astype(dt)], axis=1)
+    scale = jnp.where(beta0 > 0, 1.0 / jnp.where(beta0 > 0, beta0, 1.0),
+                      0.0)
+    w = recurrence_apply_resident(op, b, rows, scale=scale,
+                                  interpret=interpret)
+    return jnp.where(beta0 > 0, w, jnp.zeros_like(w))
 
 
 def recurrence_apply_resident(op, b, rows, *, scale=1.0,

@@ -161,3 +161,87 @@ def test_recurrence_engine_selection():
     assert recurrence_engine(op3, jnp.float32, False) is None
     with pytest.raises(ValueError):
         recurrence_engine(object(), jnp.float32, True)
+
+
+class TestResidentLanczos:
+    """One-dispatch pass-1 Lanczos + two-dispatch two-pass expv."""
+
+    def _op(self, n):
+        return StencilOperator((n,), ((-1,), (0,), (1,)),
+                               jnp.asarray([1.0, -2.0, 1.0], jnp.float32),
+                               is_hermitian=True)
+
+    def test_coeffs_match_xla_lanczos(self):
+        from exponentialutilities_jl_tpu.ops.krylov import lanczos_coeffs
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            lanczos_coeffs_resident)
+        n, m = 900, 12
+        op = self._op(n)
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        a_r, b_r, beta0_r, mu_r, _ = lanczos_coeffs_resident(
+            op, b, m, interpret=True)
+        a_x, b_x, beta0_x, mu_x, _ = lanczos_coeffs(op, b, m)
+        np.testing.assert_allclose(np.asarray(a_r), np.asarray(a_x),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(b_r), np.asarray(b_x),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(float(beta0_r), float(beta0_x),
+                                   rtol=1e-6)
+        assert int(mu_r) == int(mu_x)
+
+    def test_two_pass_vs_scipy(self):
+        import scipy.sparse as sp
+        from scipy.sparse.linalg import expm_multiply
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            expv_two_pass_resident)
+        n, m, t = 1200, 30, 0.4
+        op = self._op(n)
+        rng = np.random.default_rng(1)
+        b_host = rng.standard_normal(n)
+        b = jnp.asarray(b_host, jnp.float32)
+        w = np.asarray(expv_two_pass_resident(op, b, t, m,
+                                              interpret=True))
+        A = sp.diags([np.ones(n - 1), -2 * np.ones(n), np.ones(n - 1)],
+                     [-1, 0, 1], format="csr")
+        want = expm_multiply(t * A, b_host)
+        assert (np.linalg.norm(w - want) / np.linalg.norm(want)) < 2e-5
+
+    def test_breakdown_eigvector_input(self):
+        # b = exact eigenvector of the 1-D Laplacian → breakdown at
+        # step 1; result must still be exp(t*lambda)*b
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            expv_two_pass_resident)
+        n, t = 300, 0.3
+        op = self._op(n)
+        k = 3
+        x = np.sin(np.pi * k * np.arange(1, n + 1) / (n + 1))
+        lam = -4 * np.sin(np.pi * k / (2 * (n + 1))) ** 2
+        w = np.asarray(expv_two_pass_resident(
+            op, jnp.asarray(x, jnp.float32), t, 10, interpret=True))
+        want = np.exp(t * lam) * x
+        assert (np.linalg.norm(w - want) / np.linalg.norm(want)) < 1e-5
+
+    def test_zero_b(self):
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            expv_two_pass_resident)
+        w = np.asarray(expv_two_pass_resident(
+            self._op(200), jnp.zeros(200, jnp.float32), 0.5, 8,
+            interpret=True))
+        assert not w.any()
+
+    def test_fori_path(self):
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            expv_two_pass_resident)
+        import scipy.sparse as sp
+        from scipy.sparse.linalg import expm_multiply
+        n, m, t = 700, 60, 0.2         # m > unroll cap
+        op = self._op(n)
+        rng = np.random.default_rng(2)
+        b_host = rng.standard_normal(n)
+        w = np.asarray(expv_two_pass_resident(
+            op, jnp.asarray(b_host, jnp.float32), t, m, interpret=True))
+        A = sp.diags([np.ones(n - 1), -2 * np.ones(n), np.ones(n - 1)],
+                     [-1, 0, 1], format="csr")
+        want = expm_multiply(t * A, b_host)
+        assert (np.linalg.norm(w - want) / np.linalg.norm(want)) < 2e-5
