@@ -132,7 +132,8 @@ def bench_case(B, n, rng):
         analytic_gemms=4 + 1.33 + 3)
     run("vmap_expm", jax.vmap(expm_higham2005))
     run("expm_taylor", jax.vmap(expm_taylor))
-    run("phi4", jax.vmap(lambda a: phi(a, 4)))
+    run("phi4_batch", lambda X: phi(X, 4))      # stacked → batched route
+    run("phi4_vmap", jax.vmap(lambda a: phi(a, 4)))
 
     print("  -- % of matmul roofline:", flush=True)
     for name, t_call, fl, rate in rows[1:]:

@@ -31,7 +31,8 @@ from .ops.expm import (expm, expm_higham2005, expm_higham2005_batched,
                        expm_diagonalization, expm_native, expm_taylor,
                        balance_matrix, gebal, expm_gebal)
 from .ops.funm import funm, funm_schur_parlett
-from .ops.phi_dense import (phi, phi_scalar, phi_taylor, phi_with_info,
+from .ops.phi_dense import (phi, phi_scalar, phi_taylor,
+                            phi_taylor_batched, phi_with_info,
                             phiv_dense)
 from .ops.phi_almohy import phi_pade, phi_pade_with_info
 from .ops.expm_dd import expm_dd, DD
@@ -81,7 +82,8 @@ __all__ = [
     "expm_generic", "expm_diagonalization",
     "expm_native", "expm_taylor", "balance_matrix", "gebal", "expm_gebal",
     "funm", "funm_schur_parlett",
-    "phi", "phi_scalar", "phi_taylor", "phi_pade", "phi_pade_with_info",
+    "phi", "phi_scalar", "phi_taylor", "phi_taylor_batched",
+    "phi_pade", "phi_pade_with_info",
     "phi_with_info", "phiv_dense",
     "KrylovBasis", "arnoldi", "arnoldi_extend", "lanczos", "build_subspace",
     "expv", "expv_from_basis", "phiv", "phiv_from_basis",

@@ -43,7 +43,8 @@ from ..utils.precision import mxu_full_precision
 
 from .expm import expm_higham2005
 
-__all__ = ["phi_scalar", "phiv_dense", "phi", "phi_taylor", "phi_with_info"]
+__all__ = ["phi_scalar", "phiv_dense", "phi", "phi_taylor",
+           "phi_taylor_batched", "phi_with_info"]
 
 
 def _inv_factorial(n: int) -> float:
@@ -239,6 +240,43 @@ def phi_taylor(A, k: int, *, max_squarings: int = 48,
     return lax.fori_loop(0, s, lambda i, F: _double_argument_stage(F, p), F)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_squarings"))
+@mxu_full_precision
+def phi_taylor_batched(A, k: int, *, max_squarings: int = 48):
+    """Batch-uniform [φ_0 … φ_k] for a (..., n, n) stack → (..., k+1,
+    n, n) — the MXU serving form (VERDICT r4 #4's φ sibling of
+    ``expm_higham2005_batched``).
+
+    ONE scaling count from the BATCH-MAX 1-norm: the Taylor stage, the
+    recovery recurrence and every double-argument squaring stage run as
+    plain batched GEMMs with a uniform trip count (under ``vmap`` the
+    per-element dynamic loop still executes max-s trips but wraps each
+    stage in a while-loop body with per-element selects; here the
+    structure is branch-free). Smaller-norm elements are scaled deeper
+    than they need — error only shrinks (the same argument as the
+    batched expm). ``phi(A, k)`` auto-routes stacked input here."""
+    A = jnp.asarray(A)
+    if A.ndim < 3:
+        return phi_taylor(A, k, max_squarings=max_squarings)
+    p = int(k)
+    theta, order = _taylor_order(A.dtype)
+    rdt = jnp.finfo(A.dtype).dtype
+    nA = jnp.max(jnp.sum(jnp.abs(A), axis=-2), axis=-1)
+    nA = jnp.max(nA).astype(rdt)
+    s = jnp.maximum(0, jnp.ceil(jnp.log2(
+        jnp.maximum(nA, jnp.finfo(rdt).tiny) / theta))).astype(jnp.int32)
+    s = jnp.where(nA > theta, s, 0)
+    s = jnp.minimum(s, max_squarings)
+    X = A * (2.0 ** (-s)).astype(rdt)
+
+    lead = X.shape[:-2]
+    Xf = X.reshape((-1,) + X.shape[-2:])
+    F = jax.vmap(lambda x: _phi_all_of_scaled(x, p, order))(Xf)
+    stage = jax.vmap(lambda f: _double_argument_stage(f, p))
+    F = lax.fori_loop(0, s, lambda i, F: stage(F), F)
+    return F.reshape(lead + F.shape[1:])
+
+
 def phi(A, k: int, *, method: str = "auto", max_squarings: int | None = None,
         differentiable: bool = False):
     """Simultaneous [φ_0(A), …, φ_k(A)] — the dense-φ front door.
@@ -256,6 +294,12 @@ def phi(A, k: int, *, method: str = "auto", max_squarings: int | None = None,
         src/phi.jl:188-234), taylor otherwise.
     """
     A = jnp.asarray(A)
+    if A.ndim > 2 and method in ("auto", "taylor"):
+        # stacked input → the batch-uniform MXU route (one scaling
+        # count from the batch-max norm, branch-free batched GEMMs)
+        return phi_taylor_batched(
+            A, k, **({} if max_squarings is None
+                     else {"max_squarings": max_squarings}))
     if method == "auto":
         # The reference's Float64/ComplexF64 → Al-Mohy–Liu dispatch
         # (src/phi.jl:188-234) now holds on EVERY backend: on TPU the

@@ -3,6 +3,7 @@ matrices, NaN no-throw protocol (reference: test/basictests.jl:305-466)."""
 
 import math
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.linalg as sla
@@ -282,3 +283,54 @@ def test_phiv_dense_k0(rng):
     got = np.asarray(eu.phiv_dense(A, v, 0))
     assert got.shape == (n, 1)
     assert np.linalg.norm(got[:, 0] - sla.expm(A) @ v) < 1e-10
+
+
+class TestBatchedPhi:
+    """phi_taylor_batched: batch-uniform scaling (VERDICT r4 #4)."""
+
+    def test_mixed_norm_batch_vs_per_element(self, rng):
+        mats = []
+        for scale in (1e-3, 0.5, 8.0, 40.0):
+            A = rng.standard_normal((16, 16))
+            mats.append(A * (scale / np.linalg.norm(A, 1)))
+        A = jnp.asarray(np.stack(mats))
+        P = eu.phi(A, 3)                 # stacked → batched route
+        assert P.shape == (4, 4, 16, 16)
+        for i in range(4):
+            Pi = np.asarray(eu.phi(jnp.asarray(mats[i]), 3,
+                                   method="taylor"))
+            np.testing.assert_allclose(np.asarray(P[i]), Pi,
+                                       atol=1e-11, rtol=1e-9)
+
+    def test_batched_f32(self, rng):
+        A = rng.standard_normal((3, 24, 24)).astype(np.float32)
+        A *= 4.0 / np.linalg.norm(A, 1, axis=(1, 2))[:, None, None]
+        P = eu.phi_taylor_batched(jnp.asarray(A), 2)
+        assert P.dtype == jnp.float32
+        for i in range(3):
+            Pi = np.asarray(eu.phi(jnp.asarray(A[i].astype(np.float64)),
+                                   2, method="taylor"))
+            np.testing.assert_allclose(np.asarray(P[i]), Pi,
+                                       atol=5e-6, rtol=1e-4)
+
+    def test_matches_block_oracle(self, rng):
+        # the (k+1)-block augmented-exponential oracle per element
+        import scipy.linalg as sla
+        n, kk = 12, 2
+        A = rng.standard_normal((2, n, n)) / 3
+        P = np.asarray(eu.phi(jnp.asarray(A), kk))
+        for i in range(2):
+            aug = np.zeros((n + kk, n + kk))
+            aug[:n, :n] = A[i]
+            aug[:n, n] = 0.0
+            # phi_j(A) columns via exp of the Jordan-augmented matrix:
+            # use scalar identity phi_j = series on eigen-free route —
+            # simpler: compare phi_0 with expm and the recurrence
+            # phi_{j}(A) = A phi_{j+1}(A) + I/j!
+            E = sla.expm(A[i])
+            np.testing.assert_allclose(P[i, 0], E, atol=1e-12, rtol=1e-9)
+            for j in range(kk):
+                lhs = P[i, j]
+                rhs = A[i] @ P[i, j + 1] + np.eye(n) / math.factorial(j)
+                np.testing.assert_allclose(lhs, rhs, atol=1e-11,
+                                           rtol=1e-8)
