@@ -149,29 +149,39 @@ def main():
 
             return jnp.sum(jax.lax.fori_loop(0, K, body, b))
 
+    def make_chain_lanczos(impl):
+        @jax.jit
+        def chain_lanczos(c, b, K):
+            lop = make_op(c)
+
+            def body(i, b):
+                # storage-free two-pass Lanczos: no (m+1, n) basis buffer
+                w = impl(lop, b, t, m)
+                return w / jnp.linalg.norm(w)
+
+            return jnp.sum(jax.lax.fori_loop(0, K, body, b))
+        return chain_lanczos
+
     if backend == "tpu":
         # 1-D small n on TPU: both Lanczos passes VMEM-resident (what
         # expv(two_pass=True) auto-selects; ops/kernels/resident.py)
         from exponentialutilities_jl_tpu.ops.kernels.resident import (
-            expv_two_pass_resident as _two_pass_impl)
+            expv_two_pass_resident)
+        lanczos_impls = [expv_two_pass_resident, _expv_two_pass]
     else:
-        _two_pass_impl = _expv_two_pass
-
-    @jax.jit
-    def chain_lanczos(c, b, K):
-        lop = make_op(c)
-
-        def body(i, b):
-            # storage-free two-pass Lanczos: no (m+1, n) basis buffer
-            w = _two_pass_impl(lop, b, t, m)
-            return w / jnp.linalg.norm(w)
-
-        return jnp.sum(jax.lax.fori_loop(0, K, body, b))
+        lanczos_impls = [_expv_two_pass]
 
     dt_s, diag = _calibrated_slope(
         lambda K: float(chain(coeffs, b, K)))
-    lanczos_s, _ = _calibrated_slope(
-        lambda K: float(chain_lanczos(coeffs, b, K)))
+    lanczos_s = None
+    for impl in lanczos_impls:
+        try:
+            cl = make_chain_lanczos(impl)
+            lanczos_s, _ = _calibrated_slope(
+                lambda K: float(cl(coeffs, b, K)))
+            break
+        except Exception:               # noqa: BLE001 — driver-facing
+            continue                    # metric: never die on a variant
     ms = dt_s * 1e3
 
     # Accuracy + host-baseline timing vs scipy's Krylov expm_multiply —
@@ -217,7 +227,8 @@ def main():
         "vs_baseline": round(scipy_ms / ms, 2),
         "backend": backend,
         "method": method,
-        "two_pass_lanczos_m30_ms": round(lanczos_s * 1e3, 3),
+        "two_pass_lanczos_m30_ms": (round(lanczos_s * 1e3, 3)
+                                    if lanczos_s else None),
         "rel_err_vs_scipy": rel_err,
         "rel_err_f64_vs_scipy": rel_err_64,
         "scipy_expm_multiply_ms": round(scipy_ms, 1),
