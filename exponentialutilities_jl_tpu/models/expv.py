@@ -169,17 +169,23 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
         herm = op.is_hermitian if hermitian is None else hermitian
         if two_pass:
             if herm:
+                # the f32 Pallas paths replay with f32 combination
+                # coefficients — complex t must keep the XLA path (its
+                # coefficients promote to complex)
+                real_t = not jnp.iscomplexobj(jnp.asarray(t))
                 from ..ops.kernels.resident import (expv_two_pass_resident,
                                                     resident_supported)
                 if (resident_supported(op) and b.dtype == jnp.float32
+                        and real_t
                         and jax.default_backend() == "tpu"):
                     # 1-D small n: both passes in ONE VMEM-resident
                     # dispatch each (ops/kernels/resident.py)
-                    return expv_two_pass_resident(op, b, t, m)
-                if _fused_two_pass_supported(op) and b.dtype == jnp.float32:
+                    return expv_two_pass_resident(op, b, t, m, tol=tol)
+                if (_fused_two_pass_supported(op)
+                        and b.dtype == jnp.float32 and real_t):
                     # the fused Pallas sweep is f32-only (Mosaic f64
                     # support is partial); f64 uses the XLA two-pass
-                    return _expv_two_pass_fused(op, b, t, m)
+                    return _expv_two_pass_fused(op, b, t, m, tol=tol)
                 if reduced == "host":
                     # f64 on TPU: the device tridiagonal eigh is
                     # f32-limited (~1e-8); stage the m-sized reduced
@@ -339,7 +345,21 @@ def _fused_two_pass_supported(op) -> bool:
         return False
 
 
-def _expv_two_pass_fused(op, b, t, m: int):
+def _lanczos_reduced_coeffs(alphas, betas, beta0, t):
+    """Shared reduced-problem stage of every two-pass Hermitian expv
+    (XLA, fused, resident, fused-sharded): masked tridiagonal T →
+    device eigh → the replay combination coefficients β₀·Q e^{tΛ} Q^T e₁
+    (trailing zero α/β make T block-diagonal; e₁ excites only the
+    effective leading block — same argument as ``_exp_reduced_e1``)."""
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1))
+    w_eig, Q = jnp.linalg.eigh(T)
+    cdt = jnp.result_type(Q.dtype, jnp.asarray(t).dtype)
+    return (Q.astype(cdt) @ (jnp.exp(t * w_eig) * Q[0, :].astype(cdt))
+            * beta0.astype(cdt))
+
+
+def _expv_two_pass_fused(op, b, t, m: int, tol: float = 1e-7):
     """Two-pass Hermitian expv with BOTH passes as fused plane sweeps
     (ops/kernels/lanczos_fused.py): ~5n HBM traffic per coeffs iteration
     and ~7n per replay iteration instead of ~9n for the XLA recurrence."""
@@ -348,14 +368,10 @@ def _expv_two_pass_fused(op, b, t, m: int):
 
     b = jnp.asarray(b)
     t = jnp.asarray(t)
-    alphas, betas, beta0, m_used, broke = lanczos_coeffs_fused(op, b, m)
-    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
-         + jnp.diag(betas[:-1], -1))
-    w_eig, Q = jnp.linalg.eigh(T)
-    cdt = jnp.result_type(Q.dtype, t.dtype)
-    coeffs = (Q.astype(cdt) @ (jnp.exp(t * w_eig) * Q[0, :].astype(cdt))
-              * beta0.astype(cdt))
-    out = lanczos_replay_fused(op, b, coeffs)
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs_fused(op, b, m,
+                                                               tol=tol)
+    coeffs = _lanczos_reduced_coeffs(alphas, betas, beta0, t)
+    out = lanczos_replay_fused(op, b, coeffs, tol=tol)
     return jnp.where(beta0 > 0, out, jnp.zeros_like(out))
 
 

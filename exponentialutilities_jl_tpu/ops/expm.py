@@ -367,10 +367,11 @@ def expm_higham2005(A, *, max_squarings: int = 32, balance: bool = False,
     return _masked_squaring(X, s, max_squarings, differentiable)
 
 
-@functools.partial(jax.jit, static_argnames=("max_squarings",
+@functools.partial(jax.jit, static_argnames=("max_squarings", "balance",
                                              "differentiable"))
 @mxu_full_precision
 def expm_higham2005_batched(A, *, max_squarings: int = 32,
+                            balance: bool = False,
                             differentiable: bool = False):
     """Batch-uniform Higham-2005 ``exp(A)`` for a (..., n, n) stack —
     the MXU-rate serving form (VERDICT r4 #3).
@@ -397,7 +398,18 @@ def expm_higham2005_batched(A, *, max_squarings: int = 32,
     A = jnp.asarray(A)
     if A.ndim < 3:
         return expm_higham2005(A, max_squarings=max_squarings,
+                               balance=balance,
                                differentiable=differentiable)
+    if balance:
+        # per-element Osborne balancing (vmapped), batch-uniform Padé
+        # on the balanced stack, exact power-of-two undo
+        lead = A.shape[:-2]
+        Af = A.reshape((-1,) + A.shape[-2:])
+        Ab, d = jax.vmap(balance_matrix)(Af)
+        Eb = expm_higham2005_batched(Ab, max_squarings=max_squarings,
+                                     differentiable=differentiable)
+        E = (d[:, :, None] * Eb) * (1.0 / d)[:, None, :]
+        return E.reshape(lead + E.shape[-2:])
     real_dt = jnp.finfo(A.dtype).dtype
     nA = jnp.max(jnp.sum(jnp.abs(A), axis=-2), axis=-1)   # per-element
     nA = jnp.max(nA).astype(real_dt)                      # batch max

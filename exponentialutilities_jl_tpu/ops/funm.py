@@ -183,16 +183,28 @@ def _parlett_device(T, Fd, cross, denom, Z, iters: int):
         den2 = dr * dr + di * di
         den2 = jnp.where(cross > 0, den2, 1.0)
 
-        def body(i, F):
-            Fr, Fi = F
+        def cond(state):
+            Fr, Fi, k, delta = state
+            nrm = jnp.sum(Fr * Fr + Fi * Fi)
+            # exact stationarity = the nilpotent chain has closed (the
+            # map is deterministic, so a bitwise fixed point persists);
+            # the relative floor catches roundoff-level cycling
+            return (k < iters) & (delta > 1e-28 * jnp.maximum(nrm, 1.0))
+
+        def body(state):
+            Fr, Fi, k, _ = state
             XNr, XNi = cmm(Fr, Fi, Nr, Ni)
             NXr, NXi = cmm(Nr, Ni, Fr, Fi)
             Cr, Ci = XNr - NXr, XNi - NXi
             Gr = (Cr * dr + Ci * di) / den2
             Gi = (Ci * dr - Cr * di) / den2
-            return (Fdr + cross * Gr, Fdi + cross * Gi)
+            Fr2, Fi2 = Fdr + cross * Gr, Fdi + cross * Gi
+            delta = jnp.sum((Fr2 - Fr) ** 2 + (Fi2 - Fi) ** 2)
+            return (Fr2, Fi2, k + 1, delta)
 
-        Fr, Fi = lax.fori_loop(0, iters, body, (Fdr, Fdi))
+        Fr, Fi, _, _ = lax.while_loop(
+            cond, body, (Fdr, Fdi, jnp.asarray(0, jnp.int32),
+                         jnp.asarray(jnp.inf, Fdr.dtype)))
         # commutation residual (the correctness certificate)
         TFr, TFi = cmm(Tr, Ti, Fr, Fi)
         FTr, FTi = cmm(Fr, Fi, Tr, Ti)

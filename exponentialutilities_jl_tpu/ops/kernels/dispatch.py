@@ -20,7 +20,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["recurrence_engine"]
+__all__ = ["recurrence_engine", "chebyshev_rows"]
+
+
+def chebyshev_rows(coeffs, center, halfwidth, dt):
+    """(m, 4) recurrence-engine rows of the Chebyshev-U recurrence on
+    the interval (center ± halfwidth) with accumulation coefficients
+    ``coeffs`` — shared by the resident, plane-sweep, tiled and sharded
+    Chebyshev applies."""
+    m = coeffs.shape[0]
+    ca = jnp.full((m,), 2.0 / halfwidth, dt)
+    cb = jnp.full((m,), -2.0 * center / halfwidth, dt)
+    cc = jnp.full((m,), -1.0, dt)
+    return jnp.stack([ca, cb, cc, coeffs.astype(dt)], axis=1)
 
 
 def recurrence_engine(op, dtype, fused=None, *, hermitian: bool = False):

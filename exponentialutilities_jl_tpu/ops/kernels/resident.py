@@ -252,17 +252,14 @@ def expv_two_pass_resident(op, b, t, m: int, *, tol: float = 1e-7,
     v_{k+1} = (A v_k − α_k v_k − β_{k−1} v_{k−1})/β_k, w += c_k v_k.
     Two kernel dispatches total (the streaming two-pass runs 2m
     sweeps)."""
+    from ...models.expv import _lanczos_reduced_coeffs
+
     b = jnp.asarray(b)
     t = jnp.asarray(t)
     dt = b.dtype
     alphas, betas, beta0, m_used, broke = lanczos_coeffs_resident(
         op, b, m, tol=tol, interpret=interpret)
-    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
-         + jnp.diag(betas[:-1], -1))
-    w_eig, Q = jnp.linalg.eigh(T)
-    cdt = jnp.result_type(Q.dtype, t.dtype)
-    coeffs = (Q.astype(cdt) @ (jnp.exp(t * w_eig) * Q[0, :].astype(cdt))
-              * beta0.astype(cdt))
+    coeffs = _lanczos_reduced_coeffs(alphas, betas, beta0, t)
     # replay rows from the record (cc_0 multiplies ω_{−1} = 0 — value
     # irrelevant, kept 0 via the zero-padded β_{k−1} shift)
     live = betas > 0

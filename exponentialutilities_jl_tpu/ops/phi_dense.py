@@ -240,9 +240,11 @@ def phi_taylor(A, k: int, *, max_squarings: int = 48,
     return lax.fori_loop(0, s, lambda i, F: _double_argument_stage(F, p), F)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_squarings"))
+@functools.partial(jax.jit, static_argnames=("k", "max_squarings",
+                                             "differentiable"))
 @mxu_full_precision
-def phi_taylor_batched(A, k: int, *, max_squarings: int = 48):
+def phi_taylor_batched(A, k: int, *, max_squarings: int = 48,
+                       differentiable: bool = False):
     """Batch-uniform [φ_0 … φ_k] for a (..., n, n) stack → (..., k+1,
     n, n) — the MXU serving form (VERDICT r4 #4's φ sibling of
     ``expm_higham2005_batched``).
@@ -257,7 +259,8 @@ def phi_taylor_batched(A, k: int, *, max_squarings: int = 48):
     batched expm). ``phi(A, k)`` auto-routes stacked input here."""
     A = jnp.asarray(A)
     if A.ndim < 3:
-        return phi_taylor(A, k, max_squarings=max_squarings)
+        return phi_taylor(A, k, max_squarings=max_squarings,
+                          differentiable=differentiable)
     p = int(k)
     theta, order = _taylor_order(A.dtype)
     rdt = jnp.finfo(A.dtype).dtype
@@ -273,7 +276,14 @@ def phi_taylor_batched(A, k: int, *, max_squarings: int = 48):
     Xf = X.reshape((-1,) + X.shape[-2:])
     F = jax.vmap(lambda x: _phi_all_of_scaled(x, p, order))(Xf)
     stage = jax.vmap(lambda f: _double_argument_stage(f, p))
-    F = lax.fori_loop(0, s, lambda i, F: stage(F), F)
+    if differentiable:
+        # bounded masked loop: reverse-mode AD cannot traverse a
+        # dynamic-trip fori (same convention as phi_taylor/expm)
+        F = lax.fori_loop(0, max_squarings,
+                          lambda i, F: jnp.where(i < s, stage(F), F), F,
+                          unroll=False)
+    else:
+        F = lax.fori_loop(0, s, lambda i, F: stage(F), F)
     return F.reshape(lead + F.shape[1:])
 
 
@@ -298,8 +308,9 @@ def phi(A, k: int, *, method: str = "auto", max_squarings: int | None = None,
         # stacked input → the batch-uniform MXU route (one scaling
         # count from the batch-max norm, branch-free batched GEMMs)
         return phi_taylor_batched(
-            A, k, **({} if max_squarings is None
-                     else {"max_squarings": max_squarings}))
+            A, k, differentiable=differentiable,
+            **({} if max_squarings is None
+               else {"max_squarings": max_squarings}))
     if method == "auto":
         # The reference's Float64/ComplexF64 → Al-Mohy–Liu dispatch
         # (src/phi.jl:188-234) now holds on EVERY backend: on TPU the

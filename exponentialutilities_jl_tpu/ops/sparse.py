@@ -597,6 +597,12 @@ class SortedSellOperator(LinearOperator):
     @classmethod
     def _build(cls, rows, cols, vals, n, *, dtype, window,
                is_hermitian, rcm_perm=None):
+        # rows/cols arrive RCM-relabeled when rcm_perm is given; the
+        # degree sort happens in that space (stable → preserves RCM
+        # window locality within each degree class), and the PUBLIC
+        # permutation operators compose BOTH relabelings so the
+        # container maps original-order vectors to original-order
+        # vectors: permute(x) == x[order] always holds.
         from .kernels.sell import sell_pack_bucketed
         deg = np.bincount(rows, minlength=n)
         order = np.argsort(deg, kind="stable").astype(np.int64)
@@ -606,29 +612,52 @@ class SortedSellOperator(LinearOperator):
             sell_pack_bucketed((inv[rows], inv[cols], vals), n,
                                dtype=dtype, window=window),
             is_hermitian=is_hermitian)
-        ar = np.arange(n, dtype=np.int64)
-        ones = np.ones(n, dtype)
-        pfwd = SellOperator(sell_pack_bucketed((ar, order, ones), n,
-                                               dtype=dtype, window=window))
-        pinv = SellOperator(sell_pack_bucketed((ar, inv, ones), n,
-                                               dtype=dtype, window=window))
         if rcm_perm is not None:
-            order_full = np.asarray(rcm_perm)[order]
+            # x_sorted[i] = x_rcm[order[i]] = x[rcm_perm[order[i]]]
+            order_full = np.asarray(rcm_perm, np.int64)[order]
         else:
             order_full = order
+        inv_full = np.empty_like(order_full)
+        inv_full[order_full] = np.arange(n, dtype=np.int64)
+        ar = np.arange(n, dtype=np.int64)
+        ones = np.ones(n, dtype)
+        pfwd = SellOperator(sell_pack_bucketed((ar, order_full, ones), n,
+                                               dtype=dtype, window=window))
+        pinv = SellOperator(sell_pack_bucketed((ar, inv_full, ones), n,
+                                               dtype=dtype, window=window))
         return cls(inner, pfwd, pinv, order_full,
                    is_hermitian=is_hermitian)
 
     def tree_flatten(self):
-        return (self.inner, self.pfwd, self.pinv), (self.is_hermitian,)
+        # order is a static numpy map — ride the aux data (id-hashable
+        # wrapper) so pytree round-trips keep it intact
+        return (self.inner, self.pfwd, self.pinv), \
+            (self.is_hermitian, _StaticArray(self.order))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         ob = object.__new__(cls)
         ob.inner, ob.pfwd, ob.pinv = children
-        ob.order = None
         ob.is_hermitian = aux[0]
+        ob.order = aux[1].value if aux[1] is not None else None
         return ob
+
+
+class _StaticArray:
+    """Hashable identity wrapper so a static numpy array can live in
+    pytree aux data (jit cache keys compare aux by equality)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __hash__(self):
+        return hash(id(self.value)) if self.value is not None else 0
+
+    def __eq__(self, other):
+        return (isinstance(other, _StaticArray)
+                and self.value is other.value)
 
 
 def hoist_conjugation(op, b):

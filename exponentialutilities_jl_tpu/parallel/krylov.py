@@ -62,20 +62,25 @@ def _sharded_call(op, mesh: Mesh, axis_name: str | None, body):
     return run, params
 
 
-def _fused_shard_ok(op, mesh, axis, b, *, hermitian: bool) -> tuple:
+def _fused_shard_ok(op, mesh, axis, b, *, hermitian: bool,
+                    fused=None) -> tuple:
     """(plan, interpret) when the shard-local fused sweep applies, else
-    (None, False): 3-D constant StencilOperator, f32 data, plane budget
-    feasible. On non-TPU backends the plan still builds (tests exercise
-    the REAL sharded code path) with the kernel in interpret mode."""
+    (None, False): 2-D/3-D constant StencilOperator, f32 data, plane
+    budget feasible. AUTO mode (fused=None) engages only on a real TPU;
+    ``fused=True`` forces the plan anywhere — on non-TPU backends the
+    kernel then runs in interpret mode (how the CPU-mesh tests exercise
+    the REAL sharded code path; interpret is far too slow for auto)."""
     from .stencil_fused import fused_shard_plan
 
-    if jnp.asarray(b).dtype != jnp.float32:
+    on_tpu = jax.default_backend() == "tpu"
+    if jnp.asarray(b).dtype != jnp.float32 or (fused is None
+                                               and not on_tpu):
         return None, False
     try:
         plan = fused_shard_plan(op, mesh, axis, hermitian=hermitian)
     except (ValueError, TypeError):
         return None, False
-    return plan, jax.default_backend() != "tpu"
+    return plan, not on_tpu
 
 
 def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
@@ -102,10 +107,18 @@ def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
     t = jnp.asarray(t)
     if two_pass and not herm:
         raise NotImplementedError("two_pass requires a Hermitian operator")
+    if fused and not two_pass:
+        raise ValueError(
+            "fused=True applies to the two-pass Lanczos body "
+            "(two_pass=True) — the basis-building expv has no fused "
+            "form; for single-pass fused actions use "
+            "expv_chebyshev_sharded")
 
     plan = interp = None
-    if two_pass and fused is not False:
-        plan, interp = _fused_shard_ok(op, mesh, axis, b, hermitian=True)
+    # complex t promotes the replay coefficients — f32 sweeps stay real
+    if two_pass and fused is not False and not jnp.iscomplexobj(t):
+        plan, interp = _fused_shard_ok(op, mesh, axis, b, hermitian=True,
+                                       fused=fused)
         if plan is None and fused:
             raise ValueError("fused=True: no shard-local fused sweep for "
                              f"this operator ({type(op).__name__})")
@@ -113,7 +126,7 @@ def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
     def body(lop, b_local):
         if two_pass and plan is not None:
             return _expv_two_pass_fused_sharded(plan, b_local, t, m,
-                                                interpret=interp)
+                                                tol=tol, interpret=interp)
         if two_pass:
             from ..models.expv import _expv_two_pass
             return _expv_two_pass(lop, b_local, t, m, axis_name=axis)
@@ -126,25 +139,22 @@ def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
 
 
 def _expv_two_pass_fused_sharded(plan, b_local, t, m: int,
+                                 tol: float = 1e-7,
                                  interpret: bool = False):
     """Storage-free sharded Hermitian expv with BOTH passes as
     shard-local fused plane sweeps; the m×m reduced tridiagonal
     exponential is computed replicated per shard from the psum'd
     (α, β) — the same device split as ``_expv_two_pass``."""
+    from ..models.expv import _lanczos_reduced_coeffs
     from .stencil_fused import (lanczos_coeffs_fused_sharded,
                                 lanczos_replay_fused_sharded)
 
     b_local = jnp.asarray(b_local)
     t = jnp.asarray(t)
     alphas, betas, beta0, m_used, broke = lanczos_coeffs_fused_sharded(
-        plan, b_local, m, interpret=interpret)
-    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
-         + jnp.diag(betas[:-1], -1))
-    w_eig, Q = jnp.linalg.eigh(T)
-    cdt = jnp.result_type(Q.dtype, t.dtype)
-    coeffs = (Q.astype(cdt) @ (jnp.exp(t * w_eig) * Q[0, :].astype(cdt))
-              * beta0.astype(cdt))
-    out = lanczos_replay_fused_sharded(plan, b_local, coeffs,
+        plan, b_local, m, tol=tol, interpret=interpret)
+    coeffs = _lanczos_reduced_coeffs(alphas, betas, beta0, t)
+    out = lanczos_replay_fused_sharded(plan, b_local, coeffs, tol=tol,
                                        interpret=interpret)
     return jnp.where(beta0 > 0, out, jnp.zeros_like(out))
 
@@ -227,7 +237,8 @@ def expv_chebyshev_sharded(t, op, b, mesh: Mesh, *, bounds=None,
 
     plan = interp = None
     if fused is not False and not np.iscomplexobj(full):
-        plan, interp = _fused_shard_ok(op, mesh, axis, b, hermitian=True)
+        plan, interp = _fused_shard_ok(op, mesh, axis, b, hermitian=True,
+                                       fused=fused)
     if plan is None and fused:
         raise ValueError("fused=True: no shard-local fused sweep for "
                          f"this operator ({type(op).__name__})")

@@ -341,14 +341,8 @@ def recurrence_apply_fused_sharded(plan: FusedShardPlan, b_local, rows,
     return plan.from_ghost_local(W)
 
 
-def chebyshev_rows(coeffs, center, halfwidth, dt):
-    """(m, 4) resident/fused-sharded rows of the Chebyshev-U recurrence
-    with accumulation coefficients ``coeffs``."""
-    m = coeffs.shape[0]
-    ca = jnp.full((m,), 2.0 / halfwidth, dt)
-    cb = jnp.full((m,), -2.0 * center / halfwidth, dt)
-    cc = jnp.full((m,), -1.0, dt)
-    return jnp.stack([ca, cb, cc, coeffs.astype(dt)], axis=1)
+# shared row builder (re-export: the sharded callers import it here)
+from ..ops.kernels.dispatch import chebyshev_rows  # noqa: E402
 
 
 def lanczos_coeffs_fused_sharded(plan: FusedShardPlan, b_local, m: int,

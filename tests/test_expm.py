@@ -357,3 +357,14 @@ class TestBatchedHigham:
         d = rng.standard_normal(A.shape)
         fd = (loss(A + eps * d) - loss(A - eps * d)) / (2 * eps)
         assert abs(float(jnp.vdot(g, d)) - float(fd)) < 1e-4
+
+
+def test_batched_balance_kwarg(rng):
+    # review r5: expm() forwards balance to the batched route
+    A = rng.standard_normal((3, 12, 12)) / 4
+    E0 = eu.expm(A, balance=False)
+    E1 = eu.expm(A, balance=True)
+    for i in range(3):
+        want = sla.expm(A[i])
+        assert relerr(E0[i], want) < 1e-12
+        assert relerr(E1[i], want) < 1e-12

@@ -334,3 +334,18 @@ class TestBatchedPhi:
                 rhs = A[i] @ P[i, j + 1] + np.eye(n) / math.factorial(j)
                 np.testing.assert_allclose(lhs, rhs, atol=1e-11,
                                            rtol=1e-8)
+
+
+def test_batched_phi_differentiable_grad(rng):
+    # review r5: differentiable=True must survive the stacked route
+    import jax
+    A = jnp.asarray(rng.standard_normal((2, 6, 6)) / 3)
+
+    def loss(A):
+        return jnp.sum(eu.phi(A, 2, differentiable=True))
+
+    g = jax.grad(loss)(A)
+    eps = 1e-6
+    d = rng.standard_normal(A.shape)
+    fd = (loss(A + eps * d) - loss(A - eps * d)) / (2 * eps)
+    assert abs(float(jnp.vdot(g, d)) - float(fd)) < 1e-5

@@ -108,3 +108,29 @@ def test_chebyshev_hoists(rng):
                                      bounds=(lo, hi), tol=1e-10))
     want = sla.expm(0.2 * D) @ b
     assert np.linalg.norm(w - want) / np.linalg.norm(want) < 1e-7
+
+
+def test_rcm_compose_invariant(rng):
+    # review r5: with rcm=True the public permute/order must still map
+    # ORIGINAL-order vectors (the conjugation composes both relabelings)
+    n = 400
+    A = _scattered(n, rng)
+    op = eu.SellOperator.from_coo(A.row, A.col, A.data.astype(np.float32),
+                                  n, mode="sorted", rcm=True)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(op.permute(x)),
+                                  np.asarray(x)[op.order])
+    y = np.asarray(op.matvec(x))
+    want = np.asarray(A.todense()) @ np.asarray(x)
+    np.testing.assert_allclose(y, want, atol=1e-5, rtol=1e-4)
+
+
+def test_pytree_roundtrip_keeps_order(rng):
+    import jax
+    n = 200
+    A = _scattered(n, rng)
+    op = eu.SellOperator.from_coo(A.row, A.col, A.data.astype(np.float32),
+                                  n, mode="sorted")
+    leaves, treedef = jax.tree_util.tree_flatten(op)
+    op2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert op2.order is op.order

@@ -49,19 +49,24 @@ class TestFusedShardedChebyshev:
                / np.linalg.norm(want))
         assert err < 1e-5
 
-    def test_auto_dispatch_prefers_fused_for_f32_3d(self, mesh):
-        # fused=None on an f32 3-D stencil builds the fused plan (the
-        # body differs from the scan path only in the sweep machinery)
+    def test_dispatch_policy(self, mesh):
+        # review r5: AUTO engages only on a real TPU (interpret mode is
+        # orders of magnitude slower — it must never be auto-selected);
+        # fused=True forces the plan anywhere, interpret off-TPU
         from exponentialutilities_jl_tpu.parallel.krylov import \
             _fused_shard_ok
         op = laplacian_nd_stencil(16, 6, 10, dtype=jnp.float32)
+        plan_auto, _ = _fused_shard_ok(op, mesh, "shard",
+                                       jnp.ones(960, jnp.float32),
+                                       hermitian=True, fused=None)
+        assert plan_auto is None            # CPU backend, auto → scan
         plan, interp = _fused_shard_ok(op, mesh, "shard",
                                        jnp.ones(960, jnp.float32),
-                                       hermitian=True)
-        assert plan is not None and interp  # interpret on the CPU mesh
-        # f64 data falls back (plan gate is f32-only)
+                                       hermitian=True, fused=True)
+        assert plan is not None and interp  # forced: interpret on CPU
+        # f64 data falls back even when forced (plan gate is f32-only)
         plan64, _ = _fused_shard_ok(op, mesh, "shard", jnp.ones(960),
-                                    hermitian=True)
+                                    hermitian=True, fused=True)
         assert plan64 is None
 
     def test_wide_halo_h0_2(self, mesh, rng):
@@ -226,3 +231,22 @@ class TestFusedSharded2D:
         want = sla.expm(0.2 * _dense(op)) @ np.asarray(b, np.float64)
         assert (np.linalg.norm(np.asarray(w_f, np.float64) - want)
                 / np.linalg.norm(want)) < 5e-5
+
+
+def test_fused_true_without_two_pass_raises(mesh):
+    op = laplacian_nd_stencil(16, 6, 10, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="two_pass"):
+        expv_sharded(0.1, op, jnp.ones(960, jnp.float32), mesh, m=10,
+                     fused=True)
+
+
+def test_complex_t_keeps_xla_two_pass(mesh, rng):
+    # review r5: complex t must NOT ride the f32 sharded fused replay
+    # (its coefficients are complex); result stays complex + accurate
+    op = laplacian_nd_stencil(16, 6, 10, dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(960), jnp.float32)
+    w = expv_sharded(0.1j, op, b, mesh, m=30, two_pass=True)
+    assert jnp.iscomplexobj(w)
+    want = sla.expm(0.1j * _dense(op)) @ np.asarray(b, np.float64)
+    assert (np.linalg.norm(np.asarray(w) - want)
+            / np.linalg.norm(want)) < 1e-4
