@@ -161,6 +161,73 @@ def resident_supported(op, n_max: int = RESIDENT_MAX_N) -> bool:
     return 0 < n <= n_max and all(abs(off[0]) < n for off in op.offsets)
 
 
+def _resident_kernel_multi(rows_ref, cw_ref, cvals_ref, x_ref, mask_ref,
+                           w_ref, wp_ref, wc_ref, *, offsets, m: int,
+                           p: int):
+    """Multi-column variant: p accumulators share ONE ω_k chain,
+    w[j] += cw[k, j]·ω_k — all φ orders / snapshot combinations of a
+    Chebyshev/Newton/Faber stack in a single dispatch."""
+    mask = mask_ref[...]
+    wc_ref[...] = x_ref[...]
+    wp_ref[...] = jnp.zeros_like(mask)
+    w_ref[...] = jnp.zeros_like(w_ref[...])
+
+    def step(k, _):
+        wc = wc_ref[...]
+        z = None
+        for j, o in enumerate(offsets):
+            term = cvals_ref[j] * _flat_shift(wc, o)
+            z = term if z is None else z + term
+        for j in range(p):
+            w_ref[j] = w_ref[j] + cw_ref[k, j] * wc
+        wn = mask * (rows_ref[k, 0] * z + rows_ref[k, 1] * wc
+                     + rows_ref[k, 2] * wp_ref[...])
+        wp_ref[...] = wc
+        wc_ref[...] = wn
+        return 0
+
+    if m <= _UNROLL_MAX:
+        for k in range(m):
+            step(k, 0)
+    else:
+        lax.fori_loop(0, m, step, 0)
+
+
+def recurrence_apply_resident_multi(op, b, rows, cw, *,
+                                    interpret: bool = False):
+    """W[:, j] = Σ_k cw[k, j]·ω_k over the shared three-term ω chain
+    (module doc) — returns (n, p). One dispatch regardless of p (the
+    streaming paths run one pass per combination column)."""
+    if not resident_supported(op):
+        raise ValueError("recurrence_apply_resident_multi requires a "
+                         "1-D constant StencilOperator with n <= "
+                         f"{RESIDENT_MAX_N}")
+    b = jnp.asarray(b)
+    dt = b.dtype
+    n = op.grid_shape[0]
+    R, mask_np = _layout_1d(n)
+    Xp = jnp.pad(b, (0, R * _LANES - n)).reshape(R, _LANES)
+    rows = jnp.asarray(rows, dt)
+    cw = jnp.asarray(cw, dt)
+    m, p = int(cw.shape[0]), int(cw.shape[1])
+    offsets = tuple(off[0] for off in op.offsets)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    Wp = pl.pallas_call(
+        functools.partial(_resident_kernel_multi, offsets=offsets, m=m,
+                          p=p),
+        in_specs=[smem, smem, smem, vmem, vmem],
+        out_specs=vmem,
+        out_shape=jax.ShapeDtypeStruct((p, R, _LANES), dt),
+        scratch_shapes=[pltpu.VMEM((R, _LANES), dt),
+                        pltpu.VMEM((R, _LANES), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(rows[:, :3], cw, op.coeffs.astype(dt), Xp, jnp.asarray(mask_np))
+    return Wp.reshape(p, -1)[:, :n].T
+
+
 def _resident_lanczos_kernel(cvals_ref, x_ref, mask_ref, ab_ref,
                              wp_ref, wc_ref, *, offsets, m: int,
                              tol: float):

@@ -245,3 +245,48 @@ class TestResidentLanczos:
                      [-1, 0, 1], format="csr")
         want = expm_multiply(t * A, b_host)
         assert (np.linalg.norm(w - want) / np.linalg.norm(want)) < 2e-5
+
+
+def test_multi_column_matches_single(rng):
+    # W[:, j] from the multi kernel equals p independent single passes
+    from exponentialutilities_jl_tpu.ops.kernels.resident import (
+        recurrence_apply_resident, recurrence_apply_resident_multi)
+    n, m, p = 777, 9, 3
+    op = StencilOperator((n,), ((-1,), (0,), (1,)),
+                         jnp.asarray([1.0, -2.0, 1.0], jnp.float32))
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    rows3 = jnp.asarray(rng.standard_normal((m, 3)) * 0.4, jnp.float32)
+    cw = jnp.asarray(rng.standard_normal((m, p)), jnp.float32)
+    rows4 = jnp.concatenate([rows3, jnp.zeros((m, 1), jnp.float32)], 1)
+    W = np.asarray(recurrence_apply_resident_multi(op, b, rows4, cw,
+                                                   interpret=True))
+    assert W.shape == (n, p)
+    for j in range(p):
+        rj = rows4.at[:, 3].set(cw[:, j])
+        wj = np.asarray(recurrence_apply_resident(op, b, rj,
+                                                  interpret=True))
+        np.testing.assert_allclose(W[:, j], wj, atol=1e-6, rtol=1e-5)
+
+
+def test_phiv_chebyshev_multi_column_path(rng):
+    # the public phiv_chebyshev path through the multi-column apply
+    # (forced via _chebyshev_apply_resident_multi in interpret mode)
+    from exponentialutilities_jl_tpu.models.chebyshev import (
+        _chebyshev_apply_resident_multi, _chebyshev_apply_scan,
+        _fun_ucoeffs, _phi_scalar_np)
+    n, t, k = 600, 0.3, 2
+    op = StencilOperator((n,), ((-1,), (0,), (1,)),
+                         jnp.asarray([1.0, -2.0, 1.0], jnp.float32),
+                         is_hermitian=True)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    lo, hi = -4.0, 0.0
+    c, h = 0.5 * (hi + lo), 0.5 * (hi - lo)
+    C = _fun_ucoeffs(lambda x: _phi_scalar_np(t * (c + h * x), k),
+                     1e-8, 512)                          # (m, k+1)
+    Cj = jnp.asarray(C, jnp.float32)
+    W_res = np.asarray(_chebyshev_apply_resident_multi(op, b, Cj, c, h,
+                                                       interpret=True))
+    W_scan = np.asarray(_chebyshev_apply_scan(op, b, Cj, c, 1.0 / h))
+    np.testing.assert_allclose(W_res, W_scan,
+                               atol=3e-6 * np.abs(W_scan).max(),
+                               rtol=1e-4)
