@@ -46,9 +46,13 @@ def recurrence_engine(op, dtype, fused=None, *, hermitian: bool = False):
     f32 = jnp.dtype(dtype) == jnp.float32
     auto_ok = on_tpu and f32
 
-    from .resident import recurrence_apply_resident, resident_supported
+    from .resident import (recurrence_apply_resident,
+                           recurrence_apply_resident_grid,
+                           resident_grid_supported, resident_supported)
     if resident_supported(op) and (fused or auto_ok):
         return recurrence_apply_resident
+    if resident_grid_supported(op) and (fused or auto_ok):
+        return recurrence_apply_resident_grid
 
     from .lanczos_fused import _fused_dispatch, recurrence_apply_fused
     try:

@@ -161,6 +161,129 @@ def resident_supported(op, n_max: int = RESIDENT_MAX_N) -> bool:
     return 0 < n <= n_max and all(abs(off[0]) < n for off in op.offsets)
 
 
+_GRID_MAX_ROWS = 6000      # whole-grid buffers: ~6 live (R, 128) f32
+
+
+def _grid_plan(op):
+    """(gg, cpairs, n) for the whole-grid resident layout of a SMALL
+    2-D/3-D constant stencil: ONE slab holding every layer, stencil
+    application = composite row shift (dy·P + dz·S) + lane shift —
+    exactly the fused sweep's in-slab coupling case with no ring
+    neighbours. Raises when the grid exceeds the VMEM row budget."""
+    from .lanczos_fused import GhostGrid, GhostGrid2D, \
+        _stencil_coeffs_static
+    from ..stencil import StencilOperator, VariableStencilOperator
+
+    if isinstance(op, VariableStencilOperator) \
+            or not isinstance(op, StencilOperator) \
+            or len(op.grid_shape) not in (2, 3):
+        raise ValueError("whole-grid resident engine requires a 2-D/3-D "
+                         "constant StencilOperator")
+    cs = _stencil_coeffs_static(op, hermitian=False)
+    gs = op.grid_shape
+    if len(gs) == 3:
+        mo = [max(abs(o[a]) for o in op.offsets) for a in range(3)]
+        gg = GhostGrid(gs[0], gs[1], gs[2], zb=gs[0],
+                       ypad=max(2, mo[1]), xpad=max(1, mo[2]))
+        if gg.nslabs != 1:
+            raise ValueError("grid does not fit one resident slab")
+        S = gg._lr
+        if mo[1] > 2 and S < (gg.ny + mo[1]) * gg.P:
+            raise ValueError("|dy| shifts leak past the layer pad rows")
+        cpairs = tuple((dz * S + dy * gg.P, dx, c)
+                       for (dz, dy, dx), c in cs)
+    else:
+        mo = [max(abs(o[a]) for o in op.offsets) for a in range(2)]
+        gg = GhostGrid2D(gs[0], gs[1], ys=gs[0], xpad=max(1, mo[1]))
+        if gg.nslabs != 1:
+            raise ValueError("grid does not fit one resident slab")
+        if mo[0] > gs[0]:
+            raise ValueError("|dy| exceeds the grid")
+        cpairs = tuple((dy * gg.P, dx, c) for (dz, dy, dx), c in cs)
+    if gg.rows_per_plane > _GRID_MAX_ROWS:
+        raise ValueError(
+            f"whole-grid resident layout needs {gg.rows_per_plane} rows "
+            f"> {_GRID_MAX_ROWS} budget — use the streaming sweeps")
+    mx = max((abs(dx) for _, dx, _ in cpairs), default=0)
+    if mx > gg.nxp - gg.nx:
+        raise ValueError(f"|dx| = {mx} exceeds the pad lanes")
+    return gg, cpairs
+
+
+def resident_grid_supported(op) -> bool:
+    try:
+        _grid_plan(op)
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
+def _resident_grid_kernel(rows_ref, x_ref, mask_ref, w_ref, nrm_ref,
+                          wp_ref, wc_ref, *, cpairs, m: int):
+    from .lanczos_fused import _lane_shift_full
+
+    mask = mask_ref[...]
+    wc_ref[...] = x_ref[...]
+    wp_ref[...] = jnp.zeros_like(mask)
+    w_ref[...] = jnp.zeros_like(mask)
+
+    def step(k, _):
+        wc = wc_ref[...]
+        z = None
+        cache = {}
+        for rs, dx, c in cpairs:
+            if rs not in cache:
+                cache[rs] = _row_shift_full(wc, rs) if rs else wc
+            t = cache[rs]
+            t = _lane_shift_full(t, dx) if dx else t
+            term = c * t
+            z = term if z is None else z + term
+        w_ref[...] = w_ref[...] + rows_ref[k, 3] * wc
+        wn = mask * (rows_ref[k, 0] * z + rows_ref[k, 1] * wc
+                     + rows_ref[k, 2] * wp_ref[...])
+        wp_ref[...] = wc
+        wc_ref[...] = wn
+        return 0
+
+    if m <= _UNROLL_MAX:
+        for k in range(m):
+            step(k, 0)
+    else:
+        lax.fori_loop(0, m, step, 0)
+    w = w_ref[...]
+    nrm_ref[...] = jnp.broadcast_to(jnp.sum(w * w), nrm_ref.shape)
+
+
+def recurrence_apply_resident_grid(op, b, rows, *,
+                                   interpret: bool = False):
+    """Whole-grid resident recurrence for SMALL 2-D/3-D constant
+    stencils (module doc): one dispatch for the entire m-step chain,
+    ghost-layout geometry shared with the fused sweep. (n, ) → (n,)."""
+    gg, cpairs = _grid_plan(op)
+    b = jnp.asarray(b)
+    dt = b.dtype
+    rows = jnp.asarray(rows, dt)
+    m = int(rows.shape[0])
+    Xg = gg.to_ghost(b)                  # (1, R, 128) — one slab
+    R = Xg.shape[-2]
+    mask = jnp.asarray(gg.xmask())
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    Wp, _ = pl.pallas_call(
+        functools.partial(_resident_grid_kernel, cpairs=cpairs, m=m),
+        in_specs=[smem, vmem, vmem],
+        out_specs=(vmem, vmem),
+        out_shape=(jax.ShapeDtypeStruct((R, _LANES), dt),
+                   jax.ShapeDtypeStruct((8, _LANES), dt)),
+        scratch_shapes=[pltpu.VMEM((R, _LANES), dt),
+                        pltpu.VMEM((R, _LANES), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(rows, Xg.reshape(R, _LANES), mask.astype(dt))
+    return gg.from_ghost(Wp[None])
+
+
 def _resident_kernel_multi(rows_ref, cw_ref, cvals_ref, x_ref, mask_ref,
                            w_ref, wp_ref, wc_ref, *, offsets, m: int,
                            p: int):

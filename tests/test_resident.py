@@ -141,17 +141,20 @@ def test_recurrence_engine_selection():
     from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
         recurrence_apply_fused)
     from exponentialutilities_jl_tpu.ops.kernels.resident import (
-        recurrence_apply_resident)
+        recurrence_apply_resident, recurrence_apply_resident_grid)
     from exponentialutilities_jl_tpu.ops.kernels.tiled import (
         recurrence_apply_fused_tiled)
 
     op1 = StencilOperator((500,), ((-1,), (0,), (1,)),
                           jnp.asarray([1.0, -2.0, 1.0], jnp.float32))
-    op3 = laplacian_nd_stencil(16, 16, 16, dtype=jnp.float32)
+    small3 = laplacian_nd_stencil(16, 16, 16, dtype=jnp.float32)
+    op3 = laplacian_nd_stencil(128, 128, 128, dtype=jnp.float32)
     giant = laplacian_nd_stencil(608, 608, 608, dtype=jnp.float32)
 
     assert recurrence_engine(op1, jnp.float32, True) \
         is recurrence_apply_resident
+    assert recurrence_engine(small3, jnp.float32, True) \
+        is recurrence_apply_resident_grid
     assert recurrence_engine(op3, jnp.float32, True) \
         is recurrence_apply_fused
     assert recurrence_engine(giant, jnp.float32, True) \
@@ -290,3 +293,59 @@ def test_phiv_chebyshev_multi_column_path(rng):
     np.testing.assert_allclose(W_res, W_scan,
                                atol=3e-6 * np.abs(W_scan).max(),
                                rtol=1e-4)
+
+
+class TestResidentGrid:
+    """Whole-grid resident engine for small 2-D/3-D grids."""
+
+    def _check(self, op, m=6, seed=0, tol=3e-5):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            recurrence_apply_fused)
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            recurrence_apply_resident_grid)
+        rng = np.random.default_rng(seed)
+        b = jnp.asarray(rng.standard_normal(op.shape[0]), jnp.float32)
+        rows = jnp.asarray(rng.standard_normal((m, 4)) * 0.3, jnp.float32)
+        w_g = np.asarray(recurrence_apply_resident_grid(op, b, rows,
+                                                        interpret=True))
+        w_f = np.asarray(recurrence_apply_fused(op, b, rows,
+                                                interpret=True))
+        scale = max(np.abs(w_f).max(), 1e-30)
+        np.testing.assert_allclose(w_g, w_f, atol=tol * scale, rtol=1e-4)
+
+    def test_3d_laplacian(self):
+        from exponentialutilities_jl_tpu import laplacian_nd_stencil
+        self._check(laplacian_nd_stencil(8, 10, 12, dtype=jnp.float32))
+
+    def test_2d_9pt(self, rng):
+        import itertools
+        offs = list(itertools.product((-1, 0, 1), repeat=2))
+        cs = rng.standard_normal(len(offs)) * 0.3
+        op = StencilOperator((40, 130), tuple(offs),
+                             jnp.asarray(cs, jnp.float32))
+        self._check(op)
+
+    def test_3d_27pt_asym(self, rng):
+        import itertools
+        offs = list(itertools.product((-1, 0, 1), repeat=3))
+        cs = rng.standard_normal(len(offs)) * 0.15
+        op = StencilOperator((6, 9, 140), tuple(offs),
+                             jnp.asarray(cs, jnp.float32))
+        self._check(op)
+
+    def test_wide_dz(self, rng):
+        offs = [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (2, 0, 0), (-2, 0, 0),
+                (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+        cs = [-4.0, 1.0, 1.0, 0.25, 0.25, 0.8, 0.8, 0.6, 0.6]
+        op = StencilOperator((7, 10, 20), tuple(offs),
+                             jnp.asarray(cs, jnp.float32))
+        self._check(op)
+
+    def test_too_big_rejected(self):
+        from exponentialutilities_jl_tpu import laplacian_nd_stencil
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            resident_grid_supported)
+        assert not resident_grid_supported(
+            laplacian_nd_stencil(64, 64, 200, dtype=jnp.float32))
+        assert not resident_grid_supported(
+            laplacian_nd_stencil(100, dtype=jnp.float32))  # 1-D → other
