@@ -165,7 +165,7 @@ _GRID_MAX_ROWS = 6000      # whole-grid buffers: ~6 live (R, 128) f32
 
 
 def _grid_plan(op):
-    """(gg, cpairs, n) for the whole-grid resident layout of a SMALL
+    """(gg, cpairs) for the whole-grid resident layout of a SMALL
     2-D/3-D constant stencil: ONE slab holding every layer, stencil
     application = composite row shift (dy·P + dz·S) + lane shift —
     exactly the fused sweep's in-slab coupling case with no ring
@@ -187,9 +187,14 @@ def _grid_plan(op):
                        ypad=max(2, mo[1]), xpad=max(1, mo[2]))
         if gg.nslabs != 1:
             raise ValueError("grid does not fit one resident slab")
+        if mo[0] >= gs[0]:
+            # |dz| = nz would be a zero-contribution Dirichlet term but
+            # the composite row shift hits the buffer edge (a 0-size
+            # concat that only faults on real hardware) — reject toward
+            # the streaming/scan paths
+            raise ValueError("|dz| offsets must stay below the grid "
+                             "depth for the resident layout")
         S = gg._lr
-        if mo[1] > 2 and S < (gg.ny + mo[1]) * gg.P:
-            raise ValueError("|dy| shifts leak past the layer pad rows")
         cpairs = tuple((dz * S + dy * gg.P, dx, c)
                        for (dz, dy, dx), c in cs)
     else:
@@ -197,8 +202,9 @@ def _grid_plan(op):
         gg = GhostGrid2D(gs[0], gs[1], ys=gs[0], xpad=max(1, mo[1]))
         if gg.nslabs != 1:
             raise ValueError("grid does not fit one resident slab")
-        if mo[0] > gs[0]:
-            raise ValueError("|dy| exceeds the grid")
+        if mo[0] >= gs[0]:
+            raise ValueError("|dy| offsets must stay below the grid "
+                             "height for the resident layout")
         cpairs = tuple((dy * gg.P, dx, c) for (dz, dy, dx), c in cs)
     if gg.rows_per_plane > _GRID_MAX_ROWS:
         raise ValueError(
@@ -218,7 +224,7 @@ def resident_grid_supported(op) -> bool:
         return False
 
 
-def _resident_grid_kernel(rows_ref, x_ref, mask_ref, w_ref, nrm_ref,
+def _resident_grid_kernel(rows_ref, x_ref, mask_ref, w_ref,
                           wp_ref, wc_ref, *, cpairs, m: int):
     from .lanczos_fused import _lane_shift_full
 
@@ -250,8 +256,6 @@ def _resident_grid_kernel(rows_ref, x_ref, mask_ref, w_ref, nrm_ref,
             step(k, 0)
     else:
         lax.fori_loop(0, m, step, 0)
-    w = w_ref[...]
-    nrm_ref[...] = jnp.broadcast_to(jnp.sum(w * w), nrm_ref.shape)
 
 
 def recurrence_apply_resident_grid(op, b, rows, *,
@@ -269,12 +273,11 @@ def recurrence_apply_resident_grid(op, b, rows, *,
     mask = jnp.asarray(gg.xmask())
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    Wp, _ = pl.pallas_call(
+    Wp = pl.pallas_call(
         functools.partial(_resident_grid_kernel, cpairs=cpairs, m=m),
         in_specs=[smem, vmem, vmem],
-        out_specs=(vmem, vmem),
-        out_shape=(jax.ShapeDtypeStruct((R, _LANES), dt),
-                   jax.ShapeDtypeStruct((8, _LANES), dt)),
+        out_specs=vmem,
+        out_shape=jax.ShapeDtypeStruct((R, _LANES), dt),
         scratch_shapes=[pltpu.VMEM((R, _LANES), dt),
                         pltpu.VMEM((R, _LANES), dt)],
         compiler_params=pltpu.CompilerParams(

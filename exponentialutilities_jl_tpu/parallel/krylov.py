@@ -115,13 +115,18 @@ def expv_sharded(t, op, b, mesh: Mesh, *, m: int = 30,
             "expv_chebyshev_sharded")
 
     plan = interp = None
-    # complex t promotes the replay coefficients — f32 sweeps stay real
-    if two_pass and fused is not False and not jnp.iscomplexobj(t):
-        plan, interp = _fused_shard_ok(op, mesh, axis, b, hermitian=True,
-                                       fused=fused)
+    if two_pass and fused is not False:
+        # complex t promotes the replay coefficients — f32 sweeps stay
+        # real (an explicit fused=True request still raises)
+        complex_t = bool(jnp.iscomplexobj(t))
+        if not complex_t:
+            plan, interp = _fused_shard_ok(op, mesh, axis, b,
+                                           hermitian=True, fused=fused)
         if plan is None and fused:
-            raise ValueError("fused=True: no shard-local fused sweep for "
-                             f"this operator ({type(op).__name__})")
+            reason = ("complex t (the f32 sweep replay is real)"
+                      if complex_t else f"operator {type(op).__name__}")
+            raise ValueError("fused=True: no shard-local fused sweep "
+                             f"for {reason}")
 
     def body(lop, b_local):
         if two_pass and plan is not None:

@@ -349,3 +349,19 @@ class TestResidentGrid:
             laplacian_nd_stencil(64, 64, 200, dtype=jnp.float32))
         assert not resident_grid_supported(
             laplacian_nd_stencil(100, dtype=jnp.float32))  # 1-D → other
+
+
+def test_grid_plan_rejects_deep_dz():
+    # review r5 #2: |dz| >= nz must be rejected (0-size concat on real
+    # hardware), not crash at apply time
+    from exponentialutilities_jl_tpu.ops.kernels.resident import (
+        resident_grid_supported)
+    bad = StencilOperator((3, 8, 20), ((4, 0, 0), (0, 0, 0)),
+                          jnp.asarray([1.0, -2.0], jnp.float32))
+    assert not resident_grid_supported(bad)
+    edge = StencilOperator((3, 8, 20), ((3, 0, 0), (0, 0, 0)),
+                           jnp.asarray([1.0, -2.0], jnp.float32))
+    assert not resident_grid_supported(edge)
+    ok = StencilOperator((3, 8, 20), ((2, 0, 0), (0, 0, 0)),
+                         jnp.asarray([1.0, -2.0], jnp.float32))
+    assert resident_grid_supported(ok)
