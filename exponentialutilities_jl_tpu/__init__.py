@@ -26,6 +26,7 @@ Operators               LinearOperator, DenseOperator, DiagonalOperator,
 Distributed             parallel/ (shard_map + GSPMD; multi-host meshes)
 """
 
+from .ops.expm_mp import expm_mp
 from .ops.expm import (expm, expm_higham2005, expm_higham2005_batched,
                        expm_generic,
                        expm_diagonalization, expm_native, expm_taylor,
@@ -78,7 +79,7 @@ from .ops.stencil import (StencilOperator, VariableStencilOperator,
 __version__ = "0.1.0"
 
 __all__ = [
-    "expm", "expm_higham2005", "expm_higham2005_batched",
+    "expm", "expm_mp", "expm_higham2005", "expm_higham2005_batched",
     "expm_generic", "expm_diagonalization",
     "expm_native", "expm_taylor", "balance_matrix", "gebal", "expm_gebal",
     "funm", "funm_schur_parlett",
