@@ -186,6 +186,20 @@ def expv(t, A, b, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
                     # the fused Pallas sweep is f32-only (Mosaic f64
                     # support is partial); f64 uses the XLA two-pass
                     return _expv_two_pass_fused(op, b, t, m, tol=tol)
+                if b.dtype == jnp.float32 and real_t \
+                        and jax.default_backend() == "tpu":
+                    # giant grids past the plane budget: row-tiled
+                    # fused sweeps (ops/kernels/tiled.py)
+                    from ..ops.kernels.tiled import (
+                        expv_two_pass_fused_tiled, tiled_plan_for)
+                    try:
+                        plan = tiled_plan_for(op, hermitian=True)
+                    except (ValueError, TypeError):
+                        plan = None
+                    if plan is not None:
+                        return expv_two_pass_fused_tiled(op, b, t, m,
+                                                         plan=plan,
+                                                         tol=tol)
                 if reduced == "host":
                     # f64 on TPU: the device tridiagonal eigh is
                     # f32-limited (~1e-8); stage the m-sized reduced

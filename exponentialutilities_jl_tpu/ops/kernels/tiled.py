@@ -43,7 +43,9 @@ from jax import lax
 from .lanczos_fused import (GhostGrid, _stencil_coeffs_static,
                             fused_lanczos_step)
 
-__all__ = ["TiledPlan", "tiled_plan_for", "recurrence_apply_fused_tiled"]
+__all__ = ["TiledPlan", "tiled_plan_for", "recurrence_apply_fused_tiled",
+           "lanczos_coeffs_fused_tiled", "lanczos_replay_fused_tiled",
+           "expv_two_pass_fused_tiled"]
 
 _LANES = 128
 
@@ -224,6 +226,174 @@ def tiled_plan_for(op, *, hermitian: bool = False) -> TiledPlan:
             "XLA scan path")
     _, perm, ky = best
     return TiledPlan(gs, tuple(op.offsets), cs, ky, perm)
+
+
+def _tile_ghost_moments(plan: TiledPlan, Yt, Zt):
+    """(Σy², Σy·z) over every tile's GHOST rows on the PRE-refresh
+    outputs — the tiled masks mark ghost rows valid (module doc), so
+    the kernel's moment partials double-count them (interior tile
+    boundaries duplicate the neighbour's real rows; global ends are
+    zero). Subtracting these recovers the exact global moments."""
+    P, lr = plan.gg.P, plan.gg._lr
+    ypy = yzy = None
+    for t in range(plan.ky):
+        nyr = plan.ny_last if t == plan.ky - 1 else plan.ny_t
+        LY = Yt[t].reshape(-1, lr, _LANES)
+        LZ = Zt[t].reshape(-1, lr, _LANES)
+        for lo in (0, (nyr + 1) * P):
+            y = LY[:, lo:lo + P]
+            z = LZ[:, lo:lo + P]
+            a = jnp.sum(y * y)
+            b_ = jnp.sum(y * z)
+            ypy = a if ypy is None else ypy + a
+            yzy = b_ if yzy is None else yzy + b_
+    return ypy, yzy
+
+
+def lanczos_coeffs_fused_tiled(op, b, m: int, *, plan: TiledPlan = None,
+                               tol: float = 1e-7,
+                               interpret: bool = False):
+    """Row-tiled fused Lanczos pass 1 — (alphas, betas, beta0, m_used,
+    broke), the giant-grid twin of ``lanczos_coeffs_fused``: ky sweeps
+    + one ghost-row refresh + the ghost-moment correction per
+    iteration."""
+    if plan is None:
+        plan = tiled_plan_for(op, hermitian=True)
+    b = jnp.asarray(b)
+    dt = b.dtype
+    masks = [plan.mask_for(t) for t in range(plan.ky)]
+    step = functools.partial(fused_lanczos_step, grid_desc=plan.gg,
+                             coeffs_static=plan.coeffs_static,
+                             cfields=None, interpret=interpret)
+
+    beta0 = jnp.linalg.norm(b)
+    v0 = jnp.where(beta0 > 0, b / jnp.where(beta0 > 0, beta0, 1), 0.0)
+    V0 = plan.refresh(plan.to_tiles(v0))
+    zeros = [jnp.zeros_like(T) for T in V0]
+
+    def sweep(Zs, Ys, Yps, coefs):
+        Yn, Zn = [], []
+        ypy = yzy = jnp.zeros((), dt)
+        for t in range(plan.ky):
+            y, z, a, c = step(Zs[t], Ys[t], Yps[t], coefs, masks[t])
+            Yn.append(y)
+            Zn.append(z)
+            ypy = ypy + a
+            yzy = yzy + c
+        ha, hc = _tile_ghost_moments(plan, Yn, Zn)
+        return Yn, plan.refresh(Zn), ypy - ha, yzy - hc
+
+    Y, Z, ypy, yzy = sweep(V0, V0, zeros, jnp.asarray([1.0, 0.0, 0.0], dt))
+
+    def body(carry, _):
+        Y, Z, Yprev, ypy, yzy, beta_prev, broke, m_used, j = carry
+        beta = jnp.sqrt(jnp.maximum(ypy, 0.0))
+        alpha = jnp.where(ypy > 0, yzy / jnp.maximum(ypy, 1e-300), 0.0)
+        now_broke = beta < tol
+        active = jnp.logical_not(broke)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        safe_bp = jnp.where(beta_prev > 0, beta_prev, 1.0)
+        ca = jnp.where(active & ~now_broke, 1.0 / safe_beta, 0.0)
+        cb = -alpha * ca
+        cc = jnp.where(active & ~now_broke, -beta / safe_bp, 0.0)
+        Yn, Zn, ypy_n, yzy_n = sweep(Z, Y, Yprev,
+                                     jnp.stack([ca, cb, cc]))
+        m_used_n = jnp.where(active, j + 1, m_used)
+        out_alpha = jnp.where(active, alpha, 0.0)
+        beta_next = jnp.sqrt(jnp.maximum(ypy_n, 0.0))
+        out_beta = jnp.where(active & ~now_broke, beta_next, 0.0)
+        carry = (Yn, Zn, Y, ypy_n, yzy_n, beta,
+                 broke | now_broke, m_used_n, j + 1)
+        return carry, (out_alpha, out_beta)
+
+    init = (Y, Z, zeros, ypy, yzy, jnp.asarray(1.0, dt),
+            jnp.asarray(beta0 == 0), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32))
+    (_, _, _, _, _, _, broke, m_used, _), (alphas, betas) = lax.scan(
+        body, init, None, length=m)
+    m_used = jnp.where(beta0 == 0, 0, m_used).astype(jnp.int32)
+    return alphas, betas, beta0.astype(jnp.result_type(dt, jnp.float32)), \
+        m_used, broke
+
+
+def lanczos_replay_fused_tiled(op, b, coeffs, *, plan: TiledPlan = None,
+                               tol: float = 1e-7,
+                               interpret: bool = False):
+    """Row-tiled fused Lanczos replay (pass 2): w = Σ_j coeffs[j]·v_j
+    with re-derived moments (bitwise the same recurrence as pass 1) and
+    the in-place W accumulator riding each tile's sweep."""
+    if plan is None:
+        plan = tiled_plan_for(op, hermitian=True)
+    b = jnp.asarray(b)
+    dt = b.dtype
+    masks = [plan.mask_for(t) for t in range(plan.ky)]
+    step = functools.partial(fused_lanczos_step, grid_desc=plan.gg,
+                             coeffs_static=plan.coeffs_static,
+                             cfields=None, interpret=interpret)
+
+    beta0 = jnp.linalg.norm(b)
+    v0 = jnp.where(beta0 > 0, b / jnp.where(beta0 > 0, beta0, 1), 0.0)
+    V0 = plan.refresh(plan.to_tiles(v0))
+    zeros = [jnp.zeros_like(T) for T in V0]
+
+    def sweep(Zs, Ys, Yps, coefs, Ws):
+        Yn, Zn, Wn = [], [], []
+        ypy = yzy = jnp.zeros((), dt)
+        for t in range(plan.ky):
+            y, z, a, c, w = step(Zs[t], Ys[t], Yps[t], coefs, masks[t],
+                                 w_accum=Ws[t])
+            Yn.append(y)
+            Zn.append(z)
+            Wn.append(w)
+            ypy = ypy + a
+            yzy = yzy + c
+        ha, hc = _tile_ghost_moments(plan, Yn, Zn)
+        return Yn, plan.refresh(Zn), ypy - ha, yzy - hc, Wn
+
+    Y, Z, ypy, yzy, W = sweep(V0, V0, zeros,
+                              jnp.asarray([1.0, 0.0, 0.0, 0.0], dt),
+                              zeros)
+
+    def body(carry, cj):
+        Y, Z, Yprev, ypy, yzy, beta_prev, broke, W = carry
+        beta = jnp.sqrt(jnp.maximum(ypy, 0.0))
+        alpha = jnp.where(ypy > 0, yzy / jnp.maximum(ypy, 1e-300), 0.0)
+        now_broke = beta < tol
+        active = jnp.logical_not(broke)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        safe_bp = jnp.where(beta_prev > 0, beta_prev, 1.0)
+        ca = jnp.where(active & ~now_broke, 1.0 / safe_beta, 0.0)
+        cb = -alpha * ca
+        cc = jnp.where(active & ~now_broke, -beta / safe_bp, 0.0)
+        cw = jnp.where(active, cj / safe_beta, 0.0)
+        Yn, Zn, ypy_n, yzy_n, Wn = sweep(
+            Z, Y, Yprev, jnp.stack([ca, cb, cc, cw.astype(dt)]), W)
+        return (Yn, Zn, Y, ypy_n, yzy_n, beta, broke | now_broke,
+                Wn), None
+
+    init = (Y, Z, zeros, ypy, yzy, jnp.asarray(1.0, dt),
+            jnp.asarray(beta0 == 0), W)
+    (_, _, _, _, _, _, _, W), _ = lax.scan(body, init, coeffs.astype(dt))
+    w = plan.from_tiles(W)
+    return jnp.where(beta0 > 0, w, jnp.zeros_like(w))
+
+
+def expv_two_pass_fused_tiled(op, b, t, m: int, *,
+                              plan: TiledPlan = None, tol: float = 1e-7,
+                              interpret: bool = False):
+    """Storage-free Hermitian expv for GIANT grids: both Lanczos passes
+    as row-tiled fused sweeps + the shared reduced-coefficient stage."""
+    from ...models.expv import _lanczos_reduced_coeffs
+
+    if plan is None:
+        plan = tiled_plan_for(op, hermitian=True)
+    b = jnp.asarray(b)
+    t = jnp.asarray(t)
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs_fused_tiled(
+        op, b, m, plan=plan, tol=tol, interpret=interpret)
+    coeffs = _lanczos_reduced_coeffs(alphas, betas, beta0, t)
+    return lanczos_replay_fused_tiled(op, b, coeffs, plan=plan, tol=tol,
+                                      interpret=interpret)
 
 
 def recurrence_apply_fused_tiled(op, b, rows, *, plan: TiledPlan = None,

@@ -117,3 +117,59 @@ def test_chebyshev_rows_equivalence():
     w_s = np.asarray(_chebyshev_apply_scan(op, b, cheb, c, 1.0 / h))
     np.testing.assert_allclose(w_t, w_s, atol=3e-6 * np.abs(w_s).max(),
                                rtol=1e-4)
+
+
+class TestTiledLanczos:
+    def test_coeffs_match_untiled(self, rng):
+        from exponentialutilities_jl_tpu.ops.kernels.lanczos_fused import (
+            lanczos_coeffs_fused)
+        from exponentialutilities_jl_tpu.ops.kernels.tiled import (
+            TiledPlan, lanczos_coeffs_fused_tiled)
+        op = laplacian_nd_stencil(6, 24, 10, dtype=jnp.float32)
+        cs = _stencil_coeffs_static(op, hermitian=True)
+        plan = TiledPlan(op.grid_shape, tuple(op.offsets), cs, 3,
+                         (0, 1, 2))
+        b = jnp.asarray(rng.standard_normal(op.shape[0]), jnp.float32)
+        a_t, b_t, beta0_t, mu_t, _ = lanczos_coeffs_fused_tiled(
+            op, b, 10, plan=plan, interpret=True)
+        a_u, b_u, beta0_u, mu_u, _ = lanczos_coeffs_fused(
+            op, b, 10, interpret=True)
+        np.testing.assert_allclose(np.asarray(a_t), np.asarray(a_u),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(b_t), np.asarray(b_u),
+                                   atol=1e-4, rtol=1e-3)
+        assert int(mu_t) == int(mu_u)
+
+    def test_two_pass_vs_scipy(self, rng):
+        import scipy.linalg as sla
+        from exponentialutilities_jl_tpu.ops.kernels.tiled import (
+            TiledPlan, expv_two_pass_fused_tiled)
+        op = laplacian_nd_stencil(5, 20, 10, dtype=jnp.float32)
+        n = op.shape[0]
+        cs = _stencil_coeffs_static(op, hermitian=True)
+        plan = TiledPlan(op.grid_shape, tuple(op.offsets), cs, 4,
+                         (0, 1, 2))
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        w = np.asarray(expv_two_pass_fused_tiled(op, b, 0.15, 25,
+                                                 plan=plan,
+                                                 interpret=True))
+        cols = [np.asarray(op.matvec(jnp.eye(n, dtype=jnp.float64)[:, j]))
+                for j in range(n)]
+        D = np.stack(cols, axis=1)
+        want = sla.expm(0.15 * D) @ np.asarray(b, np.float64)
+        assert (np.linalg.norm(w - want) / np.linalg.norm(want)) < 5e-5
+
+    def test_two_pass_partial_last_tile(self, rng):
+        from exponentialutilities_jl_tpu.models.expv import _expv_two_pass
+        from exponentialutilities_jl_tpu.ops.kernels.tiled import (
+            TiledPlan, expv_two_pass_fused_tiled)
+        op = laplacian_nd_stencil(5, 23, 10, dtype=jnp.float32)
+        cs = _stencil_coeffs_static(op, hermitian=True)
+        plan = TiledPlan(op.grid_shape, tuple(op.offsets), cs, 4,
+                         (0, 1, 2))
+        b = jnp.asarray(rng.standard_normal(op.shape[0]), jnp.float32)
+        w_t = np.asarray(expv_two_pass_fused_tiled(op, b, 0.2, 20,
+                                                   plan=plan,
+                                                   interpret=True))
+        w_x = np.asarray(_expv_two_pass(op, b, jnp.float32(0.2), 20))
+        assert (np.linalg.norm(w_t - w_x) / np.linalg.norm(w_x)) < 5e-5
