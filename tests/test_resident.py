@@ -365,3 +365,44 @@ def test_grid_plan_rejects_deep_dz():
     ok = StencilOperator((3, 8, 20), ((2, 0, 0), (0, 0, 0)),
                          jnp.asarray([1.0, -2.0], jnp.float32))
     assert resident_grid_supported(ok)
+
+
+def test_nw_combination_multi_column_equivalence(rng):
+    # the phiv_timestep_chebyshev resident route: Σ_j multi(b_j, C[:,:,j])
+    # equals the stacked-column combination scan
+    from exponentialutilities_jl_tpu.models.chebyshev import (
+        _chebyshev_combination_scan, _fun_ucoeffs, _phi_scalar_np)
+    from exponentialutilities_jl_tpu.ops.kernels.dispatch import (
+        chebyshev_rows)
+    from exponentialutilities_jl_tpu.ops.kernels.resident import (
+        recurrence_apply_resident_multi)
+
+    n, p = 500, 2
+    ts = np.asarray([0.1, 0.25])
+    op = StencilOperator((n,), ((-1,), (0,), (1,)),
+                         jnp.asarray([1.0, -2.0, 1.0], jnp.float32),
+                         is_hermitian=True)
+    B = jnp.asarray(rng.standard_normal((n, p + 1)), jnp.float32)
+    lo, hi = -4.0, 0.0
+    c, h = 0.5 * (hi + lo), 0.5 * (hi - lo)
+
+    def f(x):
+        out = []
+        for t in ts:
+            vals = _phi_scalar_np(t * (c + h * x), p)
+            out.append(vals * (t ** np.arange(p + 1))[:, None])
+        return np.concatenate(out, axis=0)
+
+    C = _fun_ucoeffs(f, 1e-8, 512).reshape(-1, len(ts), p + 1)
+    Cj = jnp.asarray(C, jnp.float32)
+    rows = chebyshev_rows(jnp.zeros((len(C),), jnp.float32), c, h,
+                          jnp.float32)
+    U = None
+    for j in range(p + 1):
+        Uj = recurrence_apply_resident_multi(op, B[:, j], rows,
+                                             Cj[:, :, j], interpret=True)
+        U = Uj if U is None else U + Uj
+    W = _chebyshev_combination_scan(op, B.T, Cj, c, 1.0 / h, len(C))
+    np.testing.assert_allclose(np.asarray(U), np.asarray(W.T),
+                               atol=3e-6 * float(jnp.abs(W).max()),
+                               rtol=1e-4)
