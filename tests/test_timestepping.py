@@ -649,3 +649,19 @@ class TestDiscardedInfoWarning:
         with warnings.catch_warnings():
             warnings.simplefilter("error", RuntimeWarning)
             eu.phiv_timestep(1.0, A, b[:, None], adaptive=True)
+
+
+def test_verbose_output_captured(capsys, rng):
+    # reference parity: the stdout-capture verbose test
+    # (test/basictests.jl:191-203) — verbose=True prints the adaptation
+    # trail, verbose=False prints nothing
+    import exponentialutilities_jl_tpu as eu
+    A = rng.standard_normal((40, 40)) / 8
+    A = A + A.T
+    b = rng.standard_normal(40)
+    eu.expv_timestep([1.0], A, b, adaptive=True, verbose=True,
+                     hermitian=True)
+    out = capsys.readouterr().out
+    assert out.strip()                   # something was printed
+    eu.expv_timestep([1.0], A, b, adaptive=True, hermitian=True)
+    assert capsys.readouterr().out == ""
