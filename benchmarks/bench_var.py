@@ -2,7 +2,9 @@
 XLA alternatives at 10M rows (216³ ∇·(a∇u), f32).
 
 Per-iteration cost via the m-slope method (see bench_fused.py): time
-lanczos_coeffs{,_fused} at m=M1 and m=M2, slope = cost/iteration. The
+lanczos_coeffs{,_fused} at m=M1 and m=M2, slope = cost/iteration —
+M2 = 104 so the slope signal (~80 ms) clearly dominates the ~25 ms
+tunnel round-trip that OVERLAPS device execution (r5 postmortem). The
 operator rides as a jit ARG (its (7, n) coefficient fields are ~283 MB —
 closure constants blow the remote-compile request size).
 
@@ -32,7 +34,7 @@ SHAPE = (216, 216, 216)
 N = SHAPE[0] * SHAPE[1] * SHAPE[2]
 
 
-def _best(fn, reps=3):
+def _best(fn, reps=4):
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -41,7 +43,7 @@ def _best(fn, reps=3):
     return min(ts)
 
 
-def periter(coeffs_fn, op, b, M1=8, M2=24):
+def periter(coeffs_fn, op, b, M1=8, M2=104):
     @functools.partial(jax.jit, static_argnames=("m",))
     def run(op, b, m):
         alphas, betas, beta0, m_used, broke = coeffs_fn(op, b, m)
