@@ -351,6 +351,17 @@ def kiops(tstops, A, u, *, tol: float = 1e-7, mmin: int = 10, mmax: int = 128,
     scalar tstop), stats a KiopsStats.
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    from ..ops.sparse import hoist_conjugation
+    op, u, post = hoist_conjugation(op, jnp.asarray(u))
+    if post is not None:
+        # sorted-conjugated container: the whole solve runs in the
+        # sorted basis (every φ_k commutes with P·Pᵀ)
+        out = kiops(tstops, op, u, tol=tol, mmin=mmin, mmax=mmax, m=m,
+                    iop=iop, task1=task1, return_stats=return_stats,
+                    reduced=reduced, two_pass=two_pass)
+        if return_stats:
+            return post(out[0]), out[1]
+        return post(out)
     if reduced is None:
         from ..ops.host_reduced import reduced_default
         reduced = reduced_default()

@@ -321,6 +321,20 @@ def phiv_timestep(ts, A, B, *, tau: float = 0.0, m: int = 10, tol: float = 1e-7,
     ``TimestepStats`` when ``return_stats=True``.
     """
     op = aslinearoperator(A) if not isinstance(A, LinearOperator) else A
+    from ..ops.sparse import hoist_conjugation
+    op, B, post = hoist_conjugation(op, jnp.asarray(B))
+    if post is not None:
+        # sorted-conjugated container → solve in the sorted basis
+        # (every φ_j commutes with P·Pᵀ)
+        out = phiv_timestep(ts, op, B, tau=tau, m=m, tol=tol,
+                            opnorm=opnorm, iop=iop, correct=correct,
+                            adaptive=adaptive, delta=delta, gamma=gamma,
+                            nnz=nnz, m_max=m_max, hermitian=hermitian,
+                            verbose=verbose, return_stats=return_stats,
+                            reduced=reduced, two_pass=two_pass)
+        if isinstance(out, tuple):
+            return (post(out[0]),) + out[1:]
+        return post(out)
     if reduced is None:
         from ..ops.host_reduced import reduced_default
         reduced = reduced_default()

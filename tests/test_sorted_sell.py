@@ -134,3 +134,22 @@ def test_pytree_roundtrip_keeps_order(rng):
     leaves, treedef = jax.tree_util.tree_flatten(op)
     op2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert op2.order is op.order
+
+
+def test_kiops_and_timestep_hoist(rng):
+    # the adaptive drivers hoist the conjugation to once per solve
+    n = 200
+    A = _scattered(n, rng, herm=True)
+    op = eu.SellOperator.from_coo(A.row, A.col, A.data.astype(np.float64),
+                                  n, mode="sorted", dtype=np.float64,
+                                  is_hermitian=True)
+    D = np.asarray(A.todense())
+    b = rng.standard_normal(n)
+    w_k, stats = eu.kiops([0.4], op, jnp.asarray(b)[:, None], m=40)
+    want = sla.expm(0.4 * D) @ b
+    assert (np.linalg.norm(np.asarray(w_k)[:, 0] - want)
+            / np.linalg.norm(want)) < 1e-6
+    U = eu.phiv_timestep([0.4], op, jnp.asarray(b)[:, None],
+                         adaptive=True, hermitian=True)
+    assert (np.linalg.norm(np.asarray(U)[:, -1] - want)
+            / np.linalg.norm(want)) < 1e-6
