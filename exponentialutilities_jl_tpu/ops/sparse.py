@@ -628,6 +628,28 @@ class SortedSellOperator(LinearOperator):
         return cls(inner, pfwd, pinv, order_full,
                    is_hermitian=is_hermitian)
 
+    def save(self, prefix: str) -> None:
+        """Persist the pack-once serving form: three bucketed packs +
+        the composed order map (``<prefix>_{inner,pfwd,pinv}.npz`` and
+        ``<prefix>_order.npy`` — same contract as ``SellData.save``)."""
+        import numpy as _np
+        self.inner.data.save(f"{prefix}_inner.npz")
+        self.pfwd.data.save(f"{prefix}_pfwd.npz")
+        self.pinv.data.save(f"{prefix}_pinv.npz")
+        _np.save(f"{prefix}_order.npy", self.order)
+
+    @classmethod
+    def load(cls, prefix: str, *,
+             is_hermitian: bool = False) -> "SortedSellOperator":
+        import numpy as _np
+        from .kernels.sell import SellBucketed
+        inner = SellOperator(SellBucketed.load(f"{prefix}_inner.npz"),
+                             is_hermitian=is_hermitian)
+        pfwd = SellOperator(SellBucketed.load(f"{prefix}_pfwd.npz"))
+        pinv = SellOperator(SellBucketed.load(f"{prefix}_pinv.npz"))
+        order = _np.load(f"{prefix}_order.npy")
+        return cls(inner, pfwd, pinv, order, is_hermitian=is_hermitian)
+
     def tree_flatten(self):
         # order is a static numpy map — ride the aux data (id-hashable
         # wrapper) so pytree round-trips keep it intact

@@ -153,3 +153,17 @@ def test_kiops_and_timestep_hoist(rng):
                          adaptive=True, hermitian=True)
     assert (np.linalg.norm(np.asarray(U)[:, -1] - want)
             / np.linalg.norm(want)) < 1e-6
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    n = 300
+    A = _scattered(n, rng)
+    op = eu.SellOperator.from_coo(A.row, A.col, A.data.astype(np.float32),
+                                  n, mode="sorted")
+    prefix = str(tmp_path / "sorted")
+    op.save(prefix)
+    op2 = eu.SortedSellOperator.load(prefix)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(op.matvec(x)),
+                                  np.asarray(op2.matvec(x)))
+    np.testing.assert_array_equal(op.order, op2.order)
