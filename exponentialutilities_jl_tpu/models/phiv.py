@@ -146,6 +146,17 @@ def phiv(t, A, b, k: int, *, m: int = 30, tol: float = 1e-7, iop: int = 0,
         from ..ops.host_reduced import reduced_default
         reduced = reduced_default()
     if two_pass:
+        from ..ops.kernels.resident import (phiv_two_pass_resident,
+                                            resident_supported)
+        herm_tp = op.is_hermitian if hermitian is None else hermitian
+        if (herm_tp and resident_supported(op)
+                and b.dtype == jnp.float32 and k + 1 <= 8
+                and not jnp.iscomplexobj(jnp.asarray(t))
+                and jax.default_backend() == "tpu"):
+            # 1-D small n: both passes VMEM-resident, every φ order off
+            # one regenerated chain (ops/kernels/resident.py)
+            w, err = phiv_two_pass_resident(op, b, t, m, k, tol=tol)
+            return (w, err) if errest else w
         herm = op.is_hermitian if hermitian is None else hermitian
         if not herm:
             raise NotImplementedError(

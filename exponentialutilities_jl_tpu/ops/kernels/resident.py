@@ -56,7 +56,7 @@ from .lanczos_fused import _row_shift_full
 
 __all__ = ["recurrence_apply_resident", "resident_supported",
            "lanczos_coeffs_resident", "expv_two_pass_resident",
-           "RESIDENT_MAX_N"]
+           "phiv_two_pass_resident", "RESIDENT_MAX_N"]
 
 _LANES = 128
 # ~6 live (R, 128) buffers + temporaries; 2M rows f32 ≈ 6×8 MB — well
@@ -467,6 +467,47 @@ def expv_two_pass_resident(op, b, t, m: int, *, tol: float = 1e-7,
     w = recurrence_apply_resident(op, b, rows, scale=scale,
                                   interpret=interpret)
     return jnp.where(beta0 > 0, w, jnp.zeros_like(w))
+
+
+def phiv_two_pass_resident(op, b, t, m: int, k: int, *,
+                           tol: float = 1e-7, interpret: bool = False):
+    """Storage-free 1-D Hermitian φ-actions (w (n, k+1), err) with both
+    passes VMEM-resident: pass 1 = ``lanczos_coeffs_resident``; the
+    reduced augmented exponential on device (``phiv_dense``); pass 2 =
+    ONE multi-column resident dispatch accumulating every φ order from
+    the shared regenerated basis chain."""
+    from ..phi_dense import phiv_dense
+
+    b = jnp.asarray(b)
+    t = jnp.asarray(t)
+    dt = b.dtype
+    alphas, betas, beta0, m_used, broke = lanczos_coeffs_resident(
+        op, b, m, tol=tol, interpret=interpret)
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1))
+    e1 = jnp.zeros((m,), dt).at[0].set(1)
+    C2 = phiv_dense(t.astype(dt) * T, e1, k)          # (m, k+1)
+    coeffs = C2 * beta0.astype(dt)
+
+    live = betas > 0
+    safe = jnp.where(live, betas, 1.0)
+    bprev = jnp.concatenate([jnp.zeros((1,), dt), betas[:-1]])
+    ca = jnp.where(live, 1.0 / safe, 0.0)
+    cb = -alphas * ca
+    cc = jnp.where(live, -bprev / safe, 0.0)
+    rows = jnp.stack([ca, cb, cc, jnp.zeros_like(ca)], axis=1)
+    v0 = jnp.where(beta0 > 0, b / jnp.where(beta0 > 0, beta0, 1), 0.0)
+    w = recurrence_apply_resident_multi(op, v0, rows, coeffs,
+                                        interpret=interpret)
+
+    last = jnp.maximum(m_used - 1, 0)
+    h_res = jnp.where(m_used < m, betas[jnp.minimum(m_used, m - 1)],
+                      betas[m - 1]).astype(dt)
+    err = jnp.abs(beta0.astype(dt) * h_res * t.astype(dt) * C2[last, k])
+    zero = beta0 > 0
+    w = jnp.where(zero, w, jnp.zeros_like(w))
+    err = jnp.where(zero, err, jnp.zeros_like(err))
+    return w, err
 
 
 def recurrence_apply_resident(op, b, rows, *, scale=1.0,

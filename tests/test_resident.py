@@ -406,3 +406,21 @@ def test_nw_combination_multi_column_equivalence(rng):
     np.testing.assert_allclose(np.asarray(U), np.asarray(W.T),
                                atol=3e-6 * float(jnp.abs(W).max()),
                                rtol=1e-4)
+
+
+def test_phiv_two_pass_resident_vs_xla(rng):
+    from exponentialutilities_jl_tpu.models.phiv import _phiv_two_pass
+    from exponentialutilities_jl_tpu.ops.kernels.resident import (
+        phiv_two_pass_resident)
+    n, m, k, t = 900, 20, 2, 0.3
+    op = StencilOperator((n,), ((-1,), (0,), (1,)),
+                         jnp.asarray([1.0, -2.0, 1.0], jnp.float32),
+                         is_hermitian=True)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    w_r, err_r = phiv_two_pass_resident(op, b, t, m, k, interpret=True)
+    w_x, err_x = _phiv_two_pass(op, b, jnp.float32(t), m, k)
+    assert w_r.shape == (n, k + 1)
+    np.testing.assert_allclose(np.asarray(w_r), np.asarray(w_x),
+                               atol=3e-5, rtol=1e-3)
+    np.testing.assert_allclose(float(err_r), float(err_x), rtol=1e-2,
+                               atol=1e-7)
