@@ -49,9 +49,19 @@ def _run_sharded(op, mesh: Mesh, axis: str, body, b):
     return run(params, shard_vector(b, mesh, axis))
 
 
+def _fused_poly_plan(op, mesh, axis, b, fused):
+    """(plan, interpret) for the shard-local fused recurrence when the
+    operator/dtype qualify (constant stencil, f32, real rows) — the
+    asymmetric-coefficient twin of the chebyshev gate."""
+    from .krylov import _fused_shard_ok
+    return _fused_shard_ok(op, mesh, axis, b, hermitian=False,
+                           fused=fused)
+
+
 def expv_leja_sharded(t, op, b, mesh: Mesh, *, interval=None,
                       tol: float = 1e-7, m: int | None = None,
-                      max_z: float = 40.0, axis_name: str | None = None):
+                      max_z: float = 40.0, axis_name: str | None = None,
+                      fused: bool | None = None):
     """Row-partitioned Leja-Newton ``exp(tA) b`` (models/leja.py) for
     NON-HERMITIAN operators: coefficients on host from the GLOBAL
     operator (Gershgorin ``real_interval`` works on the banded/stencil
@@ -67,6 +77,20 @@ def expv_leja_sharded(t, op, b, mesh: Mesh, *, interval=None,
         return shard_vector(jnp.exp(jnp.asarray(float(t) * c, b.dtype))
                             * b, mesh, axis)
     m_used = len(d)
+    plan, interp = _fused_poly_plan(op, mesh, axis, b, fused)
+    if plan is not None and not np.iscomplexobj(d):
+        from ..models.leja import _newton_rows
+        from .stencil_fused import recurrence_apply_fused_sharded
+        rows = jnp.asarray(_newton_rows(d, xi, c, 1.0 / s), b.dtype)
+
+        def body(lop, b_local):
+            w = b_local
+            for _ in range(q):
+                w = recurrence_apply_fused_sharded(plan, w, rows,
+                                                   interpret=interp)
+            return w
+
+        return _run_sharded(op, mesh, axis, body, b)
     dj = jnp.asarray(d, jnp.result_type(b.dtype))
     xj = jnp.asarray(xi, jnp.finfo(b.dtype).dtype)
 
@@ -79,7 +103,8 @@ def expv_leja_sharded(t, op, b, mesh: Mesh, *, interval=None,
 def expv_faber_sharded(t, op, b, mesh: Mesh, *, ellipse=None,
                        tol: float = 1e-7, m: int | None = None,
                        max_z: float = 512.0,
-                       axis_name: str | None = None):
+                       axis_name: str | None = None,
+                       fused: bool | None = None):
     """Row-partitioned Faber-series ``exp(tA) b`` (models/faber.py):
     the long-horizon non-Hermitian action (z ≥ 500 per substep) at
     halo-only communication cost. Carries the full failure protocol of
@@ -99,6 +124,25 @@ def expv_faber_sharded(t, op, b, mesh: Mesh, *, ellipse=None,
     cdt = (jnp.result_type(b.dtype, jnp.complex64)
            if np.iscomplexobj(a) or np.iscomplexobj(b)
            else jnp.result_type(b.dtype))
+    plan, interp = _fused_poly_plan(op, mesh, axis, b, fused)
+    if plan is not None and not np.iscomplexobj(a):
+        from ..models.faber import _faber_rows
+        from .stencil_fused import recurrence_apply_fused_sharded
+        rows = jnp.asarray(_faber_rows(a[:m_used], c, 1.0 / gamma, rho),
+                           b.dtype)
+
+        def body_f(lop, b_local):
+            w = b_local
+            for _ in range(q):
+                w = recurrence_apply_fused_sharded(plan, w, rows,
+                                                   interpret=interp)
+            return w
+
+        out = _run_sharded(op, mesh, axis, body_f, b)
+        bnorm = float(jnp.linalg.norm(b))
+        log_bound = q * (np.log(_CROUZEIX) + log_sup) \
+            + np.log(max(bnorm, 1e-300))
+        return _check_finite_faber(out, "expv_faber_sharded", log_bound)
     aj = jnp.asarray(a[:m_used], cdt)
 
     def body(lop, b_local):

@@ -250,3 +250,30 @@ def test_complex_t_keeps_xla_two_pass(mesh, rng):
     want = sla.expm(0.1j * _dense(op)) @ np.asarray(b, np.float64)
     assert (np.linalg.norm(np.asarray(w) - want)
             / np.linalg.norm(want)) < 1e-4
+
+
+class TestFusedShardedPoly:
+    def _ad_op(self):
+        from exponentialutilities_jl_tpu import (
+            advection_diffusion_3d_stencil)
+        return advection_diffusion_3d_stencil(16, 6, 10, peclet=1.5,
+                                              dtype=jnp.float32)
+
+    def test_leja_fused_matches_scan(self, mesh, rng):
+        from exponentialutilities_jl_tpu.parallel import expv_leja_sharded
+        op = self._ad_op()
+        b = jnp.asarray(rng.standard_normal(op.shape[0]), jnp.float32)
+        wf = expv_leja_sharded(0.002, op, b, mesh, tol=1e-6, fused=True)
+        ws = expv_leja_sharded(0.002, op, b, mesh, tol=1e-6, fused=False)
+        assert (float(jnp.linalg.norm(jnp.asarray(wf) - ws))
+                / float(jnp.linalg.norm(ws))) < 5e-6
+
+    def test_faber_fused_matches_scan(self, mesh, rng):
+        from exponentialutilities_jl_tpu.parallel import expv_faber_sharded
+        op = self._ad_op()
+        b = jnp.asarray(rng.standard_normal(op.shape[0]), jnp.float32)
+        wf = expv_faber_sharded(0.002, op, b, mesh, tol=1e-6, fused=True)
+        ws = expv_faber_sharded(0.002, op, b, mesh, tol=1e-6,
+                                fused=False)
+        assert (float(jnp.linalg.norm(jnp.asarray(wf) - ws))
+                / float(jnp.linalg.norm(ws))) < 5e-6
