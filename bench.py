@@ -171,8 +171,27 @@ def main():
     else:
         lanczos_impls = [_expv_two_pass]
 
-    dt_s, diag = _calibrated_slope(
-        lambda K: float(chain(coeffs, b, K)))
+    try:
+        dt_s, diag = _calibrated_slope(
+            lambda K: float(chain(coeffs, b, K)))
+    except Exception:                   # noqa: BLE001 — driver-facing
+        # insurance: if the resident kernel fails to build on this
+        # backend, fall back to the scan chain rather than dying
+        method = f"chebyshev_deg{m_cheb}_scan"
+
+        @jax.jit
+        def chain_scan(c, b, K):
+            lop = make_op(c)
+
+            def body(i, b):
+                w = _chebyshev_apply_scan(lop, b, cheb, c_ctr,
+                                          1.0 / h_half)
+                return w / jnp.linalg.norm(w)
+
+            return jnp.sum(jax.lax.fori_loop(0, K, body, b))
+
+        dt_s, diag = _calibrated_slope(
+            lambda K: float(chain_scan(coeffs, b, K)))
     lanczos_s = None
     for impl in lanczos_impls:
         try:
