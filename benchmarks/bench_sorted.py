@@ -1,14 +1,18 @@
-"""Scattered-degree SpMV via the degree-sorted conjugated container
-(VERDICT r4 #5): scattered 6/20/40 at 10M rows through
-SellOperator.from_coo(mode="sorted").
+"""Scattered-degree SpMV: the degree-sorted conjugated container AND
+the experimental settlement of the r4 ~100 GB/s floor (VERDICT r4 #5).
 
-Measures, per matvec:
-  * seg pack on the scattered layout (the r4 answer: ~100 GB/s)
-  * bucketed pack on the scattered layout (degenerate: ~63 GB/s)
-  * sorted-conjugated: the inner clustered bucketed SpMV alone (the
-    per-iteration cost inside a hoisted solve), the permutation passes
-    (degree-1 SELL), and the effective rate of a 30-iteration solve
-    including both permutes (what expv/expv_chebyshev actually pay).
+Two configs:
+  * WIDE band (±350, the r4 bench layout): the degree-sort conversion
+    CANNOT pack — the conjugated matrix's per-group column spans exceed
+    the hard 1024-column gather window for ANY usable sort window
+    (3·sort_window + band > budget). This script demonstrates the raise:
+    the windowed-gather constraint that caps the seg pack at ~100 GB/s
+    blocks the permutation route too — the floor is an experiment now,
+    not an analysis. seg is measured as the answer for this domain.
+  * NARROW band (±120): mode="sorted" applies — measures the inner
+    window-sorted bucketed SpMV, the (banded) permutation passes, the
+    hoisted-solve effective rate, and seg on the same matrix for
+    comparison.
 
 Effective-CSR GB/s convention matches bench_bucketed.py: bytes =
 nnz·(4+4) + rows·4 + 2·n·4 per matvec.
@@ -29,13 +33,13 @@ sys.path.insert(0, '/root/repo')
 from exponentialutilities_jl_tpu.ops.sparse import SellOperator
 
 
-def gen_scattered(n, rng):
+def gen_scattered(n, rng, band=350):
     deg = np.full(n, 6, np.int64)
     deg[int(0.85 * n):int(0.95 * n)] = 20
     deg[int(0.95 * n):] = 40
     rng.shuffle(deg)
     rows = np.repeat(np.arange(n, dtype=np.int64), deg)
-    cols = np.clip(rows + rng.integers(-350, 350, rows.size), 0, n - 1)
+    cols = np.clip(rows + rng.integers(-band, band, rows.size), 0, n - 1)
     vals = rng.standard_normal(rows.size).astype(np.float32) / deg[rows]
     return rows, cols, vals, int(rows.size)
 
@@ -70,20 +74,29 @@ def main():
     print("devices:", jax.devices(), flush=True)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
 
-    # correctness at 1e6 on-chip
-    import scipy.sparse as sp
+    # the WIDE-band conversion impossibility (floor evidence)
     n1 = 1_000_000
-    r1, c1, v1, _ = gen_scattered(n1, rng)
+    rw, cw, vw, _ = gen_scattered(n1, rng, band=350)
+    try:
+        SellOperator.from_coo(rw, cw, vw, n1, mode="sorted")
+        print("UNEXPECTED: wide-band sorted pack succeeded", flush=True)
+    except ValueError as e:
+        print(f"wide band=350: sorted conversion rejected as expected "
+              f"({str(e)[:80]}...)", flush=True)
+
+    # correctness at 1e6 on-chip (narrow band where sorted applies)
+    import scipy.sparse as sp
+    r1, c1, v1, _ = gen_scattered(n1, rng, band=120)
     op1 = SellOperator.from_coo(r1, c1, v1, n1, mode="sorted")
     x1 = rng.standard_normal(n1).astype(np.float32)
     y1 = np.asarray(op1.matvec(jnp.asarray(x1)))
     want = sp.coo_matrix((v1, (r1, c1)), shape=(n1, n1)) @ x1
-    print(f"sorted on-chip correctness (n=1e6): "
+    print(f"sorted on-chip correctness (n=1e6, band=120): "
           f"rel={np.max(np.abs(y1-want))/np.max(np.abs(want)):.2e}",
           flush=True)
 
     n = 10_000_000
-    rows, cols, vals, nnz = gen_scattered(n, rng)
+    rows, cols, vals, nnz = gen_scattered(n, rng, band=350)
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     eff = csr_bytes(nnz, n)
 
@@ -107,9 +120,20 @@ def main():
               f"{eff/t_mv/1e9:6.1f} GB/s-effCSR", flush=True)
 
     if which in ("all", "sorted"):
+        # narrow-band scattered config — the sorted container's domain
+        rows, cols, vals, nnz = gen_scattered(n, rng, band=120)
+        x = jnp.asarray(np.asarray(x))
+        eff = csr_bytes(nnz, n)
         t0 = time.time()
         sop = SellOperator.from_coo(rows, cols, vals, n, mode="sorted")
-        print(f"sorted pack {time.time()-t0:.1f}s", flush=True)
+        print(f"sorted pack (band=120) {time.time()-t0:.1f}s", flush=True)
+
+        t0 = time.time()
+        op_seg2 = SellOperator.from_coo(rows, cols, vals, n, mode="seg")
+        print(f"seg pack (band=120) {time.time()-t0:.1f}s", flush=True)
+        t_s2 = calibrated_slope(spmv_chain(op_seg2))
+        print(f"seg (band=120):     {t_s2*1e3:7.3f} ms  "
+              f"{eff/t_s2/1e9:6.1f} GB/s-effCSR", flush=True)
 
         # inner clustered SpMV alone (per-iteration cost when hoisted)
         t_in = calibrated_slope(spmv_chain(sop.inner))

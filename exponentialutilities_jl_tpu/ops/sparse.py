@@ -495,10 +495,17 @@ class SellOperator(LinearOperator):
             inv[perm] = np.arange(n)
             rows, cols = inv[rows], inv[cols]
         if mode == "sorted":
-            return SortedSellOperator._build(rows, cols, vals, n,
-                                             dtype=dtype, window=window,
-                                             is_hermitian=is_hermitian,
-                                             rcm_perm=perm)
+            try:
+                return SortedSellOperator._build(
+                    rows, cols, vals, n, dtype=dtype, window=window,
+                    is_hermitian=is_hermitian, rcm_perm=perm)
+            except ValueError as e:
+                raise ValueError(
+                    "mode='sorted': the degree-sorted layout does not "
+                    "fit the 1024-column gather windows (the matrix "
+                    "bandwidth is too wide for the window-local sort) — "
+                    "use mode='seg', the degree-layout-blind container "
+                    f"(underlying pack error: {e})") from None
         if mode == "seg":
             from .kernels.sell import sell_pack_seg
             data = sell_pack_seg((rows, cols, vals), n, dtype=dtype)
@@ -596,16 +603,35 @@ class SortedSellOperator(LinearOperator):
 
     @classmethod
     def _build(cls, rows, cols, vals, n, *, dtype, window,
-               is_hermitian, rcm_perm=None):
+               is_hermitian, rcm_perm=None, sort_window: int = 256):
         # rows/cols arrive RCM-relabeled when rcm_perm is given; the
         # degree sort happens in that space (stable → preserves RCM
         # window locality within each degree class), and the PUBLIC
         # permutation operators compose BOTH relabelings so the
         # container maps original-order vectors to original-order
         # vectors: permute(x) == x[order] always holds.
+        #
+        # The sort is WINDOW-LOCAL (blocks of ``sort_window`` rows), not
+        # global: a global degree sort gathers each 128-row group's rows
+        # from all over the matrix, shattering the column locality every
+        # SELL pack depends on (the packers reject the resulting spans —
+        # measured, BENCHMARKS.md r5). Window-local sorting bounds the
+        # conjugated span by ~3·sort_window (a group's columns touch
+        # the window and both neighbours; sort_window is a multiple of
+        # 128 so groups never straddle windows), which must fit the
+        # hard 1024-column gather window — the container therefore
+        # applies to NARROW-BAND scattered-degree matrices (bandwidth ≲
+        # sort_window); wide-band scattered layouts CANNOT be
+        # converted this way at all (the same windowed-gather constraint
+        # that caps the seg pack at ~100 GB/s — the r4 floor, now an
+        # experiment rather than an analysis) and should use
+        # mode="seg". The pack raises with that guidance.
         from .kernels.sell import sell_pack_bucketed
         deg = np.bincount(rows, minlength=n)
-        order = np.argsort(deg, kind="stable").astype(np.int64)
+        order = np.empty(n, np.int64)
+        for w0 in range(0, n, sort_window):
+            w1 = min(n, w0 + sort_window)
+            order[w0:w1] = w0 + np.argsort(deg[w0:w1], kind="stable")
         inv = np.empty_like(order)
         inv[order] = np.arange(n, dtype=np.int64)
         inner = SellOperator(
