@@ -167,3 +167,22 @@ def test_save_load_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(op.matvec(x)),
                                   np.asarray(op2.matvec(x)))
     np.testing.assert_array_equal(op.order, op2.order)
+
+
+def test_jit_argument(rng):
+    # the container rides as a jit ARGUMENT (operators-are-pytrees rule)
+    import jax
+    n = 200
+    A = _scattered(n, rng)
+    op = eu.SellOperator.from_coo(A.row, A.col, A.data.astype(np.float32),
+                                  n, mode="sorted")
+
+    @jax.jit
+    def mv(op, x):
+        return op.matvec(x)
+
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    y1 = mv(op, x)
+    y2 = mv(op, 2 * x)        # same op instance → cache hit
+    np.testing.assert_allclose(np.asarray(y2), 2 * np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
