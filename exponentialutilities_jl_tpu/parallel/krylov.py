@@ -240,6 +240,54 @@ def expv_chebyshev_sharded(t, op, b, mesh: Mesh, *, bounds=None,
         b.dtype, jnp.complex64 if np.iscomplexobj(full) else b.dtype)
     coeffs = jnp.asarray(full, cdt)
 
+    from ..ops.stencil import VariableStencilOperator
+    if isinstance(op, VariableStencilOperator):
+        # variable-coefficient stencils shard ONLY through the fused
+        # sweep under shard_map (the scan path has no per-shard variable
+        # view — GSPMD covers it otherwise); coefficient halos are
+        # exchanged once per solve.
+        if (fused is False or np.iscomplexobj(full)
+                or b.dtype != jnp.float32):
+            raise TypeError(
+                "expv_chebyshev_sharded: VariableStencilOperator shards "
+                "through the fused sweep only (fused must not be False, "
+                "real coefficients, f32 data) — or use the GSPMD route "
+                "(parallel/gspmd.shard_operator)")
+        from jax.sharding import NamedSharding
+        from .stencil_fused import (FusedShardPlanVar, chebyshev_rows,
+                                    recurrence_apply_fused_sharded_var)
+        try:
+            plan = FusedShardPlanVar(op.grid_shape, tuple(op.offsets),
+                                     mesh.shape[axis], axis)
+        except ValueError:
+            if fused:
+                raise
+            raise TypeError(
+                "expv_chebyshev_sharded: this VariableStencilOperator "
+                "does not fit the fused sharded sweep's VMEM budget — "
+                "use the GSPMD route (parallel/gspmd.shard_operator)")
+        interp = jax.default_backend() != "tpu"
+        if interp and not fused:
+            raise TypeError(
+                "expv_chebyshev_sharded: variable fused sharding needs "
+                "a TPU backend (pass fused=True to force interpret "
+                "mode, e.g. in tests)")
+        rows = chebyshev_rows(coeffs, c, h, b.dtype)
+        C = len(op.offsets)
+        fields = jax.device_put(
+            op.coeff_fields.astype(b.dtype),
+            NamedSharding(mesh, P(None, axis)))
+
+        @jax.jit
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(None, axis), P(axis)),
+                           out_specs=P(axis))
+        def run_var(cf_local, b_local):
+            return recurrence_apply_fused_sharded_var(
+                plan, cf_local, b_local, rows, interpret=interp)
+
+        return run_var(fields, shard_vector(b, mesh, axis))
+
     plan = interp = None
     if fused is not False and not np.iscomplexobj(full):
         plan, interp = _fused_shard_ok(op, mesh, axis, b, hermitian=True,

@@ -176,6 +176,87 @@ class FusedShardPlan:
         return jnp.asarray(self.gg.xmask())
 
 
+class FusedShardPlanVar(FusedShardPlan):
+    """Variable-coefficient twin of :class:`FusedShardPlan` (3-D): the
+    per-cell coefficient planes stream through the same sweep, and the
+    cross-shard coefficient halos are exchanged ONCE per solve (the
+    fields are static data — unlike ω/A·ω they never change between
+    sweeps)."""
+
+    def __init__(self, gs, offsets, nshards: int, axis_name: str):
+        offs3 = tuple(off if len(off) == 3 else (0,) + tuple(off)
+                      for off in offsets)
+        pairs = tuple((off, k) for k, off in enumerate(offs3))
+        # feasibility: the variable sweep streams 2·C extra coefficient
+        # plane buffers — same footprint model as _plan_3d's variable
+        # branch, on the EXTENDED local grid
+        nz, ny, nx = (int(s) for s in gs)
+        C = len(offs3)
+        mo = [max((abs(o[a]) for o in offs3), default=0) for a in range(3)]
+        P = -(-(nx + max(1, mo[2])) // _LANES)
+        S = -(-((ny + max(2, mo[1])) * P) // 8) * 8
+        zmin = max(1, mo[0])
+        if zmin * S * (16_000 + 1100 * C) > 100 * 2 ** 20:
+            raise ValueError(
+                "variable fused sharded sweep: the coefficient stream "
+                "overflows the scoped-VMEM budget — falling back")
+        super().__init__(gs, offs3, pairs, nshards, axis_name)
+        self.C = C
+        # variable planes: keep zb at the VMEM-feasible sweet spot
+        row_b = 16_000 + 1100 * C
+        zb = max(zmin, min((100 * 2 ** 20) // (S * row_b),
+                           max(1, 1100 // S)))
+        self.gg = GhostGrid(self.sze, ny, nx, zb=zb,
+                            ypad=max(2, mo[1]), xpad=max(1, mo[2]))
+
+    def build_cfields_local(self, cf_local):
+        """(C, sz·ny·nx) local coefficient fields → the extended
+        (nslabs, C, R, 128) ghost stream with halo layers filled by ONE
+        ppermute per field (coefficients are per-solve constants)."""
+        planes = []
+        for k in range(self.C):
+            g = self.refresh(self.to_ghost_local(cf_local[k]))
+            planes.append(g)
+        return jnp.stack(planes, axis=1)
+
+    def step(self, cfields, interpret: bool = False):
+        return functools.partial(
+            fused_lanczos_step, grid_desc=self.gg,
+            coeffs_static=self.coeffs_static, cfields=cfields,
+            interpret=interpret, vma=(self.axis_name,))
+
+
+def recurrence_apply_fused_sharded_var(plan: FusedShardPlanVar, cf_local,
+                                       b_local, rows,
+                                       interpret: bool = False):
+    """Shard-local fused recurrence for VARIABLE-coefficient stencils:
+    same per-iteration structure as ``recurrence_apply_fused_sharded``,
+    with the coefficient halo exchange hoisted to one ppermute pass per
+    solve."""
+    mask = plan.mask()
+    b_local = jnp.asarray(b_local)
+    dt = b_local.dtype
+    rows = jnp.asarray(rows, dt)
+    cfields = plan.build_cfields_local(jnp.asarray(cf_local, dt))
+    step = plan.step(cfields, interpret=interpret)
+
+    Bg = plan.refresh(plan.to_ghost_local(b_local))
+    zeros = jnp.zeros_like(Bg)
+    Y, Z, _, _, W = step(Bg, Bg, zeros,
+                         jnp.asarray([1.0, 0.0, 0.0, 0.0], dt),
+                         mask, w_accum=zeros)
+    Z = plan.refresh(Z)
+
+    def body(carry, row):
+        Y, Z, Yp, W = carry
+        Yn, Zn, _, _, Wn = step(Z, Y, Yp, row, mask, w_accum=W)
+        Zn = plan.refresh(Zn)
+        return (Yn, Zn, Y, Wn), None
+
+    (_, _, _, W), _ = lax.scan(body, (Y, Z, zeros, W), rows)
+    return plan.from_ghost_local(W)
+
+
 class FusedShardPlan2D:
     """2-D twin of :class:`FusedShardPlan`: the grid (ny, nx) is sharded
     on y, and since a ``GhostGrid2D`` LAYER is one grid row, the halo is

@@ -277,3 +277,33 @@ class TestFusedShardedPoly:
                                 fused=False)
         assert (float(jnp.linalg.norm(jnp.asarray(wf) - ws))
                 / float(jnp.linalg.norm(ws))) < 5e-6
+
+
+class TestFusedShardedVariable:
+    def _vop(self, shape, rng):
+        from exponentialutilities_jl_tpu import (
+            variable_diffusion_nd_stencil)
+        a = rng.uniform(0.5, 2.0, shape).astype(np.float32)
+        return variable_diffusion_nd_stencil(jnp.asarray(a))
+
+    def test_variable_chebyshev_fused_vs_single_device(self, mesh, rng):
+        from exponentialutilities_jl_tpu.models.chebyshev import (
+            expv_chebyshev)
+        op = self._vop((16, 6, 10), rng)
+        n = 16 * 6 * 10
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        t = 0.05
+        w_sh = expv_chebyshev_sharded(t, op, b, mesh, fused=True,
+                                      tol=1e-6)
+        w_1 = expv_chebyshev(t, op, b, tol=1e-6, fused=False)
+        assert (float(jnp.linalg.norm(jnp.asarray(w_sh) - w_1))
+                / float(jnp.linalg.norm(w_1))) < 5e-6
+        want = sla.expm(t * _dense(op)) @ np.asarray(b, np.float64)
+        assert (np.linalg.norm(np.asarray(w_sh, np.float64) - want)
+                / np.linalg.norm(want)) < 1e-4
+
+    def test_variable_f64_routes_to_gspmd_error(self, mesh, rng):
+        op = self._vop((16, 6, 10), rng)
+        b = jnp.ones(960)                # f64 under the x64 conftest
+        with pytest.raises(TypeError, match="GSPMD"):
+            expv_chebyshev_sharded(0.05, op, b, mesh, fused=True)
