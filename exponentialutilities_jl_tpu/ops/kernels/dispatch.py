@@ -47,10 +47,14 @@ def recurrence_engine(op, dtype, fused=None, *, hermitian: bool = False):
     auto_ok = on_tpu and f32
 
     from .resident import (recurrence_apply_resident,
+                           recurrence_apply_resident_banded,
                            recurrence_apply_resident_grid,
+                           resident_banded_supported,
                            resident_grid_supported, resident_supported)
     if resident_supported(op) and (fused or auto_ok):
         return recurrence_apply_resident
+    if resident_banded_supported(op) and (fused or auto_ok):
+        return recurrence_apply_resident_banded
     if resident_grid_supported(op) and (fused or auto_ok):
         return recurrence_apply_resident_grid
 

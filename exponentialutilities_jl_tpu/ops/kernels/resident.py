@@ -55,6 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .lanczos_fused import _row_shift_full
 
 __all__ = ["recurrence_apply_resident", "resident_supported",
+           "recurrence_apply_resident_banded",
+           "resident_banded_supported",
            "lanczos_coeffs_resident", "expv_two_pass_resident",
            "phiv_two_pass_resident", "RESIDENT_MAX_N"]
 
@@ -159,6 +161,85 @@ def resident_supported(op, n_max: int = RESIDENT_MAX_N) -> bool:
         return False
     n = op.grid_shape[0]
     return 0 < n <= n_max and all(abs(off[0]) < n for off in op.offsets)
+
+
+def _resident_banded_kernel(rows_ref, x_ref, mask_ref, D_ref, w_ref,
+                            wp_ref, wc_ref, *, offsets, m: int):
+    """Banded variant: per-row diagonal VALUES ride in VMEM alongside
+    the state, z = Σ_j D_j ⊙ flatshift(ω, o_j) — Dirichlet/validity is
+    baked into the diagonal entries (the BandedOperator storage
+    convention), so any banded matrix (including 2-D/3-D grids in
+    banded storage) is exact; the mask only re-zeroes the pad tail."""
+    mask = mask_ref[...]
+    wc_ref[...] = x_ref[...]
+    wp_ref[...] = jnp.zeros_like(mask)
+    w_ref[...] = jnp.zeros_like(mask)
+
+    def step(k, _):
+        wc = wc_ref[...]
+        z = None
+        for j, o in enumerate(offsets):
+            term = D_ref[j] * _flat_shift(wc, o)
+            z = term if z is None else z + term
+        w_ref[...] = w_ref[...] + rows_ref[k, 3] * wc
+        wn = mask * (rows_ref[k, 0] * z + rows_ref[k, 1] * wc
+                     + rows_ref[k, 2] * wp_ref[...])
+        wp_ref[...] = wc
+        wc_ref[...] = wn
+        return 0
+
+    if m <= _UNROLL_MAX:
+        for k in range(m):
+            step(k, 0)
+    else:
+        lax.fori_loop(0, m, step, 0)
+
+
+def resident_banded_supported(op, budget: int = 48 * 2 ** 20) -> bool:
+    """True for a ``BandedOperator`` whose (k+6) whole-vector buffers
+    fit the resident VMEM budget."""
+    from ..sparse import BandedOperator
+
+    if not isinstance(op, BandedOperator):
+        return False
+    k, n = op.diags.shape
+    return (0 < n and n * (k + 6) * 4 <= budget
+            and all(abs(o) < n for o in op.offsets))
+
+
+def recurrence_apply_resident_banded(op, b, rows, *,
+                                     interpret: bool = False):
+    """One-dispatch recurrence for ``BandedOperator`` (module doc):
+    the k diagonal arrays live in VMEM with the state. Returns (n,)."""
+    if not resident_banded_supported(op):
+        raise ValueError("recurrence_apply_resident_banded requires a "
+                         "BandedOperator within the VMEM budget")
+    b = jnp.asarray(b)
+    dt = b.dtype
+    k, n = op.diags.shape
+    R, mask_np = _layout_1d(n)
+    pad = R * _LANES - n
+    Xp = jnp.pad(b, (0, pad)).reshape(R, _LANES)
+    D = jnp.pad(op.diags.astype(dt), ((0, 0), (0, pad))).reshape(
+        k, R, _LANES)
+    rows = jnp.asarray(rows, dt)
+    m = int(rows.shape[0])
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    Wp = pl.pallas_call(
+        functools.partial(_resident_banded_kernel,
+                          offsets=tuple(int(o) for o in op.offsets),
+                          m=m),
+        in_specs=[smem, vmem, vmem, vmem],
+        out_specs=vmem,
+        out_shape=jax.ShapeDtypeStruct((R, _LANES), dt),
+        scratch_shapes=[pltpu.VMEM((R, _LANES), dt),
+                        pltpu.VMEM((R, _LANES), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(rows, Xp, jnp.asarray(mask_np), D)
+    return Wp.reshape(-1)[:n]
 
 
 _GRID_MAX_ROWS = 6000      # whole-grid buffers: ~6 live (R, 128) f32

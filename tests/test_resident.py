@@ -424,3 +424,66 @@ def test_phiv_two_pass_resident_vs_xla(rng):
                                atol=3e-5, rtol=1e-3)
     np.testing.assert_allclose(float(err_r), float(err_x), rtol=1e-2,
                                atol=1e-7)
+
+
+class TestResidentBanded:
+    def test_matches_banded_matvec_recurrence(self, rng):
+        from exponentialutilities_jl_tpu import BandedOperator
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            recurrence_apply_resident_banded)
+        n, k, m = 900, 5, 7
+        offsets = (-30, -1, 0, 1, 30)
+        diags = rng.standard_normal((k, n)).astype(np.float32) * 0.4
+        op = BandedOperator(jnp.asarray(diags), offsets)
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        rows = jnp.asarray(rng.standard_normal((m, 4)) * 0.4, jnp.float32)
+        w = np.asarray(recurrence_apply_resident_banded(op, b, rows,
+                                                        interpret=True))
+        # XLA-recurrence oracle using the operator's own matvec
+        wp = np.zeros(n); wc = np.asarray(b, np.float64)
+        acc = np.zeros(n)
+        rn = np.asarray(rows, np.float64)
+        for ca, cb, cc, cw in rn:
+            z = np.asarray(op.matvec(jnp.asarray(wc, jnp.float32)),
+                           np.float64)
+            acc = acc + cw * wc
+            wp, wc = wc, ca * z + cb * wc + cc * wp
+        scale = max(np.abs(acc).max(), 1e-30)
+        np.testing.assert_allclose(w, acc, atol=5e-5 * scale, rtol=1e-3)
+
+    def test_poisson2d_banded_chebyshev(self, rng):
+        # a 2-D grid in banded storage (validity baked into the diags)
+        import scipy.linalg as sla
+        from exponentialutilities_jl_tpu import poisson_2d
+        from exponentialutilities_jl_tpu.ops.kernels.dispatch import (
+            chebyshev_rows)
+        from exponentialutilities_jl_tpu.models.chebyshev import (
+            _exp_ucoeffs)
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            recurrence_apply_resident_banded)
+        op = poisson_2d(16, 12)
+        op = type(op)(op.diags.astype(jnp.float32), op.offsets,
+                      is_hermitian=True)
+        n = 192
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        lo, hi = -8.0, 0.0
+        c, h = 0.5 * (hi + lo), 0.5 * (hi - lo)
+        cnp, scale = _exp_ucoeffs(0.1 * h, 1e-8)
+        cheb = jnp.asarray(cnp * np.exp(0.1 * c + scale), jnp.float32)
+        rows = chebyshev_rows(cheb, c, h, jnp.float32)
+        w = np.asarray(recurrence_apply_resident_banded(op, b, rows,
+                                                        interpret=True))
+        cols = [np.asarray(op.matvec(jnp.eye(n, dtype=jnp.float32)[:, j]),
+                           np.float64) for j in range(n)]
+        D = np.stack(cols, 1)
+        want = sla.expm(0.1 * D) @ np.asarray(b, np.float64)
+        assert (np.linalg.norm(w - want) / np.linalg.norm(want)) < 1e-4
+
+    def test_gate(self):
+        from exponentialutilities_jl_tpu import BandedOperator, poisson_2d
+        from exponentialutilities_jl_tpu.ops.kernels.resident import (
+            resident_banded_supported)
+        assert resident_banded_supported(poisson_2d(16, 12))
+        big = BandedOperator(jnp.zeros((9, 3_000_000), jnp.float32),
+                             tuple(range(-4, 5)))
+        assert not resident_banded_supported(big)
