@@ -1,4 +1,5 @@
 #!/bin/bash
+set -o pipefail
 # Round-5 on-chip measurement queue (written during the tunnel outage —
 # run when the chip is reachable; strictly ONE python process at a time,
 # the tunnel wedges under concurrent backend inits).

@@ -52,6 +52,18 @@ __all__ = ["GhostGrid", "GhostGrid2D", "ghost_grid_for",
 
 _LANES = 128
 
+# scoped-VMEM footprint model (measured r4, BENCHMARKS.md): bytes per
+# plane row for the accum sweep + per double-buffered coefficient slot,
+# and the raised Mosaic cap the kernels request. Shared by _plan_3d,
+# fused_lanczos_step and the sharded variable planner — recalibrate in
+# ONE place.
+VMEM_CAP_BYTES = 100 * 2 ** 20
+
+
+def row_budget_bytes(n_coeff_slots: int = 0) -> int:
+    return 16_000 + 1100 * n_coeff_slots
+
+
 
 class GhostGrid:
     """Static description of the ghosted plane layout for (nz, ny, nx).
@@ -256,14 +268,14 @@ def _plan_3d(gs, offsets, *, variable: bool, C: int = 0,
             # per-row scoped footprint ≈ 15.5 KB + ~1.1 KB per
             # double-buffered coefficient slot (the kernel raises its
             # own VMEM cap to match — fused_lanczos_step)
-            row_b = 16_000 + 1100 * C
-            if zmin * S * row_b > 100 * 2 ** 20:
+            row_b = row_budget_bytes(C)
+            if zmin * S * row_b > VMEM_CAP_BYTES:
                 continue
             # grow zb toward the R ≈ tgt pipeline sweet spot like the
             # constant branch (tiny-S orientations would otherwise run
             # thousands of per-step-overhead-bound pipeline steps),
             # bounded by the scoped-VMEM footprint model
-            zb = max(zmin, min((100 * 2 ** 20) // (S * row_b),
+            zb = max(zmin, min(VMEM_CAP_BYTES // (S * row_b),
                                max(1, tgt // S)))
         else:
             # beyond ~2900 rows/plane even the raised VMEM cap
@@ -317,7 +329,7 @@ def ghost_grid_for(op):
             # keep the r3-measured R ≈ 480 sweet spot at the 5-point
             # C = 5..8 stream, scaling rows down as slots grow
             ys = max(8, maxdy, (3840 // max(8, C)) // P - 2)
-            if (ys + 2) * P * (16_000 + 1100 * C) > 100 * 2 ** 20:
+            if (ys + 2) * P * row_budget_bytes(C) > VMEM_CAP_BYTES:
                 raise ValueError(
                     f"variable-coefficient sweep: {C} coefficient "
                     "planes overflow the scoped-VMEM budget — falling "
@@ -767,7 +779,7 @@ def fused_lanczos_step(Zg, Vcg, Vpg, coefs, mask, *, grid_desc: GhostGrid,
     # range this covers.
     csl = int(cfields.shape[1]) if variable else 0
     vlim = max(16 * 2 ** 20,
-               min(100 * 2 ** 20, int(R * (16_000 + 1100 * csl))))
+               min(VMEM_CAP_BYTES, int(R * row_budget_bytes(csl))))
     out = pl.pallas_call(
         functools.partial(kern, **kw),
         grid=(nsteps,),

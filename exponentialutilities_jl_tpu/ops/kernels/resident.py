@@ -141,6 +141,22 @@ def _resident_call(Xp, mask, rows, cvals, s, *, offsets,
     return Wp, nrm[0, 0]
 
 
+def _offsets_fit(offsets, n: int) -> bool:
+    """Every row shift _flat_shift will issue must stay strictly inside
+    the (R, 128) buffer — a shift of exactly ±R is a 0-size concatenate
+    that passes interpret mode but faults on real Mosaic (SKILL.md)."""
+    R, _ = _layout_1d(n)
+    for o in offsets:
+        o = int(o)
+        if o == 0:
+            continue
+        ro, lo = divmod(o, _LANES)
+        shifts = (ro,) if lo == 0 else (ro, ro + 1)
+        if any(abs(sh) >= R for sh in shifts):
+            return False
+    return True
+
+
 def _layout_1d(n: int):
     """(R, mask) for the padded (R, 128) flat layout of an (n,) vector."""
     R = -(-n // _LANES)
@@ -159,8 +175,12 @@ def resident_supported(op, n_max: int = RESIDENT_MAX_N) -> bool:
         return False
     if not isinstance(op, StencilOperator) or len(op.grid_shape) != 1:
         return False
-    n = op.grid_shape[0]
-    return 0 < n <= n_max and all(abs(off[0]) < n for off in op.offsets)
+    if jnp.iscomplexobj(op.coeffs):
+        return False                     # f32 kernel: complex would
+    n = op.grid_shape[0]                 # silently drop Im parts
+    return (0 < n <= n_max
+            and all(abs(off[0]) < n for off in op.offsets)
+            and _offsets_fit([off[0] for off in op.offsets], n))
 
 
 def _resident_banded_kernel(rows_ref, x_ref, mask_ref, D_ref, w_ref,
@@ -202,9 +222,12 @@ def resident_banded_supported(op, budget: int = 48 * 2 ** 20) -> bool:
 
     if not isinstance(op, BandedOperator):
         return False
-    k, n = op.diags.shape
+    if jnp.iscomplexobj(op.diags):
+        return False                     # f32 kernel: complex would
+    k, n = op.diags.shape                # silently drop Im parts
     return (0 < n and n * (k + 6) * 4 <= budget
-            and all(abs(o) < n for o in op.offsets))
+            and all(abs(o) < n for o in op.offsets)
+            and _offsets_fit(op.offsets, n))
 
 
 def recurrence_apply_resident_banded(op, b, rows, *,

@@ -273,7 +273,6 @@ def expv_chebyshev_sharded(t, op, b, mesh: Mesh, *, bounds=None,
                 "a TPU backend (pass fused=True to force interpret "
                 "mode, e.g. in tests)")
         rows = chebyshev_rows(coeffs, c, h, b.dtype)
-        C = len(op.offsets)
         fields = jax.device_put(
             op.coeff_fields.astype(b.dtype),
             NamedSharding(mesh, P(None, axis)))

@@ -70,7 +70,7 @@ class FusedShardPlan:
     """
 
     def __init__(self, gs, offsets, coeffs_static, nshards: int,
-                 axis_name: str):
+                 axis_name: str, _plane_check: bool = True):
         nz, ny, nx = (int(s) for s in gs)
         self.nshards = int(nshards)
         self.axis_name = axis_name
@@ -88,7 +88,7 @@ class FusedShardPlan:
         P = -(-(nx + xpad) // _LANES)
         S = -(-((ny + ypad) * P) // 8) * 8
         zmin = max(1, mo[0])
-        if zmin * S > 2900:
+        if _plane_check and zmin * S > 2900:
             raise ValueError(
                 "fused sharded sweep: the stencil's slab layers overflow "
                 f"the scoped-VMEM plane budget at grid {tuple(gs)} — "
@@ -184,27 +184,37 @@ class FusedShardPlanVar(FusedShardPlan):
     sweeps)."""
 
     def __init__(self, gs, offsets, nshards: int, axis_name: str):
+        if len(gs) != 3:
+            raise ValueError(
+                "variable fused sharding supports 3-D grids only — for "
+                "2-D VariableStencilOperator use the GSPMD route "
+                "(parallel/gspmd.shard_operator)")
         offs3 = tuple(off if len(off) == 3 else (0,) + tuple(off)
                       for off in offsets)
         pairs = tuple((off, k) for k, off in enumerate(offs3))
         # feasibility: the variable sweep streams 2·C extra coefficient
-        # plane buffers — same footprint model as _plan_3d's variable
-        # branch, on the EXTENDED local grid
+        # plane buffers — the SHARED footprint model (lanczos_fused),
+        # on the EXTENDED local grid; the base-class constant-plane
+        # check is skipped (this one is stricter in the regime it
+        # rejects, more permissive where the variable model allows it)
+        from ..ops.kernels.lanczos_fused import (VMEM_CAP_BYTES,
+                                                 row_budget_bytes)
         nz, ny, nx = (int(s) for s in gs)
         C = len(offs3)
         mo = [max((abs(o[a]) for o in offs3), default=0) for a in range(3)]
         P = -(-(nx + max(1, mo[2])) // _LANES)
         S = -(-((ny + max(2, mo[1])) * P) // 8) * 8
         zmin = max(1, mo[0])
-        if zmin * S * (16_000 + 1100 * C) > 100 * 2 ** 20:
+        row_b = row_budget_bytes(C)
+        if zmin * S * row_b > VMEM_CAP_BYTES:
             raise ValueError(
                 "variable fused sharded sweep: the coefficient stream "
                 "overflows the scoped-VMEM budget — falling back")
-        super().__init__(gs, offs3, pairs, nshards, axis_name)
+        super().__init__(gs, offs3, pairs, nshards, axis_name,
+                         _plane_check=False)
         self.C = C
         # variable planes: keep zb at the VMEM-feasible sweet spot
-        row_b = 16_000 + 1100 * C
-        zb = max(zmin, min((100 * 2 ** 20) // (S * row_b),
+        zb = max(zmin, min(VMEM_CAP_BYTES // (S * row_b),
                            max(1, 1100 // S)))
         self.gg = GhostGrid(self.sze, ny, nx, zb=zb,
                             ypad=max(2, mo[1]), xpad=max(1, mo[2]))
